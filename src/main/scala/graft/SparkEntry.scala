@@ -1,13 +1,231 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exposes one operator of the engine (SURVEY.md §2
+  * inventory + the training-data-pipeline surface) over the driver's
+  * TPC-H-ish testdata; `oracleSql` carries the DuckDB-equivalent ANSI SQL.
+  * Column names are aliased identically on both sides (the driver sorts
+  * columns by name before hashing). Floating-point outputs are either
+  * pass-through values or a single IEEE operation (bit-exact across
+  * engines); sums run over exact integer-valued doubles or DECIMAL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_lww_dedup")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 — keyed last-writer-wins upsert resolution (sqlite.rs:218-233 ≙
+    // max-(ts, event_id) row per user): one-shuffle max_by aggregation.
+    "q01_lww_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Dedup.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    // A1-skew — same semantics through the two-phase salted dedup
+    // (north-rule hot-key path, SURVEY.md §7.5). Same oracle as q01.
+    "q02_lww_dedup_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Dedup.saltedLatestByKey(ev, Seq("user_id"), Seq("ts", "event_id"), numSalts = 8)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    // J1 — manifest lookup join (archived.rs:116-126): small side broadcast,
+    // no shuffle of the big side.
+    "q03_manifest_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
+    // A4 — running counters (sqlite.rs:404-435): global exact counts.
+    "q04_counters" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+    }),
+
+    // A5 — opcode-histogram-shaped aggregation (solana-opcode-stats
+    // main.rs:84-107): group + count + distinct count, ordered, zero rows out.
+    "q05_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("num_insns"),
+          countDistinct(col("user_id")).as("num_programs"))
+        .filter(col("num_insns") > 0)
+        .orderBy(col("event_type"))
+    }),
+
+    // F6/F7 — owner-dispatch filter (sqlite.rs:208-211 ≙ lang dispatch).
+    "q06_owner_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("lang") === "en" && col("n_chars") > 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // P2 — projection with u64→i64-style casts (sqlite.rs:218-233).
+    "q07_projection_cast" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+    }),
+
+    // G1 — generator/explode (multisig signer explode, sqlite.rs:315-322):
+    // one row per signer slot 1..n.
+    "q08_explode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") >= 1)
+        .select(col("l_orderkey"),
+          explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("signer_idx"))
+    }),
+
+    // O1+A1 window form — row_number/rank over a deterministic total order.
+    "q09_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // top-k with deterministic tiebreak (engine completeness).
+    "q10_topk" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // Training op — exact dedup by content hash (md5 fingerprint).
+    "q11_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.latestByKey(
+        docs.withColumn("_fp", md5(col("text"))),
+        keys = Seq("_fp"), ordering = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Training op — token counting (whitespace word count).
+    "q12_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // Training op — quality scoring (punctuation ratio, mean token length).
+    "q13_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.meanTokenLength(col("text")).as("mean_tok_len"))
+    }),
+
+    // Training op — n-gram-heuristic language ID.
+    "q14_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Schema-evolving enrichment dispatch (P3-P6 analog): per-lang parsed
+    // columns added as nullable columns, one wide row per doc.
+    "q15_enrich_dispatch" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        when(col("lang") === "en", TextOps.tokenCount(col("text"))).as("en_tokens"),
+        when(col("lang") === "zh", col("n_chars")).as("zh_chars"),
+        when(col("lang") =!= "en" && col("lang") =!= "zh",
+          length(col("text"))).as("other_len"))
+    })
+  )
+
+  /** DuckDB-runnable ANSI SQL twins; keys must mirror `queries`. */
+  def oracleSql: Map[String, String] = {
+    val lwwSql =
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin
+    Map(
+      "q01_lww_dedup" -> lwwSql,
+      "q02_lww_dedup_salted" -> lwwSql,
+      "q03_manifest_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          | CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin,
+      "q04_counters" ->
+        """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+          | count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+          |FROM events""".stripMargin,
+      "q05_histogram" ->
+        """SELECT event_type, count(*) AS num_insns,
+          | count(DISTINCT user_id) AS num_programs
+          |FROM events GROUP BY event_type
+          |HAVING count(*) > 0 ORDER BY event_type""".stripMargin,
+      "q06_owner_filter" ->
+        "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' AND n_chars > 100",
+      "q07_projection_cast" ->
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+          | CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+          |FROM lineitem""".stripMargin,
+      "q08_explode" ->
+        """SELECT l_orderkey, CAST(unnest(generate_series(1, CAST(l_linenumber AS BIGINT))) AS BIGINT) AS signer_idx
+          |FROM lineitem WHERE l_linenumber >= 1""".stripMargin,
+      "q09_window_rank" ->
+        """SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+          | SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+          |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn <= 3""".stripMargin,
+      "q10_topk" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+          |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+      "q11_dedup_exact" ->
+        """SELECT doc_id, lang, n_chars FROM (
+          | SELECT *, row_number() OVER (PARTITION BY md5(text)
+          |   ORDER BY doc_id DESC) AS rn FROM documents)
+          |WHERE rn = 1""".stripMargin,
+      "q12_token_count" ->
+        """SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin,
+      "q13_quality_score" ->
+        """SELECT doc_id,
+          | CAST((length(text) - length(replace(text, '.', ''))) +
+          |      (length(text) - length(replace(text, ',', ''))) +
+          |      (length(text) - length(replace(text, '!', ''))) +
+          |      (length(text) - length(replace(text, '?', ''))) AS DOUBLE)
+          |   / CAST(CASE WHEN length(text) > 1 THEN length(text) ELSE 1 END AS DOUBLE) AS punct_ratio,
+          | CAST(length(text) AS DOUBLE) /
+          |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len
+          |FROM documents""".stripMargin,
+      "q14_lang_id" ->
+        s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      "q15_enrich_dispatch" ->
+        """SELECT doc_id, lang,
+          | CASE WHEN lang = 'en' THEN CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS en_tokens,
+          | CASE WHEN lang = 'zh' THEN n_chars END AS zh_chars,
+          | CASE WHEN lang <> 'en' AND lang <> 'zh' THEN CAST(length(text) AS BIGINT) END AS other_len
+          |FROM documents""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins dedup (operator A1, SURVEY.md §2.4).
+  *
+  * The reference's `INSERT OR REPLACE ... PRIMARY KEY(pubkey)` keeps the
+  * arrival-order-last row per key (/root/reference/src/bin/
+  * solana-snapshot-etl/sqlite.rs:218-233). We make it deterministic:
+  * max-(ordering) row per key, where the ordering is a total order
+  * (writeVersion, slot, ...unique tiebreak) — equal to the reference
+  * whenever write_versions are consistent with arrival order, which holds
+  * for real snapshots (append_vec.rs:48-56 global monotone counter).
+  */
+object Dedup {
+
+  /** One-shuffle LWW: `groupBy(keys).agg(max_by(row, ordering))`.
+    *
+    * Scale notes: hash aggregation with map-side partial aggregates — at
+    * 100 TB this is strictly better than the window/row_number formulation
+    * (which sorts every partition); rows collapse to one-per-key in the
+    * partial stage before the shuffle.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[String]): DataFrame = {
+    val cols = df.columns.toSeq
+    val payload = struct(cols.map(col): _*)
+    val ord = struct(ordering.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("_latest"))
+      .select(cols.map(c => col("_latest." + c).as(c)): _*)
+  }
+
+  /** Two-phase salted LWW for skewed keys (north-rule requirement:
+    * hot-owner skew, SURVEY.md §7.5). Phase 1 pre-aggregates on
+    * (keys, salt) — the hot key's rows split across `numSalts` reducers —
+    * phase 2 resolves the `numSalts` survivors per key. The salt is a
+    * deterministic hash of the full row, so results are stable across runs
+    * and partitionings.
+    */
+  def saltedLatestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      numSalts: Int = 16): DataFrame = {
+    val cols = df.columns.toSeq
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(cols.map(col): _*), lit(numSalts)))
+    val phase1 = latestByKey(salted, keys :+ "_salt", ordering)
+    latestByKey(phase1.drop("_salt"), keys, ordering)
+  }
+
+  /** Exact-duplicate removal over an arbitrary fingerprint expression
+    * (training-data op: exact dedup by content hash). Keeps the minimum
+    * `keep` value per fingerprint group — deterministic canonical survivor.
+    */
+  def exactDedup(df: DataFrame, fingerprint: Column, keep: Seq[String]): DataFrame = {
+    val cols = df.columns.toSeq
+    val withFp = df.withColumn("_fp", fingerprint)
+    latestByKey(withFp, Seq("_fp"), keep.map(c => c))
+      .drop("_fp")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline surface
+  * (builder mandate: language-ID, quality scoring, token counting,
+  * fingerprinting over the `documents` table).
+  *
+  * Every builder is a pure `Column` expression over built-in functions —
+  * fully codegen'd, no UDFs — and each has an exactly-equivalent ANSI SQL
+  * formulation for the DuckDB oracle (only engine-agnostic primitives:
+  * length/replace/lower; no regex, whose dialects differ).
+  */
+object TextOps {
+
+  /** Occurrence weight of a literal pattern:
+    * len(s) - len(replace(s, p, '')) — a multiple of len(p); kept as the raw
+    * delta to stay in exact integer arithmetic (identical in DuckDB). */
+  def literalOccurrenceWeight(s: Column, pattern: String): Column =
+    length(s) - length(replace(s, lit(pattern)))
+
+  /** Whitespace token count: single-space-delimited word count,
+    * defined as count(' ') + 1 — exact and dialect-portable. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "))) + lit(1)).cast("long")
+
+  /** Punctuation-ratio quality score: (#'.' + #',' + #'!' + #'?') / n_chars,
+    * one IEEE division (bit-exact across engines). */
+  def punctRatio(text: Column): Column = {
+    val punct = Seq(".", ",", "!", "?")
+      .map(p => literalOccurrenceWeight(text, p))
+      .reduce(_ + _)
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length = n_chars / n_tokens, one IEEE division. */
+  def meanTokenLength(text: Column): Column =
+    length(text).cast("double") / tokenCount(text).cast("double")
+
+  /** N-gram-heuristic language ID: score per language = summed occurrence
+    * weights of that language's most frequent function words; argmax with a
+    * fixed tie-break order (en > de > fr > es > und). */
+  def langScores(text: Column): Map[String, Column] = {
+    val lowered = lower(text)
+    def score(pats: Seq[String]): Column =
+      pats.map(p => literalOccurrenceWeight(lowered, p)).reduce(_ + _)
+    Map(
+      "en" -> score(Seq(" the ", " and ", " of ")),
+      "de" -> score(Seq(" der ", " die ", " und ")),
+      "fr" -> score(Seq(" le ", " la ", " et ")),
+      "es" -> score(Seq(" el ", " los ", " que ")))
+  }
+
+  def langId(text: Column): Column = {
+    val s = langScores(text)
+    when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es") && s("en") > 0, "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es") && s("de") > 0, "de")
+      .when(s("fr") >= s("es") && s("fr") > 0, "fr")
+      .when(s("es") > 0, "es")
+      .otherwise("und")
+  }
+
+  /** The same langId as ANSI SQL for the DuckDB oracle. */
+  def langIdSql(textCol: String): String = {
+    def w(p: String) = s"(length(lower($textCol)) - length(replace(lower($textCol), '$p', '')))"
+    def score(ps: Seq[String]) = ps.map(w).mkString("(", " + ", ")")
+    val en = score(Seq(" the ", " and ", " of "))
+    val de = score(Seq(" der ", " die ", " und "))
+    val fr = score(Seq(" le ", " la ", " et "))
+    val es = score(Seq(" el ", " los ", " que "))
+    s"""CASE
+       | WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       | WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       | WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       | WHEN $es > 0 THEN 'es'
+       | ELSE 'und' END""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** 64-bit rolling polynomial document fingerprint (Rabin-Karp style) over
+    * the UTF-8 bytes — xxhash64 built-in keeps it codegen'd and distributed.
+    * No SQL oracle (engine-specific hash); covered by unit tests. */
+  def fingerprint(text: Column): Column = xxhash64(text)
+}

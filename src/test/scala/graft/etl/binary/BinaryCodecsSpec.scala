@@ -1,0 +1,189 @@
+package graft.etl.binary
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.model._
+
+class Base58Spec extends AnyFunSuite {
+  test("known vectors") {
+    assert(Base58.encode(Array[Byte]()) === "")
+    assert(Base58.encode("hello".getBytes("US-ASCII")) === "Cn8eVZg")
+    assert(Base58.encode(Array[Byte](0, 0, 1)) === "112")
+    assert(Base58.decode("Cn8eVZg").toSeq === "hello".getBytes("US-ASCII").toSeq)
+    // the SPL token program id round-trips to its canonical form
+    assert(Base58.encode(SplToken.ProgramId) === "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA")
+    assert(SplToken.ProgramId.length === 32)
+    assert(BorshMetadata.ProgramId.length === 32)
+  }
+  test("round-trip arbitrary bytes (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      if (rnd.nextBoolean() && bytes.nonEmpty) bytes(0) = 0 // leading-zero path
+      assert(Base58.decode(Base58.encode(bytes)).toSeq === bytes.toSeq)
+    }
+  }
+}
+
+object Fx {
+  def pk(seed: Int): Array[Byte] = Array.tabulate[Byte](32)(i => ((seed + i * 7) & 0xff).toByte)
+  def acct(seed: Int, slot: Long = 1L, wv: Long = 1L, dataLen: Int = 5,
+           owner: Array[Byte] = pk(99), exec: Boolean = false): AccountUpdate =
+    AccountUpdate(
+      pubkey = pk(seed), slot = slot, writeVersion = wv, dataLen = dataLen.toLong,
+      owner = owner, lamports = seed * 1000L, executable = exec,
+      rentEpoch = 7L, hash = pk(seed + 1),
+      data = Array.tabulate[Byte](dataLen)(i => ((seed * 31 + i) & 0xff).toByte))
+}
+
+class AppendVecCodecSpec extends AnyFunSuite {
+  import Fx._
+
+  test("encode/decode round-trip with 8-byte alignment") {
+    val recs = Seq(acct(1, dataLen = 0), acct(2, dataLen = 1), acct(3, dataLen = 7),
+      acct(4, dataLen = 8), acct(5, dataLen = 165))
+    val (bytes, currentLen) = AppendVecCodec.encode(recs)
+    assert(currentLen % 8 === 0)
+    val out = AppendVecCodec.decode(bytes, slot = 1L, currentLen).toSeq
+    assert(out.size === recs.size)
+    recs.zip(out).foreach { case (a, b) =>
+      assert(a.pubkey.toSeq === b.pubkey.toSeq)
+      assert(a.writeVersion === b.writeVersion)
+      assert(a.dataLen === b.dataLen)
+      assert(a.owner.toSeq === b.owner.toSeq)
+      assert(a.lamports === b.lamports)
+      assert(a.executable === b.executable)
+      assert(a.rentEpoch === b.rentEpoch)
+      assert(a.hash.toSeq === b.hash.toSeq)
+      assert(a.data.toSeq === b.data.toSeq)
+    }
+  }
+
+  test("trailing garbage past current_len is ignored (archived.rs:127-130)") {
+    val (bytes, currentLen) = AppendVecCodec.encode(Seq(acct(1), acct(2)), trailingGarbage = 300)
+    assert(bytes.length > currentLen)
+    assert(AppendVecCodec.decode(bytes, 1L, currentLen).size === 2)
+  }
+
+  test("scan stops at first incomplete record (append_vec.rs:221-224)") {
+    val (bytes, currentLen) = AppendVecCodec.encode(Seq(acct(1, dataLen = 40), acct(2, dataLen = 40)))
+    // truncate current_len into the middle of the second record
+    assert(AppendVecCodec.decode(bytes, 1L, currentLen - 8).size === 1)
+    // and into the middle of the first header
+    assert(AppendVecCodec.decode(bytes, 1L, 100).isEmpty)
+  }
+
+  test("validation guards (append_vec.rs:138-160)") {
+    val (bytes, currentLen) = AppendVecCodec.encode(Seq(acct(1)))
+    intercept[IllegalArgumentException](AppendVecCodec.validate(0, 0))
+    intercept[IllegalArgumentException](AppendVecCodec.validate(100, 200))
+    intercept[IllegalArgumentException](
+      AppendVecCodec.decode(bytes, 1L, currentLen + 1000).toSeq)
+  }
+}
+
+class ManifestCodecSpec extends AnyFunSuite {
+  test("round-trip incl. is_delta and trailing bytes allowed") {
+    val m = SnapshotManifest(slot = 123L, writeVersion = 42L, isDelta = true,
+      bankHash = Fx.pk(9),
+      entries = Seq(ManifestEntry(10, 0, 800), ManifestEntry(10, 1, 96), ManifestEntry(11, 0, 0)))
+    val bytes = ManifestCodec.encode(m)
+    val withTrailer = bytes ++ Array.fill[Byte](64)(0x77)
+    val out = ManifestCodec.decode(withTrailer)
+    assert(out.slot === m.slot)
+    assert(out.writeVersion === m.writeVersion)
+    assert(out.isDelta === m.isDelta)
+    assert(out.bankHash.toSeq === m.bankHash.toSeq)
+    assert(out.entries.toSet === m.entries.toSet)
+    assert(out.lengthMap((10L, 1L)) === 96L)
+  }
+  test("truncation fails loudly") {
+    val m = SnapshotManifest(1, 1, isDelta = false, Fx.pk(1), Seq(ManifestEntry(1, 0, 8)))
+    val bytes = ManifestCodec.encode(m)
+    intercept[java.io.EOFException](ManifestCodec.decode(bytes.take(bytes.length - 10)))
+  }
+}
+
+class SplTokenSpec extends AnyFunSuite {
+  import Fx._
+  test("token account round-trip, all options set") {
+    val t = TokenAccount(pk(1), pk(2), Long.MaxValue, Some(pk(3)), 2,
+      Some(1000000000L), 5L, Some(pk(4)))
+    val bytes = SplToken.packTokenAccount(t)
+    assert(bytes.length === SplToken.TokenAccountSize)
+    val out = SplToken.unpackTokenAccount(bytes).get
+    assert(out.mint.toSeq === t.mint.toSeq)
+    assert(out.owner.toSeq === t.owner.toSeq)
+    assert(out.amount === t.amount)
+    assert(out.delegate.get.toSeq === pk(3).toSeq)
+    assert(out.state === 2)
+    assert(out.isNative === Some(1000000000L))
+    assert(out.delegatedAmount === 5L)
+    assert(out.closeAuthority.get.toSeq === pk(4).toSeq)
+  }
+  test("token account with all COptions none") {
+    val t = TokenAccount(pk(1), pk(2), 0L, None, 1, None, 0L, None)
+    val out = SplToken.unpackTokenAccount(SplToken.packTokenAccount(t)).get
+    assert(out.delegate.isEmpty && out.isNative.isEmpty && out.closeAuthority.isEmpty)
+  }
+  test("mint round-trip + u64 wrap kept as-is (sqlite.rs:226-230)") {
+    val m = TokenMint(Some(pk(5)), -1L /* u64::MAX as i64 */, 9, isInitialized = true, None)
+    val out = SplToken.unpackMint(SplToken.packMint(m)).get
+    assert(out.supply === -1L)
+    assert(out.mintAuthority.get.toSeq === pk(5).toSeq)
+    assert(out.decimals === 9)
+    assert(out.isInitialized && out.freezeAuthority.isEmpty)
+  }
+  test("multisig round-trip: only first n signers kept (sqlite.rs:315-322)") {
+    val ms = TokenMultisig(2, 3, (0 until 3).map(i => pk(i)))
+    val out = SplToken.unpackMultisig(SplToken.packMultisig(ms)).get
+    assert(out.m === 2 && out.n === 3)
+    assert(out.signers.size === 3)
+    assert(out.signers(1).toSeq === pk(1).toSeq)
+  }
+  test("wrong sizes are skipped, not errors (sqlite.rs:252-258)") {
+    assert(SplToken.unpackTokenAccount(new Array[Byte](100)).isEmpty)
+    assert(SplToken.unpackMint(new Array[Byte](165)).isEmpty)
+    assert(SplToken.unpackMultisig(new Array[Byte](82)).isEmpty)
+  }
+}
+
+class BorshMetadataSpec extends AnyFunSuite {
+  import Fx._
+  import BorshMetadata._
+  private val full = TokenMetadata(pk(1), pk(2), "Name\u0000\u0000", "SYM", "https://x/y",
+    500, Some(Seq(Creator(pk(3), verified = true, 100))), primarySaleHappened = true,
+    isMutable = false, editionNonce = Some(255), tokenStandard = Some(1),
+    collectionVerified = Some(true), collectionKey = Some(pk(6)))
+
+  test("v1.2 full round-trip preserves NUL padding") {
+    val Decoded(out) = decode(encode(full, version = 3)): @unchecked
+    assert(out.updateAuthority.toSeq === full.updateAuthority.toSeq)
+    assert(out.mint.toSeq === full.mint.toSeq)
+    assert(out.name === "Name\u0000\u0000")
+    assert(out.symbol === "SYM" && out.uri === "https://x/y")
+    assert(out.sellerFeeBasisPoints === 500)
+    assert(out.creators.get.size === 1)
+    assert(out.creators.get.head.address.toSeq === pk(3).toSeq)
+    assert(out.creators.get.head.verified && out.creators.get.head.share === 100)
+    assert(out.primarySaleHappened && !out.isMutable)
+    assert(out.editionNonce === Some(255.toShort))
+    assert(out.tokenStandard === Some(1.toShort))
+    assert(out.collectionVerified === Some(true))
+    assert(out.collectionKey.get.toSeq === pk(6).toSeq)
+  }
+  test("progressive-tail truncation: v1 and v1.1 decode with null tails (sqlite.rs:344-347)") {
+    val Decoded(v1) = decode(encode(full, version = 1)): @unchecked
+    assert(v1.editionNonce.isEmpty && v1.tokenStandard.isEmpty && v1.collectionKey.isEmpty)
+    assert(v1.name === full.name && v1.sellerFeeBasisPoints === 500)
+    val Decoded(v11) = decode(encode(full, version = 2)): @unchecked
+    assert(v11.editionNonce === Some(255.toShort) && v11.tokenStandard.isEmpty)
+  }
+  test("guards: empty → skip, wrong key → skip, bad body → malformed (sqlite.rs:327-357)") {
+    assert(decode(Array.emptyByteArray) === Skip)
+    assert(decode(Array[Byte](3, 1, 2)) === Skip)
+    val truncatedBody = encode(full, version = 1).take(40)
+    assert(decode(truncatedBody).isInstanceOf[Malformed])
+  }
+}
