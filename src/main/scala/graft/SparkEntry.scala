@@ -155,6 +155,26 @@ object SparkEntry {
         when(col("lang") === "zh", col("n_chars")).as("zh_chars"),
         when(col("lang") =!= "en" && col("lang") =!= "zh",
           length(col("text"))).as("other_len"))
+    }),
+
+    // E2E flagship (S1-S8, J1, A1, K1, P1): deterministic synthetic snapshot
+    // stream (full + 2 incrementals, tar.zst archives) → streaming decode →
+    // salted LWW MERGE into the bucketed lake table → final state read back
+    // with base58 keys + sha256 content invariant. No SQL oracle (binary
+    // sources); the LWW-fold equivalence is asserted in SnapshotReplaySpec.
+    "q16_snapshot_replay" -> ((s, _) => {
+      import graft.sources.SnapshotFixture
+      import graft.streaming.SnapshotReplay
+      val work = java.nio.file.Files.createTempDirectory("graft-q16").toString
+      val (fixtures, _) = SnapshotFixture.generateStream(seed = 42L, increments = 2)
+      fixtures.foreach(fx =>
+        SnapshotFixture.writeArchive(fx, s"$work/snap-${fx.manifest.slot}.tar.zst"))
+      val table = SnapshotReplay.createTable(s, s"$work/table", numBuckets = 8)
+      SnapshotReplay.replayDir(s, table, work)
+      table.read().select(
+        graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
+        col("slot"), col("writeVersion"),
+        col("lamports"), sha2(col("data"), 256).as("content_sha256"))
     })
   )
 

@@ -46,46 +46,76 @@ object AppendVecCodec {
       s"manifest current_len $currentLen exceeds file size $fileSize")
   }
 
-  /** Single-pass decode of all full records within `currentLen`.
-    *
-    * Returns a lazy iterator — callers inside `mapPartitions` stream rows out
-    * without materializing the whole vec as rows (the buffer itself is one
-    * allocation per file, mirroring the reference's one mmap per vec).
-    */
+  /** Single-pass decode of all full records within `currentLen` from a byte
+    * array (test/fixture convenience — streams through `decodeStream`). */
   def decode(bytes: Array[Byte], slot: Long, currentLen: Long): Iterator[AccountUpdate] = {
     validate(bytes.length.toLong, currentLen)
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    decodeStream(new java.io.ByteArrayInputStream(bytes), slot, currentLen)
+  }
+
+  /** Sequential streaming decode of all full records within `currentLen`.
+    *
+    * Lazy iterator for use inside `mapPartitions`: rows stream out one at a
+    * time; memory is one record (header + payload) at a time, never the whole
+    * vec — AppendVecs can reach 16 GiB (append_vec.rs:46), past JVM array
+    * limits. The stream is consumed up to (at most) `currentLen` bytes;
+    * trailing bytes are NOT read (archives hand us a shared stream).
+    */
+  def decodeStream(in: java.io.InputStream, slot: Long, currentLen: Long): Iterator[AccountUpdate] =
     new Iterator[AccountUpdate] {
       private var offset = 0L
       private var nextRec: AccountUpdate = _
       private var done = false
+      private val header = new Array[Byte](HeaderSize)
+      private val hbuf = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+
+      private def readFully(dst: Array[Byte], len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val r = in.read(dst, off, len - off)
+          if (r < 0) return false
+          off += r
+        }
+        true
+      }
+
+      private def skipFully(n: Long): Boolean = {
+        var left = n
+        while (left > 0) {
+          val s = in.skip(left)
+          if (s > 0) left -= s
+          else if (in.read() < 0) return false // skip() can return 0; probe
+          else left -= 1
+        }
+        true
+      }
 
       private def tryAdvance(): Unit = {
         if (done) return
         if (offset + HeaderSize > currentLen) { done = true; return }
-        val base = offset.toInt
-        val dataLen = buf.getLong(base + 40)
+        if (!readFully(header, HeaderSize)) { done = true; return }
+        val dataLen = hbuf.getLong(40)
         if (dataLen < 0 || offset + HeaderSize + dataLen > currentLen) { done = true; return }
-        val pubkey = new Array[Byte](32)
-        val owner = new Array[Byte](32)
-        val hash = new Array[Byte](32)
         val data = new Array[Byte](dataLen.toInt)
-        getBytes(buf, base + 8, pubkey)
-        getBytes(buf, base + 64, owner)
-        getBytes(buf, base + 104, hash)
-        getBytes(buf, base + 136, data)
+        if (!readFully(data, data.length)) { done = true; return }
+        val pad = align8(HeaderSize + dataLen) - (HeaderSize + dataLen)
+        // record padding is only present if it fits within currentLen; a
+        // stream ending inside the final padding still yields this record
+        // (the next advance hits EOF and stops cleanly).
+        val padAvail = math.min(pad, currentLen - (offset + HeaderSize + dataLen))
+        skipFully(padAvail)
         nextRec = AccountUpdate(
-          pubkey = pubkey,
+          pubkey = java.util.Arrays.copyOfRange(header, 8, 40),
           slot = slot,
-          writeVersion = buf.getLong(base),
+          writeVersion = hbuf.getLong(0),
           dataLen = dataLen,
-          owner = owner,
-          lamports = buf.getLong(base + 48),
-          executable = buf.get(base + 96) != 0,
-          rentEpoch = buf.getLong(base + 56),
-          hash = hash,
+          owner = java.util.Arrays.copyOfRange(header, 64, 96),
+          lamports = hbuf.getLong(48),
+          executable = header(96) != 0,
+          rentEpoch = hbuf.getLong(56),
+          hash = java.util.Arrays.copyOfRange(header, 104, 136),
           data = data)
-        offset += align8(HeaderSize + dataLen)
+        offset += HeaderSize + dataLen + padAvail
       }
 
       tryAdvance()
@@ -94,12 +124,6 @@ object AppendVecCodec {
         val r = nextRec; tryAdvance(); r
       }
     }
-  }
-
-  private def getBytes(buf: ByteBuffer, pos: Int, dst: Array[Byte]): Unit = {
-    var i = 0
-    while (i < dst.length) { dst(i) = buf.get(pos + i); i += 1 }
-  }
 
   /** Encode records into AppendVec bytes (fixture generator — the reference
     * ships no fixtures, SURVEY.md §5). `trailingGarbage` bytes are appended

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.tables.LakeTable
+
+/** Structured-Streaming CDC driver (SURVEY.md §7 module 6; north rule):
+  * a change stream tailed from a directory → exactly-once LWW MERGE into a
+  * [[LakeTable]] under `foreachBatch`.
+  *
+  * Exactly-once story: Spark's checkpoint gives at-least-once re-delivery of
+  * each micro-batch with a stable `batchId`; the table's `appliedBatches`
+  * ledger makes the MERGE idempotent per `(pipelineId, batchId)` — a
+  * re-delivered batch after crash/restart is a no-op. Counters and
+  * per-partition lineage live in the table snapshot (`lineage`).
+  */
+object CdcPipeline {
+
+  /** Tail `changeDir` (parquet change-event files) into `table`.
+    *
+    * @param pipelineId stable id scoping batch ids across checkpoints —
+    *                   MUST change if `checkpointDir` is wiped, must not
+    *                   change across resumes of the same checkpoint.
+    * @param maxFilesPerTrigger backpressure (≙ the reference's bounded
+    *                   channel, parallel.rs:23)
+    */
+  def start(
+      spark: SparkSession,
+      table: LakeTable,
+      changeDir: String,
+      changeSchema: StructType,
+      checkpointDir: String,
+      pipelineId: String,
+      salted: Boolean = false,
+      maxFilesPerTrigger: Int = 64,
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(changeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changeDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("500 milliseconds"))
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        table.merge(df, s"$pipelineId-$batchId", salted = salted)
+        () // discard count: Unit-returning closure keeps the 2.13 overload unambiguous
+      }
+      .start()
+  }
+
+  /** Run one AvailableNow pass to completion (tests / batch-replay mode). */
+  def runOnce(
+      spark: SparkSession,
+      table: LakeTable,
+      changeDir: String,
+      changeSchema: StructType,
+      checkpointDir: String,
+      pipelineId: String,
+      salted: Boolean = false): Unit = {
+    val q = start(spark, table, changeDir, changeSchema, checkpointDir, pipelineId,
+      salted = salted)
+    q.awaitTermination()
+  }
+}
