@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Enrich, OpcodeStats, Programs, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -175,8 +175,52 @@ object SparkEntry {
         graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
         col("slot"), col("writeVersion"),
         col("lamports"), sha2(col("data"), 256).as("content_sha256"))
-    })
+    }),
+
+    // P3/A2 — SPL token-account enrichment table over the snapshot fixture
+    // (sqlite.rs:264-284). Rows-only check (binary decode has no SQL oracle;
+    // field-level assertions live in EnrichSpec).
+    "q17_token_accounts" -> ((s, _) =>
+      Enrich.tokenAccounts(fixtureAccounts(s))
+        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
+          graft.functions.functions.base58(col("mint")).as("mint_b58"),
+          col("amount"), col("state"), col("delegated_amount"))),
+
+    // P6/A2 — Metaplex metadata enrichment with progressive-tail nulls.
+    "q18_token_metadata" -> ((s, _) =>
+      Enrich.tokenMetadata(fixtureAccounts(s))
+        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
+          col("name"), col("symbol"), col("uri"), col("seller_fee_basis_points"),
+          col("edition_nonce"), col("collection_verified"))),
+
+    // G1/A3 — multisig signer explode (one row per signer).
+    "q19_multisig_explode" -> ((s, _) =>
+      Enrich.tokenMultisigs(fixtureAccounts(s))
+        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
+          graft.functions.functions.base58(col("signer")).as("signer_b58"),
+          col("m"), col("n"))),
+
+    // F8/F9/K4 — program extraction.
+    "q20_programs" -> ((s, _) =>
+      Programs.programs(fixtureAccounts(s))
+        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
+          length(col("elf")).as("elf_len"))),
+
+    // A5/G2/O1 — opcode histogram over extracted programs.
+    "q21_opcode_histogram" -> ((s, _) =>
+      OpcodeStats.histogram(Programs.programs(fixtureAccounts(s))))
   )
+
+  /** Deterministic fixture accounts shared by the binary-operator queries
+    * (seed fixed; regenerated per JVM under tmp). */
+  private lazy val fixtureDF = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def fixtureAccounts(s: SparkSession): DataFrame =
+    fixtureDF.computeIfAbsent("fx", _ => {
+      import graft.sources.SnapshotFixture
+      val fx = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 42L))
+      import s.implicits._
+      graft.streaming.SnapshotReplay.toDF(s.createDataset(fx.allRecords)).cache()
+    })
 
   /** DuckDB-runnable ANSI SQL twins; keys must mirror `queries`. */
   def oracleSql: Map[String, String] = {
