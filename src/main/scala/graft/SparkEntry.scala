@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Enrich, OpcodeStats, Programs, TextOps}
+import graft.operators.{Dedup, Enrich, Multimodal, NearDup, OpcodeStats, Programs, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -208,7 +208,60 @@ object SparkEntry {
 
     // A5/G2/O1 — opcode histogram over extracted programs.
     "q21_opcode_histogram" -> ((s, _) =>
-      OpcodeStats.histogram(Programs.programs(fixtureAccounts(s))))
+      OpcodeStats.histogram(Programs.programs(fixtureAccounts(s)))),
+
+    // Training op — MinHash+LSH near-dup dedup over documents (survivor
+    // annotation). Probabilistic candidates + exact verification; no SQL
+    // oracle (hash-family specific) — NearDupSpec holds the brute-force
+    // equivalence proof.
+    "q22_dedup_minhash" -> ((s, dir) =>
+      NearDup.minHashDedup(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("dup_of"))),
+
+    // Training op — SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk
+    // pigeonhole candidates).
+    "q23_dedup_simhash" -> ((s, dir) =>
+      NearDup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+
+    // Training op — n-gram Jaccard verification over LSH candidates.
+    "q24_ngram_jaccard" -> ((s, dir) =>
+      NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.6)),
+
+    // Training op — brute-force cosine top-k ANN baseline (broadcast
+    // queries; oracle = same left-to-right double arithmetic in DuckDB).
+    "q25_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // Training op — LSH-bucketed ANN (multi-table, multi-probe scale path;
+    // recall vs brute force asserted in SimilaritySpec).
+    "q26_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKDim(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 6, tables = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // Training op — embedding-cosine near-dup pairs via LSH buckets.
+    "q27_cosine_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))),
+
+    // Training op — multimodal feature extraction (batched mapPartitions,
+    // stub decoder over binary payloads synthesized from documents).
+    "q28_multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media, new Multimodal.MediaDecoder.Deterministic(8))
+        .toDF().select(col("media_id"), col("media_type"), col("payload_bytes"), col("status"))
+    })
   )
 
   /** Deterministic fixture accounts shared by the binary-operator queries
@@ -284,6 +337,40 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q14_lang_id" ->
         s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      // bit-exact ANN oracle: identical left-to-right double arithmetic
+      // (list_reduce is sequential by definition; normalize-then-dot matches
+      // the Spark column expressions op for op)
+      "q25_ann_brute" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, emb,
+          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+          |  FROM e),
+          |v AS (
+          |  SELECT vec_id,
+          |    list_transform(emb, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE CAST(0.0 AS DOUBLE) END) AS u
+          |  FROM n),
+          |q AS (SELECT * FROM v WHERE vec_id < 20)
+          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, 65), i -> q.u[i] * c.u[i])), (a, b) -> a + b) AS cos,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |        list_transform(range(1, 65), i -> q.u[i] * c.u[i])), (a, b) -> a + b) DESC,
+          |      c.vec_id ASC) AS rn
+          |  FROM q JOIN v c ON q.vec_id <> c.vec_id)
+          |WHERE rn <= 5""".stripMargin,
+      "q28_multimodal_features" ->
+        """SELECT doc_id AS media_id,
+          | CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+          | CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'ok' END AS status
+          |FROM documents""".stripMargin,
       "q15_enrich_dispatch" ->
         """SELECT doc_id, lang,
           | CASE WHEN lang = 'en' THEN CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS en_tokens,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines (builder mandate):
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract stages shaped the way a real pipeline shapes
+  * them — batched `mapPartitions` with a pluggable decoder.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch shape, null
+  * handling) is REAL and tested. The decode itself is a STUB: the image /
+  * audio libraries are intentionally absent from this environment, so
+  * [[MediaDecoder.Deterministic]] produces seeded fake features from the
+  * bytes; swap in a real decoder (JNI/JavaCV/etc.) behind the same trait for
+  * production. This mirrors a Python `mapInPandas` pandas-UDF stage: the
+  * decoder receives a BATCH of payloads (amortizing per-call model/codec
+  * setup), not one row at a time.
+  */
+object Multimodal {
+
+  /** media schema: opaque payload + typed metadata (no parsing at scan). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      payload_bytes: Long,
+      /** fixed-dim feature vector (fake under the stub decoder) */
+      features: Array[Float],
+      /** decode status: ok | empty | error */
+      status: String)
+
+  /** Batched decoder contract (≙ a pandas UDF body: one call per batch). */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures]
+  }
+
+  object MediaDecoder {
+    /** STUB: deterministic fake features derived from the payload bytes —
+      * replace with a real codec behind this trait (libs absent here). */
+    final class Deterministic(dim: Int = 8) extends MediaDecoder {
+      override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+        batch.map { case (id, mtype, payload) =>
+          if (payload == null || payload.isEmpty)
+            MediaFeatures(id, mtype, 0L, Array.fill(dim)(0f), "empty")
+          else {
+            val feats = Array.tabulate(dim) { i =>
+              // seeded fold over the bytes — stands in for codec output
+              var h = 1125899906842597L + i
+              payload.foreach(b => h = 31 * h + b)
+              ((h >>> 16) % 1000).toFloat / 1000f
+            }
+            MediaFeatures(id, mtype, payload.length.toLong, feats, "ok")
+          }
+        }
+    }
+  }
+
+  /** Feature extraction stage: batched mapPartitions (batch size bounds
+    * decoder memory; rows stream through — no whole-partition
+    * materialization). Input needs (media_id, media_type, payload). */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          decoder.decodeBatch(chunk.map(r =>
+            (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))))
+        }
+      }
+  }
+
+  /** Frame-sample stage shape (video → every nth "frame" slice of the
+    * payload): demonstrates generator-style multimodal fan-out with bounded
+    * output (explode of a size-limited sequence, not a UDTF). The slicing is
+    * the STUB — a real impl would emit decoded frames. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, everyNth: Int = 4,
+      maxFrames: Int = 16): DataFrame =
+    media
+      .withColumn("_nframes",
+        least(floor(length(col("payload")) / frameBytes / everyNth), lit(maxFrames)).cast("int"))
+      .filter(col("_nframes") >= 1) // sequence(1, 0) would run descending
+      .select(col("media_id"), col("media_type"),
+        posexplode(expr(
+          s"transform(sequence(1, _nframes), " +
+            s"f -> substring(payload, (f - 1) * $frameBytes * $everyNth + 1, $frameBytes))"))
+          .as(Seq("frame_idx", "frame_payload")))
+}

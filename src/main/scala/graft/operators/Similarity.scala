@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Dot products are `zip_with` + `aggregate` array expressions in double
+  * precision — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Unit-normalize an array<float> into array<double> (zero vectors stay
+    * zero instead of dividing by 0). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => when(n > 0.0, x.cast("double") / n).otherwise(0.0))
+  }
+
+  /** Brute-force cosine top-k: every query row scored against every corpus
+    * row. The query side is broadcast (queries ≪ corpus at scale), so the
+    * corpus is scanned once with NO shuffle of the big side; per-query top-k
+    * resolves in a window over the (small) query partition space.
+    *
+    * @return (query_id, neighbor_id, rank, cosine), rank 1..k,
+    *         ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    val q = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+    val scored = c.join(broadcast(q), col("_qid") =!= col("_cid"))
+      .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col("_cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        col("rank"), col("_cos").as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded xorshift — no
+    * wall-clock, reproducible across runs/executors). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var state = seed ^ 0x5deece66dL
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bucket id: bit i = sign(v · plane_i) — an integer bucket key. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = typedlit(p)
+      when(dot(emb, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN with L independent hash tables: a row lands in one
+    * bucket per table (`tables × corpus` index rows); query and corpus join
+    * only within (table, bucket) — the equi-join shuffle is O(L · corpus)
+    * and each bucket holds ~corpus/2^p rows, so scored pairs drop by the
+    * bucket factor at the price of recall (multiple tables + 1-bit
+    * multi-probe recover it; measured against brute force in the spec —
+    * the standard recall/cost dial at 100 TB).
+    */
+  def lshTopKDim(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      dim: Int, k: Int = 5, nPlanes: Int = 6, tables: Int = 4, seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    val q00 = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+    val perTable = (0 until tables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + 7919L * t)
+      val c = c0.withColumn("_bucket", lshBucket(col("_cemb"), planes))
+        .withColumn("_table", lit(t))
+      val q0 = q00.withColumn("_bucket", lshBucket(col("_qemb"), planes))
+        .withColumn("_table", lit(t))
+      // multi-probe: a query also visits the nPlanes buckets one bit-flip away
+      val q =
+        if (!multiProbe) q0
+        else q0.select(col("_qid"), col("_qemb"), col("_table"),
+          explode(expr(s"array(_bucket, ${(0 until nPlanes)
+            .map(i => s"_bucket ^ ${1L << i}").mkString(", ")})")).as("_bucket"))
+      (c, q)
+    }
+    val c = perTable.map(_._1).reduce(_ unionByName _)
+    val q = perTable.map(_._2).reduce(_ unionByName _)
+    val scored = c.join(q, Seq("_table", "_bucket"))
+      .filter(col("_qid") =!= col("_cid"))
+      .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
+      .groupBy(col("_qid"), col("_cid")).agg(max(col("_cos")).as("_cos")) // dedup table/probe hits
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col("_cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        col("rank"), col("_cos").as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH buckets as candidates,
+    * cosine ≥ threshold verification (id_a < id_b). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val v = df.select(col(idCol).as("_id"), normalize(col(embCol)).as("_emb"))
+      .withColumn("_bucket", lshBucket(col("_emb"), planes))
+    v.as("l").join(v.as("r"),
+        col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        dot(col("l._emb"), col("r._emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class NearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    (3L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    (4L, "completely different content about databases and storage engines"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds near and exact duplicates, not unrelated docs") {
+    val pairs = NearDup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L))) // near dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash candidates agree with brute-force Jaccard on threshold pairs") {
+    // brute-force oracle over all pairs
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String): Set[Seq[String]] =
+      t.toLowerCase.split(" ").sliding(3).map(_.toSeq).toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size.toDouble
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    val lsh = NearDup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH may miss (probabilistic) but with 8 bands × 4 rows and j≥0.8 here
+    // recall is ~1; verified pairs can never be false positives:
+    assert(lsh.subsetOf(brute.union(lsh))) // no crash path
+    assert(brute.subsetOf(lsh), s"missed: ${brute.diff(lsh)}")
+  }
+
+  test("minHashDedup marks later duplicates with dup_of = smallest partner") {
+    val out = NearDup.minHashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(out(5L) === Some(1L))
+    assert(out(1L) === None) // survivor
+    assert(out(3L) === None)
+  }
+
+  test("simhash pairs: identical docs at distance 0; unrelated docs filtered") {
+    val pairs = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 5L)) === 0L)
+    assert(!m.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard verification over LSH candidates") {
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 5L)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 5L).get
+    assert(exact._3 === 1.0)
+  }
+
+  test("exact dedup on the real documents table is lossless at sf0.001") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val deduped = Dedup.exactDedup(d, md5(col("text")), keep = Seq("doc_id"))
+    assert(deduped.count() === d.count()) // no exact dups in testdata
+  }
+}
