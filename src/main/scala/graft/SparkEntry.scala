@@ -30,7 +30,10 @@ object SparkEntry {
     // A1 — keyed last-writer-wins upsert resolution (sqlite.rs:218-233 ≙
     // max-(ts, event_id) row per user): one-shuffle max_by aggregation.
     "q01_lww_dedup" -> ((s, dir) => {
+      // project BEFORE the dedup: the max_by payload struct blocks column
+      // pruning through the aggregate, so unused cols must not enter it
       val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       Dedup.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
@@ -40,6 +43,7 @@ object SparkEntry {
     // (north-rule hot-key path, SURVEY.md §7.5). Same oracle as q01.
     "q02_lww_dedup_salted" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       Dedup.saltedLatestByKey(ev, Seq("user_id"), Seq("ts", "event_id"), numSalts = 8)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))

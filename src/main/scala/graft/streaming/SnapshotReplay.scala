@@ -42,7 +42,7 @@ object SnapshotReplay {
   /** Merge one snapshot (archive file or unpacked dir) as one batch.
     * @return rows upserted (0 if this snapshot was already applied). */
   def applySnapshot(spark: SparkSession, table: LakeTable, path: String,
-      salted: Boolean = true): Long = {
+      salted: Boolean = false): Long = {
     val src = SnapshotSource.open(spark, path)
     val batchId = s"snapshot:${new Path(path).getName}"
     table.merge(toDF(src.accountUpdates(spark)), batchId, salted = salted)
@@ -52,7 +52,7 @@ object SnapshotReplay {
     * (full snapshot first, then incrementals). Already-applied archives are
     * skipped via the exactly-once ledger. @return total rows upserted. */
   def replayDir(spark: SparkSession, table: LakeTable, dir: String,
-      salted: Boolean = true): Long = {
+      salted: Boolean = false): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archives = fs.listStatus(p).filter(_.isFile)

@@ -100,51 +100,93 @@ final class LakeTable private (
     require(snap.keyCols.forall(batch.columns.contains),
       s"batch missing key columns ${snap.keyCols}")
 
-    val alignedBatch = align(batch, evolved)
-    val deduped =
-      if (salted) Dedup.saltedLatestByKey(alignedBatch, snap.keyCols, snap.orderCols)
-      else Dedup.latestByKey(alignedBatch, snap.keyCols, snap.orderCols)
-    val bucketed = deduped.withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+    // The batch is typically the output of an expensive decode (mapPartitions
+    // binary parse) and is scanned twice (stats pass + merge write). Caching
+    // trades memory for the second decode; measured ~neutral at bench scale
+    // (columnar cache encode ≈ decode cost), so it's opt-in.
+    val cacheBatch = sys.env.get("GRAFT_MERGE_CACHE").contains("1")
+    val alignedBatch0 = align(batch, evolved)
+    val alignedBatch =
+      if (cacheBatch) alignedBatch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else alignedBatch0
+    val dbg = sys.env.get("GRAFT_MERGE_DEBUG").contains("1")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      if (dbg) {
+        val now = System.nanoTime()
+        System.err.println(f"[merge $batchId] $name ${(now - tPhase) / 1e9}%.2fs")
+        tPhase = now
+      }
+    }
+    try {
+      // --- one stats job: touched buckets for pruning + distinct-key count
+      // (= post-dedup upsert count; dedup never changes the key set) ---
+      val stats = alignedBatch
+        .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
+        .agg(count_distinct(struct(snap.keyCols.map(col): _*)).as("nkeys"))
+        .collect()
+      val touched = stats.map(_.getInt(0)).toSeq.sorted
+      val upserts = stats.map(_.getLong(1)).sum
+      phase("stats")
 
-    // --- bucket pruning: only buckets with incoming keys are rewritten ---
-    val touched = bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
-    val existing =
-      if (touchedFiles.isEmpty)
-        align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
-      else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
-    val existingBucketed = existing.withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+      val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+      val existing =
+        if (touchedFiles.isEmpty)
+          align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
+        else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
 
-    // per-bucket local LWW merge of old state ∪ new batch
-    val merged = Dedup.latestByKey(
-      existingBucketed.unionByName(bucketed), snap.keyCols :+ BucketCol, snap.orderCols)
+      // --- ONE-shuffle LWW MERGE: in-batch dedup and old∪new resolution are
+      // one aggregation, and that aggregation rides the bucket repartition:
+      // HashPartitioning(bucket) satisfies ClusteredDistribution(keys ∪
+      // bucket) because bucket ∈ grouping — Catalyst inserts NO second
+      // exchange, so each merge shuffles the data exactly once, already
+      // routed to its output bucket. The salted path (hot keys) trades this
+      // for a two-phase agg and is off for high-cardinality keys.
+      val unioned = existing.unionByName(alignedBatch)
+        .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+        .repartition(math.max(1, touched.size), col(BucketCol))
+      val merged =
+        if (salted) Dedup.saltedLatestByKey(unioned, snap.keyCols :+ BucketCol, snap.orderCols)
+        else Dedup.latestByKey(unioned, snap.keyCols :+ BucketCol, snap.orderCols)
 
-    // --- write only touched buckets under a fresh commit dir ---
-    val newVersion = snap.version + 1
-    val commitRel = s"data/commit-$newVersion"
-    val upserts = deduped.count()
-    merged
-      .repartition(math.max(1, touched.size), col(BucketCol))
-      .sortWithinPartitions(snap.keyCols.map(col): _*)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      // --- write only touched buckets under a fresh commit dir ---
+      val newVersion = snap.version + 1
+      val commitRel = s"data/commit-$newVersion"
+      merged
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      phase("write")
 
-    val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
-    val newBucketFiles = snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written
-    val rowCount = snap.rowCount - countRows(touchedFiles, curSchema) + merged.count()
+      val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+      val newBucketFiles = snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written
+      // both counts are parquet-footer metadata reads, no data scan
+      val rowCount = snap.rowCount - countRows(touchedFiles, curSchema) +
+        countRows(written.values.flatten.map(rel => s"$root/$rel").toSeq, curSchema)
+      phase("counts")
 
-    commit(TableSnapshot(
-      version = newVersion,
-      schemaDdl = evolved.toDDL,
-      keyCols = snap.keyCols, orderCols = snap.orderCols, numBuckets = snap.numBuckets,
-      bucketFiles = newBucketFiles,
-      appliedBatches = snap.appliedBatches :+ batchId,
-      lineage = snap.lineage + (batchId -> (upserts, touched)),
-      rowCount = rowCount))
-    upserts
+      commit(TableSnapshot(
+        version = newVersion,
+        schemaDdl = evolved.toDDL,
+        keyCols = snap.keyCols, orderCols = snap.orderCols, numBuckets = snap.numBuckets,
+        bucketFiles = newBucketFiles,
+        appliedBatches = snap.appliedBatches :+ batchId,
+        lineage = snap.lineage + (batchId -> (upserts, touched)),
+        rowCount = rowCount))
+      upserts
+    } finally { if (cacheBatch) alignedBatch.unpersist(false) }
   }
 
-  private def countRows(files: Seq[String], schema: StructType): Long =
-    if (files.isEmpty) 0L else spark.read.schema(schema).parquet(files: _*).count()
+  /** Row counts straight from parquet footers on the driver — no Spark job
+    * (the two bookkeeping counts per merge would otherwise cost two job
+    * round-trips each commit). */
+  private def countRows(files: Seq[String], schema: StructType): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Project `df` onto `schema`, adding missing columns as typed nulls. */
   private def align(df: DataFrame, schema: StructType): DataFrame =
