@@ -8,7 +8,7 @@ import graft.streaming.SnapshotReplay
 object DebugReplay {
   def main(args: Array[String]): Unit = {
     val cpus = if (args.nonEmpty) args(0) else "8"
-    val inputDir = "/tmp/graft-scaling/input"
+    val inputDir = sys.env.getOrElse("GRAFT_INPUT", "/dev/shm/graft-scaling/input")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +16,7 @@ object DebugReplay {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val table = SnapshotReplay.createTable(spark,
-      s"/tmp/graft-dbg-table-${System.nanoTime()}", numBuckets = 32)
+      s"/dev/shm/graft-dbg-table-${System.nanoTime()}", numBuckets = 32)
     Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
       val t0 = System.nanoTime()
       val n = SnapshotReplay.applySnapshot(spark, table, s"$inputDir/$name", salted = false)

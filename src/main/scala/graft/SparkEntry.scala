@@ -265,7 +265,55 @@ object SparkEntry {
         encode(col("text"), "UTF-8").as("payload"))
       Multimodal.extractFeatures(media, new Multimodal.MediaDecoder.Deterministic(8))
         .toDF().select(col("media_id"), col("media_type"), col("payload_bytes"), col("status"))
-    })
+    }),
+
+    // Training op — winnowing fingerprint near-dup (containment-style
+    // dedup; candidates share an exploded fingerprint). Rows-only.
+    "q29_winnow_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(TextOps.winnowFingerprints(col("text"))).as("fps"))
+        .withColumn("n_fps", size(col("fps")))
+      val fp = docs.select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
+      // containment score = shared fingerprints / smaller fingerprint set
+      fp.as("l").join(fp.as("r"), col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"),
+          first(col("l.n_fps")).as("n_a"), first(col("r.n_fps")).as("n_b"))
+        .withColumn("containment",
+          col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+        .filter(col("containment") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+    }),
+
+    // North-rule CDC e2e over the input_hint table shape: deterministic
+    // repo-file change stream → Structured Streaming foreachBatch →
+    // exactly-once LWW MERGE → final state with sha256 invariant. Rows-only
+    // (fold equality asserted in RepoCdcSpec).
+    "q30_repo_cdc" -> ((s, _) => {
+      import graft.sources.RepoChangeFixture
+      import graft.streaming.CdcPipeline
+      import graft.tables.LakeTable
+      import org.apache.spark.sql.types.StructType
+      val work = java.nio.file.Files.createTempDirectory("graft-q30").toString
+      val (batches, _) = RepoChangeFixture.generate(RepoChangeFixture.Spec())
+      RepoChangeFixture.writeBatches(s, batches, s"$work/changes")
+      val schema = StructType.fromDDL(
+        "repo STRING, path STRING, commit STRING, commitSeq BIGINT, lang STRING, content STRING")
+      val table = LakeTable.createOrOpen(s, s"$work/table", schema,
+        keyCols = Seq("repo", "path"), orderCols = Seq("commitSeq"), numBuckets = 16)
+      CdcPipeline.runOnce(s, table, s"$work/changes", schema, s"$work/cp", "q30")
+      table.read().select(col("repo"), col("path"), col("commitSeq"),
+        col("lang"), sha2(col("content"), 256).as("content_sha256"))
+    }),
+
+    // Streaming-shaped windowed aggregation (tumbling event-time windows;
+    // exact counts — identical batch semantics give a DuckDB oracle).
+    "q31_windowed_counts" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedEventCounts(
+        t(s, dir, "events"), windowLen = "10 minutes", slide = "10 minutes")
+        .select(unix_timestamp(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"))
+    )
   )
 
   /** Deterministic fixture accounts shared by the binary-operator queries
@@ -368,6 +416,10 @@ object SparkEntry {
           |      c.vec_id ASC) AS rn
           |  FROM q JOIN v c ON q.vec_id <> c.vec_id)
           |WHERE rn <= 5""".stripMargin,
+      "q31_windowed_counts" ->
+        """SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_epoch,
+          | event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin,
       "q28_multimodal_features" ->
         """SELECT doc_id AS media_id,
           | CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -77,8 +77,60 @@ object TextOps {
        | ELSE 'und' END""".stripMargin.replaceAll("\n", " ")
   }
 
-  /** 64-bit rolling polynomial document fingerprint (Rabin-Karp style) over
-    * the UTF-8 bytes — xxhash64 built-in keeps it codegen'd and distributed.
-    * No SQL oracle (engine-specific hash); covered by unit tests. */
+  /** 64-bit whole-document fingerprint — xxhash64 built-in (codegen'd). */
   def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public
+    * MOSS algorithm): rolling Rabin-Karp hashes of char k-grams, then the
+    * rightmost-minimum hash of each sliding window — guarantees any match
+    * of length ≥ window+k-1 shares a fingerprint. Pure deterministic
+    * function + UDF column form; the candidate join on exploded
+    * fingerprints is the scale path for plagiarism-style containment
+    * detection (as opposed to MinHash's whole-doc resemblance). */
+  def winnow(text: String, k: Int = 5, window: Int = 4): Array[Long] = {
+    if (text == null || text.isEmpty) return Array(0L)
+    val s = text.toLowerCase
+    if (s.length < k) return Array(rabin(s, 0, s.length))
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    val base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (n <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var w = 0
+    while (w + window <= n) {
+      // rightmost minimum of the window
+      var minIdx = w
+      var j = w + 1
+      while (j < w + window) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      out += hashes(minIdx)
+      w += 1
+    }
+    out.toArray
+  }
+
+  private def rabin(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Column form of [[winnow]] (deterministic UDF → array<bigint>). */
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val f = udf((t: String) => winnow(t, k, window))
+    f(text)
+  }
 }

@@ -137,22 +137,32 @@ final class LakeTable private (
 
       // --- ONE-shuffle LWW MERGE: in-batch dedup and old∪new resolution are
       // one aggregation, and that aggregation rides the bucket repartition:
-      // HashPartitioning(bucket) satisfies ClusteredDistribution(keys ∪
-      // bucket) because bucket ∈ grouping — Catalyst inserts NO second
-      // exchange, so each merge shuffles the data exactly once, already
-      // routed to its output bucket. The salted path (hot keys) trades this
-      // for a two-phase agg and is off for high-cardinality keys.
+      // HashPartitioning(bucket, subsplit) satisfies ClusteredDistribution
+      // (keys ∪ bucket ∪ subsplit) because both partition exprs are in the
+      // grouping — Catalyst inserts NO second exchange, so each merge
+      // shuffles the data exactly once, already routed to its output bucket.
+      // `subsplit` (a key hash) decouples write parallelism from bucket
+      // count: a bucket's rows can span `writeFactor` tasks/files without
+      // breaking key co-location (subsplit is a function of the key). The
+      // salted path (hot keys) trades this for a two-phase agg and is off
+      // for high-cardinality keys.
+      val cores = spark.sparkContext.defaultParallelism
+      val writeFactor = math.max(1, math.ceil(2.0 * cores / math.max(1, touched.size)).toInt)
+      val SubCol = "_gsubsplit"
       val unioned = existing.unionByName(alignedBatch)
         .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
-        .repartition(math.max(1, touched.size), col(BucketCol))
+        .withColumn(SubCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
+        .repartition(math.max(1, touched.size * writeFactor), col(BucketCol), col(SubCol))
       val merged =
-        if (salted) Dedup.saltedLatestByKey(unioned, snap.keyCols :+ BucketCol, snap.orderCols)
-        else Dedup.latestByKey(unioned, snap.keyCols :+ BucketCol, snap.orderCols)
+        if (salted)
+          Dedup.saltedLatestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubCol), snap.orderCols)
+        else Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubCol), snap.orderCols)
 
       // --- write only touched buckets under a fresh commit dir ---
       val newVersion = snap.version + 1
       val commitRel = s"data/commit-$newVersion"
       merged
+        .drop(SubCol)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
       phase("write")
 
