@@ -227,7 +227,9 @@ object SparkEntry {
     "q23_dedup_simhash" -> ((s, dir) =>
       NearDup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
 
-    // Training op — n-gram Jaccard verification over LSH candidates.
+    // Training op — EXACT n-gram Jaccard similarity join via prefix
+    // filtering (AllPairs, WWW'07): deterministic, lossless, so it has a
+    // full DuckDB oracle (brute-force gram-join twin).
     "q24_ngram_jaccard" -> ((s, dir) =>
       NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 4, threshold = 0.6)),
@@ -267,23 +269,12 @@ object SparkEntry {
         .toDF().select(col("media_id"), col("media_type"), col("payload_bytes"), col("status"))
     }),
 
-    // Training op — winnowing fingerprint near-dup (containment-style
-    // dedup; candidates share an exploded fingerprint). Rows-only.
-    "q29_winnow_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(TextOps.winnowFingerprints(col("text"))).as("fps"))
-        .withColumn("n_fps", size(col("fps")))
-      val fp = docs.select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
-      // containment score = shared fingerprints / smaller fingerprint set
-      fp.as("l").join(fp.as("r"), col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("shared"),
-          first(col("l.n_fps")).as("n_a"), first(col("r.n_fps")).as("n_b"))
-        .withColumn("containment",
-          col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
-        .filter(col("containment") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
-    }),
+    // Training op — winnowing fingerprint near-dup (MOSS containment
+    // dedup; candidates share an exploded fingerprint, stop-fingerprint
+    // capped). Rows-only (fingerprints are a UDF — no SQL twin).
+    "q29_winnow_dedup" -> ((s, dir) =>
+      TextOps.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        minContainment = 0.5)),
 
     // North-rule CDC e2e over the input_hint table shape: deterministic
     // repo-file change stream → Structured Streaming foreachBatch →
@@ -389,6 +380,28 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q14_lang_id" ->
         s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      // exact twin of the prefix-filtered similarity join: same gram sets,
+      // same |A∩B| / (|A|+|B|−|A∩B|) arithmetic (one IEEE division), found
+      // by a gram equi-join instead of prefix filtering (which is lossless,
+      // so the outputs are identical)
+      "q24_ngram_jaccard" ->
+        """WITH g0 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) >= 4
+          |      THEN list_distinct(list_transform(generate_series(1, length(text) - 3),
+          |             i -> substring(text, i, 4)))
+          |      ELSE [text] END AS grams
+          |  FROM documents),
+          |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g0),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+          |         any_value(a.n) AS na, any_value(b.n) AS nb
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS ngram_jaccard
+          |FROM inter
+          |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.6""".stripMargin,
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

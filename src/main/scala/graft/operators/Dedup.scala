@@ -51,13 +51,15 @@ object Dedup {
   }
 
   /** Exact-duplicate removal over an arbitrary fingerprint expression
-    * (training-data op: exact dedup by content hash). Keeps the minimum
-    * `keep` value per fingerprint group — deterministic canonical survivor.
+    * (training-data op: exact dedup by content hash). Keeps the MINIMUM
+    * `keep` value per fingerprint group — deterministic canonical survivor
+    * (min_by, the mirror of [[latestByKey]]'s max_by).
     */
   def exactDedup(df: DataFrame, fingerprint: Column, keep: Seq[String]): DataFrame = {
     val cols = df.columns.toSeq
     val withFp = df.withColumn("_fp", fingerprint)
-    latestByKey(withFp, Seq("_fp"), keep.map(c => c))
-      .drop("_fp")
+    withFp.groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), struct(keep.map(col): _*)).as("_first"))
+      .select(cols.map(c => col("_first." + c).as(c)): _*)
   }
 }

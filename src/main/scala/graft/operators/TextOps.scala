@@ -86,8 +86,14 @@ object TextOps {
     * of length ≥ window+k-1 shares a fingerprint. Pure deterministic
     * function + UDF column form; the candidate join on exploded
     * fingerprints is the scale path for plagiarism-style containment
-    * detection (as opposed to MinHash's whole-doc resemblance). */
-  def winnow(text: String, k: Int = 5, window: Int = 4): Array[Long] = {
+    * detection (as opposed to MinHash's whole-doc resemblance).
+    *
+    * Defaults k=10/window=10: winnow density ≈ 2/(window+1) ≈ 18% of
+    * positions, and 10-char grams are long enough that function-word
+    * fragments (" the ", "tion ") are not fingerprints of their own — the
+    * k=5/window=4 defaults of round 1 fingerprinted ~40% of positions and
+    * made common 5-grams near-universal join keys (the q29 blowup). */
+  def winnow(text: String, k: Int = 10, window: Int = 10): Array[Long] = {
     if (text == null || text.isEmpty) return Array(0L)
     val s = text.toLowerCase
     if (s.length < k) return Array(rabin(s, 0, s.length))
@@ -129,8 +135,44 @@ object TextOps {
   }
 
   /** Column form of [[winnow]] (deterministic UDF → array<bigint>). */
-  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+  def winnowFingerprints(text: Column, k: Int = 10, window: Int = 10): Column = {
     val f = udf((t: String) => winnow(t, k, window))
     f(text)
+  }
+
+  /** Containment-style near-dup pairs over winnowing fingerprints (the MOSS
+    * pipeline at corpus scale): containment = shared fingerprints / smaller
+    * fingerprint set.
+    *
+    * Scale guards (both standard in MOSS-at-scale deployments):
+    *  - STOP FINGERPRINTS: a fingerprint appearing in more than `maxDf` docs
+    *    is boilerplate (license headers, templates) — each such fp produces
+    *    df²/2 join rows, so they are dropped before the self-join. The DF
+    *    aggregation is map-side combined and rides the same hash
+    *    partitioning as the join (exchange reuse);
+    *  - the self-join is an equi-join on fp with per-key fan-out ≤ maxDf —
+    *    never quadratic in corpus size.
+    */
+  def winnowContainmentPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 10, window: Int = 10,
+      minContainment: Double = 0.5, maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col(idCol), array_distinct(winnowFingerprints(col(textCol), k, window)).as("fps"))
+      .withColumn("n_fps", size(col("fps")))
+    val fp = base.select(col(idCol), col("n_fps"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("fp")
+    val inJoin = fp.join(rare, "fp")
+    inJoin.as("l").join(inJoin.as("r"),
+        col("l.fp") === col("r.fp") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("l.n_fps")).as("n_a"), first(col("r.n_fps")).as("n_b"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
   }
 }

@@ -72,4 +72,50 @@ class NearDupSpec extends SparkTestBase {
     val deduped = Dedup.exactDedup(d, md5(col("text")), keep = Seq("doc_id"))
     assert(deduped.count() === d.count()) // no exact dups in testdata
   }
+
+  test("exact dedup keeps the minimum keep value as the canonical survivor") {
+    val survivors = Dedup.exactDedup(docs, md5(col("text")), keep = Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && !survivors.contains(5L)) // 1 and 5 tie; min wins
+    assert(survivors === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("ngram jaccard prefix filter is lossless vs brute force") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] =
+      if (t.length >= 4) t.sliding(4).toSet else Set(t)
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      ga = grams(ta); gb = grams(tb)
+      inter = ga.intersect(gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter).toDouble
+      if j >= 0.5
+    } yield (ia, ib) -> j).toMap
+    // both exact strategies must agree with brute force (and each other)
+    Seq("prefix", "bitmap").foreach { strat =>
+      val joined = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 4,
+        threshold = 0.5, forceStrategy = Some(strat))
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+      assert(joined.keySet === brute.keySet,
+        s"$strat missed: ${brute.keySet.diff(joined.keySet)}")
+      brute.foreach { case (k, j) => assert(math.abs(joined(k) - j) < 1e-12) }
+    }
+  }
+
+  test("adversarial boilerplate cluster stays bounded (hot-bucket caps)") {
+    // 300 docs all sharing one boilerplate sentence + unique content: without
+    // caps each hot band-bucket / stop fingerprint yields ~300²/2 candidates
+    val boiler = "this license text is identical across every single document in the corpus"
+    val adv = (1 to 300).map(i =>
+      (i.toLong, s"$boiler unique content item number $i with extra words $i ${i * 7}"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    // capped candidate path: must complete quickly and not explode
+    val nCands = NearDup.minHashCandidates(adv, "doc_id", "text", maxBucket = 32).count()
+    val nWin = TextOps.winnowContainmentPairs(adv, "doc_id", "text", maxDf = 32).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(nCands <= 300L * 32)  // per-bucket fan-out bound
+    assert(nWin <= 300L * 32)
+    assert(sec < 60.0, s"boilerplate cluster took ${sec}s")
+  }
 }
