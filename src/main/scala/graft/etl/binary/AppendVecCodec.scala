@@ -12,17 +12,17 @@ import graft.etl.model.AccountUpdate
   * aligned up to the next 8-byte boundary (append_vec.rs:39-44), record
   * header 136 B, `stored_size = align8(136 + data_len)`.
   *
-  * | offset | field         | type          |
-  * |--------|---------------|---------------|
-  * | 0      | write_version | u64           |
-  * | 8      | pubkey        | [u8;32]       |
-  * | 40     | data_len      | u64           |
-  * | 48     | lamports      | u64           |
-  * | 56     | rent_epoch    | u64           |
-  * | 64     | owner         | [u8;32]       |
-  * | 96     | executable    | u8 (+7 pad)   |
-  * | 104    | hash          | [u8;32]       |
-  * | 136    | data          | data_len (+pad to 8) |
+  * | offset | field         | type          | section (append_vec.rs)   |
+  * |--------|---------------|---------------|---------------------------|
+  * | 0      | write_version | u64           | StoredMeta (:53-60)       |
+  * | 8      | pubkey        | [u8;32]       | StoredMeta                |
+  * | 40     | data_len      | u64           | StoredMeta                |
+  * | 48     | lamports      | u64           | AccountMeta (:64-74,      |
+  * | 56     | owner         | [u8;32]       |   natural Rust layout:    |
+  * | 88     | executable    | u8 (+7 pad)   |   bool at 40, rent_epoch  |
+  * | 96     | rent_epoch    | u64           |   8-aligned at 48)        |
+  * | 104    | hash          | [u8;32]       | Hash (:254)               |
+  * | 136    | data          | data_len (+pad to 8) | (:255)             |
   *
   * The scan stops at the first offset where a full record no longer fits
   * inside `currentLen` (append_vec.rs:221-224, lib.rs:61-70); `currentLen`
@@ -96,6 +96,12 @@ object AppendVecCodec {
         if (!readFully(header, HeaderSize)) { done = true; return }
         val dataLen = hbuf.getLong(40)
         if (dataLen < 0 || offset + HeaderSize + dataLen > currentLen) { done = true; return }
+        // a record that FITS currentLen but exceeds the JVM array limit is a
+        // hard error, not a silent stream desync (reads would short-count
+        // while offset advanced by the full length)
+        if (dataLen > Int.MaxValue.toLong - HeaderSize)
+          throw new IllegalStateException(
+            s"record data_len $dataLen at offset $offset exceeds JVM array limit")
         val data = new Array[Byte](dataLen.toInt)
         if (!readFully(data, data.length)) { done = true; return }
         val pad = align8(HeaderSize + dataLen) - (HeaderSize + dataLen)
@@ -109,10 +115,10 @@ object AppendVecCodec {
           slot = slot,
           writeVersion = hbuf.getLong(0),
           dataLen = dataLen,
-          owner = java.util.Arrays.copyOfRange(header, 64, 96),
+          owner = java.util.Arrays.copyOfRange(header, 56, 88),
           lamports = hbuf.getLong(48),
-          executable = header(96) != 0,
-          rentEpoch = hbuf.getLong(56),
+          executable = header(88) != 0,
+          rentEpoch = hbuf.getLong(96),
           hash = java.util.Arrays.copyOfRange(header, 104, 136),
           data = data)
         offset += HeaderSize + dataLen + padAvail
@@ -139,9 +145,9 @@ object AppendVecCodec {
       putBytes(rec, 8, r.pubkey, 32)
       rec.putLong(40, r.data.length.toLong)
       rec.putLong(48, r.lamports)
-      rec.putLong(56, r.rentEpoch)
-      putBytes(rec, 64, r.owner, 32)
-      rec.put(96, if (r.executable) 1.toByte else 0.toByte)
+      putBytes(rec, 56, r.owner, 32)
+      rec.put(88, if (r.executable) 1.toByte else 0.toByte)
+      rec.putLong(96, r.rentEpoch)
       putBytes(rec, 104, r.hash, 32)
       putBytes(rec, 136, r.data, r.data.length)
       out.write(rec.array())

@@ -105,6 +105,54 @@ class ManifestCodecSpec extends AnyFunSuite {
   }
 }
 
+/** The REAL manifest format: bincode DeserializableVersionedBank +
+  * AccountsDbFields (solana.rs:42-119). */
+class SolanaManifestCodecSpec extends AnyFunSuite {
+  private def mk(isDelta: Boolean) = SnapshotManifest(
+    slot = 1234567L, writeVersion = 987654L, isDelta = isDelta,
+    bankHash = Fx.pk(9),
+    entries = Seq(ManifestEntry(100, 0, 800), ManifestEntry(100, 3, 96),
+      ManifestEntry(101, 1, 0)))
+
+  test("bincode round-trip: slot, write_version, is_delta, bank hash, storage map") {
+    Seq(true, false).foreach { delta =>
+      val m = mk(delta)
+      val out = SolanaManifestCodec.decode(SolanaManifestCodec.encode(m))
+      assert(out.slot === m.slot)
+      assert(out.writeVersion === m.writeVersion)
+      assert(out.isDelta === delta)
+      assert(out.bankHash.toSeq === m.bankHash.toSeq)
+      assert(out.entries.toSet === m.entries.toSet)
+      assert(out.lengthMap((100L, 3L)) === 96L)
+    }
+  }
+
+  test("trailing bytes allowed (solana.rs:50); default_on_eof tails optional") {
+    val m = mk(isDelta = true)
+    val bytes = SolanaManifestCodec.encode(m)
+    assert(SolanaManifestCodec.decode(bytes ++ Array.fill[Byte](128)(0x55)).slot === m.slot)
+    // strip the two default_on_eof vectors the encoder appends:
+    // Vec<Slot> with 1 item (8+8) + Vec<(Slot,Hash)> with 1 item (8+40)
+    val stripped = bytes.take(bytes.length - (16 + 48))
+    val out = SolanaManifestCodec.decode(stripped)
+    assert(out.entries.toSet === m.entries.toSet)
+    assert(out.writeVersion === m.writeVersion)
+  }
+
+  test("truncation inside the bank fails loudly") {
+    val bytes = SolanaManifestCodec.encode(mk(isDelta = false))
+    intercept[java.io.EOFException](SolanaManifestCodec.decode(bytes.take(200)))
+  }
+
+  test("ManifestCodec auto-detects bincode vs legacy GSNAP1") {
+    val m = mk(isDelta = true)
+    val real = ManifestCodec.decode(SolanaManifestCodec.encode(m))
+    val legacy = ManifestCodec.decode(ManifestCodec.encode(m))
+    assert(real.entries.toSet === legacy.entries.toSet)
+    assert(real.slot === legacy.slot && real.isDelta && legacy.isDelta)
+  }
+}
+
 class SplTokenSpec extends AnyFunSuite {
   import Fx._
   test("token account round-trip, all options set") {
