@@ -10,8 +10,8 @@ import graft.etl.model.{Creator, TokenMetadata}
   * Mirrors the reference's decode chain (/root/reference/src/mpl_metadata.rs:
   * 6-84 driven from sqlite.rs:326-360): a 1-byte account-key tag must be
   * `MetadataV1` (=4); the v1 body must parse or it is an error; the v1.1
-  * (`edition_nonce`) and v1.2 (`token_standard`, `collection`, `uses`) tails
-  * are each optional — truncation at any tail boundary yields nulls, not an
+  * (`edition_nonce`) tail and the v1.2 (`token_standard` + `collection` +
+  * `uses`, ALL-or-nothing) tail are each optional — truncation at any tail boundary yields nulls, not an
   * error (`deserialize(...).ok()` chaining, sqlite.rs:344-347). This is the
   * engine's schema-evolution showcase: new nullable columns, no rewrite.
   *
@@ -50,7 +50,7 @@ object BorshMetadata {
         val primarySale = in.bool()
         val isMutable = in.bool()
         TokenMetadata(updateAuthority, mint, name, symbol, uri, sellerFee,
-          creators, primarySale, isMutable, None, None, None, None)
+          creators, primarySale, isMutable, None, None, None, None, None, None, None)
       } catch {
         case e: IndexOutOfBoundsException => return Malformed(s"bad Metadata body: ${e.getMessage}")
         case e: IllegalArgumentException  => return Malformed(s"bad Metadata body: ${e.getMessage}")
@@ -59,14 +59,22 @@ object BorshMetadata {
     val v11 =
       try v1.copy(editionNonce = in.option(() => (in.u8() & 0xff).toShort))
       catch { case _: IndexOutOfBoundsException => return Decoded(v1) }
-    // v1.2 tail: Option<token_standard u8>, Option<Collection{verified,key}>.
+    // v1.2 tail: Option<token_standard u8>, Option<Collection{verified,key}>,
+    // Option<Uses{use_method u8, remaining u64, total u64}> — ALL-or-nothing:
+    // the reference deserializes the whole MetadataExtV1_2 struct and .ok()s
+    // it (sqlite.rs:344-347, mpl_metadata.rs:33-38), so truncation anywhere
+    // inside it (including mid-`uses`) rolls the entire tail back to v1.1.
     val v12 =
       try {
         val std = in.option(() => (in.u8() & 0xff).toShort)
         val coll = in.option(() => (in.bool(), in.bytes(32)))
+        val uses = in.option(() => ((in.u8() & 0xff).toShort, in.u64(), in.u64()))
         v11.copy(tokenStandard = std,
           collectionVerified = coll.map(_._1),
-          collectionKey = coll.map(_._2))
+          collectionKey = coll.map(_._2),
+          useMethod = uses.map(_._1),
+          usesRemaining = uses.map(_._2),
+          usesTotal = uses.map(_._3))
       } catch { case _: IndexOutOfBoundsException => return Decoded(v11) }
     Decoded(v12)
   }
@@ -79,6 +87,7 @@ object BorshMetadata {
     def bool(): Boolean = u8() != 0
     def u16(): Int = { need(2); val v = buf.getShort(pos) & 0xffff; pos += 2; v }
     def u32(): Int = { need(4); val v = buf.getInt(pos); pos += 4; v }
+    def u64(): Long = { need(8); val v = buf.getLong(pos); pos += 8; v }
     def bytes(n: Int): Array[Byte] = {
       need(n); val v = java.util.Arrays.copyOfRange(data, pos, pos + n); pos += n; v
     }
@@ -131,6 +140,14 @@ object BorshMetadata {
       (m.collectionVerified, m.collectionKey) match {
         case (Some(v), Some(k)) => putBool(true); putBool(v); bos.write(k)
         case _                  => putBool(false)
+      }
+      // uses (mpl_metadata.rs:75-78): part of the same all-or-nothing struct
+      (m.useMethod, m.usesRemaining, m.usesTotal) match {
+        case (Some(um), Some(rem), Some(tot)) =>
+          putBool(true); bos.write(um.toInt)
+          bos.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(rem).array())
+          bos.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(tot).array())
+        case _ => putBool(false)
       }
     }
     bos.toByteArray

@@ -77,10 +77,15 @@ final case class TokenMetadata(
     isMutable: Boolean,
     // v1.1 tail (nullable)
     editionNonce: Option[Short],
-    // v1.2 tail (nullable)
+    // v1.2 tail (nullable) — token_standard, collection AND uses parse
+    // all-or-nothing (mpl_metadata.rs:33-38, sqlite.rs:344-347)
     tokenStandard: Option[Short],
     collectionVerified: Option[Boolean],
-    collectionKey: Option[Array[Byte]])
+    collectionKey: Option[Array[Byte]],
+    // Uses { use_method u8, remaining u64, total u64 } (mpl_metadata.rs:75-78)
+    useMethod: Option[Short],
+    usesRemaining: Option[Long],
+    usesTotal: Option[Long])
 
 final case class Creator(address: Array[Byte], verified: Boolean, share: Short)
 

@@ -31,7 +31,8 @@ object Enrich {
       name: String, symbol: String, uri: String, sellerFeeBasisPoints: Int,
       creators: Option[Seq[CreatorRow]], primarySaleHappened: Boolean, isMutable: Boolean,
       editionNonce: Option[Short], tokenStandard: Option[Short],
-      collectionVerified: Option[Boolean], collectionKey: Option[Array[Byte]])
+      collectionVerified: Option[Boolean], collectionKey: Option[Array[Byte]],
+      useMethod: Option[Short], usesRemaining: Option[Long], usesTotal: Option[Long])
 
   private val tokenAccountUdf = udf((data: Array[Byte]) =>
     SplToken.unpackTokenAccount(data).map(t => TokenAccountRow(t.mint, t.owner, t.amount,
@@ -52,7 +53,7 @@ object Enrich {
       m.symbol, m.uri, m.sellerFeeBasisPoints,
       m.creators.map(_.map(c => CreatorRow(c.address, c.verified, c.share))),
       m.primarySaleHappened, m.isMutable, m.editionNonce, m.tokenStandard,
-      m.collectionVerified, m.collectionKey))
+      m.collectionVerified, m.collectionKey, m.useMethod, m.usesRemaining, m.usesTotal))
     case BorshMetadata.Skip => None
     case BorshMetadata.Malformed(msg) => throw new IllegalStateException(
       s"bad Metadata body (sqlite.rs:337-342 fail-fast): $msg")
@@ -127,7 +128,10 @@ object Enrich {
         col("token_metadata.isMutable").as("is_mutable"),
         col("token_metadata.editionNonce").as("edition_nonce"),
         col("token_metadata.collectionVerified").as("collection_verified"),
-        col("token_metadata.collectionKey").as("collection_key"))
+        col("token_metadata.collectionKey").as("collection_key"),
+        col("token_metadata.useMethod").as("use_method"),
+        col("token_metadata.usesRemaining").as("uses_remaining"),
+        col("token_metadata.usesTotal").as("uses_total"))
 
   /** K2 CSV projection (csv.rs:14-20, 48-54): 4 columns, base58 pubkeys,
     * duplicates preserved (no dedup — byte-match parity surface). */

@@ -203,7 +203,8 @@ class BorshMetadataSpec extends AnyFunSuite {
   private val full = TokenMetadata(pk(1), pk(2), "Name\u0000\u0000", "SYM", "https://x/y",
     500, Some(Seq(Creator(pk(3), verified = true, 100))), primarySaleHappened = true,
     isMutable = false, editionNonce = Some(255), tokenStandard = Some(1),
-    collectionVerified = Some(true), collectionKey = Some(pk(6)))
+    collectionVerified = Some(true), collectionKey = Some(pk(6)),
+    useMethod = Some(2), usesRemaining = Some(3L), usesTotal = Some(10L))
 
   test("v1.2 full round-trip preserves NUL padding") {
     val Decoded(out) = decode(encode(full, version = 3)): @unchecked
@@ -220,6 +221,25 @@ class BorshMetadataSpec extends AnyFunSuite {
     assert(out.tokenStandard === Some(1.toShort))
     assert(out.collectionVerified === Some(true))
     assert(out.collectionKey.get.toSeq === pk(6).toSeq)
+    assert(out.useMethod === Some(2.toShort))
+    assert(out.usesRemaining === Some(3L) && out.usesTotal === Some(10L))
+  }
+
+  test("v1.2 tail is ALL-or-nothing: truncation mid-uses rolls back to v1.1 " +
+      "(mpl_metadata.rs:33-38, sqlite.rs:344-347)") {
+    val bytes = encode(full, version = 3)
+    // uses tail = 1 (Some) + 1 (use_method) + 8 + 8 = 18 bytes; cut inside it
+    val cutMidUses = bytes.take(bytes.length - 9)
+    val Decoded(out) = decode(cutMidUses): @unchecked
+    assert(out.editionNonce === Some(255.toShort))      // v1.1 kept
+    assert(out.tokenStandard.isEmpty)                   // whole v1.2 dropped
+    assert(out.collectionVerified.isEmpty && out.collectionKey.isEmpty)
+    assert(out.useMethod.isEmpty && out.usesRemaining.isEmpty)
+    // truncation between collection and uses also rolls back the whole tail
+    val cutBeforeUses = bytes.take(bytes.length - 18)
+    val Decoded(out2) = decode(cutBeforeUses): @unchecked
+    assert(out2.tokenStandard.isEmpty && out2.collectionKey.isEmpty)
+    assert(out2.editionNonce === Some(255.toShort))
   }
   test("progressive-tail truncation: v1 and v1.1 decode with null tails (sqlite.rs:344-347)") {
     val Decoded(v1) = decode(encode(full, version = 1)): @unchecked
