@@ -210,9 +210,20 @@ object SparkEntry {
         .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
           length(col("elf")).as("elf_len"))),
 
-    // A5/G2/O1 — opcode histogram over extracted programs.
-    "q21_opcode_histogram" -> ((s, _) =>
-      OpcodeStats.histogram(Programs.programs(fixtureAccounts(s)))),
+    // A5/G2/O1 — opcode histogram through the REAL decode path (pack →
+    // Sbpf.opcodes explode → group/count/countDistinct → order/filter) over
+    // a deterministic instruction stream derived from `events`, so the
+    // histogram gets a DuckDB oracle (the snapshot-fixture ELF path is
+    // covered by ProgramsOpcodeSpec's tar round-trip + q20). Each event
+    // becomes one 8-byte insn with opcode 32 + event_id % 64 (range avoids
+    // the 16-byte LDDW 0x18).
+    "q21_opcode_histogram" -> ((s, dir) => {
+      val progs = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("event_id")).as("ids"))
+        .select(col("user_id").as("pubkey"), packInsnsUdf(col("ids")).as("elf"))
+      OpcodeStats.histogram(progs)
+    }),
 
     // Training op — MinHash+LSH near-dup dedup over documents (survivor
     // annotation). Probabilistic candidates + exact verification; no SQL
@@ -307,6 +318,16 @@ object SparkEntry {
     )
   )
 
+  /** Pack event ids into an sBPF-shaped instruction stream: one 8-byte slot
+    * per event, opcode byte = 32 + id % 64 (q21 fixture builder; the decode
+    * side is the real Sbpf.opcodes walk). */
+  private val packInsnsUdf = udf((ids: Seq[Long]) => {
+    val out = new Array[Byte](ids.length * 8)
+    var i = 0
+    ids.foreach { id => out(i) = (32 + (id % 64)).toByte; i += 8 }
+    out
+  })
+
   /** Deterministic fixture accounts shared by the binary-operator queries
     * (seed fixed; regenerated per JVM under tmp). */
   private lazy val fixtureDF = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -380,6 +401,18 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q14_lang_id" ->
         s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      // twin of the real opcode pipeline: the pack rule (32 + id % 64) is
+      // invertible in SQL and the mnemonic table is generated from the same
+      // eBPF-encoding derivation the engine uses (Sbpf.mnemonic)
+      "q21_opcode_histogram" -> {
+        val arms = (32 until 96)
+          .map(op => s"WHEN $op THEN '${graft.etl.binary.Sbpf.mnemonic(op)}'")
+          .mkString(" ")
+        s"""SELECT printf('0x%02x', op) AS opcode, CASE op $arms END AS mnemonic,
+           | count(DISTINCT user_id) AS num_programs, count(*) AS num_insns
+           |FROM (SELECT user_id, 32 + event_id % 64 AS op FROM events)
+           |GROUP BY op""".stripMargin
+      },
       // exact twin of the prefix-filtered similarity join: same gram sets,
       // same |A∩B| / (|A|+|B|−|A∩B|) arithmetic (one IEEE division), found
       // by a gram equi-join instead of prefix filtering (which is lossless,

@@ -58,9 +58,17 @@ object Main {
       case "--programs-out" => // K4: one <base58>.so per program (programs.rs)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         Programs.writeProgramsDir(Programs.programs(SnapshotReplay.toDF(accounts)), out)
-      case "--opcode-stats-out" => // solana-opcode-stats main
+      case "--programs-tar" => // K4 tar form: ustar of <base58>.so, mode 0644
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
-        OpcodeStats.histogram(Programs.programs(SnapshotReplay.toDF(accounts)))
+        Programs.writeProgramsTar(Programs.programs(SnapshotReplay.toDF(accounts)), out)
+      case "--opcode-stats-out" => // solana-opcode-stats main; source is a
+        // programs tar (the reference pipes --programs-out into its stdin,
+        // solana-opcode-stats/main.rs:30-53) or a snapshot to scan directly
+        val programs =
+          if (source.endsWith(".tar")) Programs.readProgramsTar(spark, Seq(source))
+          else Programs.programs(SnapshotReplay.toDF(
+            graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)))
+        OpcodeStats.histogram(programs)
           .coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
       case other =>
         System.err.println(s"unknown sink mode $other\n$usage"); sys.exit(2)
@@ -68,7 +76,10 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.app.Main <snapshot|dir> <sink-mode> <out> [--buckets N]
-      |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out | --opcode-stats-out
-      |  exactly one sink mode per run (reference main.rs:27-31)""".stripMargin
+    """usage: graft.app.Main <snapshot|dir|programs.tar> <sink-mode> <out> [--buckets N]
+      |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out
+      |           | --programs-tar | --opcode-stats-out
+      |  exactly one sink mode per run (reference main.rs:27-31);
+      |  --opcode-stats-out accepts a --programs-tar output as its source
+      |  (≙ the reference's programs-tar → opcode-stats stdin pipe)""".stripMargin
 }

@@ -57,4 +57,65 @@ object Programs {
       }
     }
   }
+
+  /** K4 tar form, byte-compatible with the reference's sink: a ustar of
+    * `<base58 pubkey>.so` entries, mode 0644 (programs.rs:54-62) — the
+    * exact shape the opcode-stats tool consumes from stdin
+    * (solana-opcode-stats/main.rs:30-53). A tar is one sequential stream,
+    * so rows are pulled to the writer via `toLocalIterator` (one partition
+    * in memory at a time), matching the reference's single-threaded writer;
+    * use [[writeProgramsDir]] when a distributed sink is wanted. */
+  def writeProgramsTar(programs: DataFrame, file: String): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = new TarArchiveOutputStream(
+      new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    try {
+      val it = programs.select("pubkey", "elf").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val elf = r.getAs[Array[Byte]]("elf")
+        val e = new TarArchiveEntry(s"${Base58.encode(r.getAs[Array[Byte]]("pubkey"))}.so")
+        e.setSize(elf.length.toLong)
+        e.setMode(java.lang.Integer.parseInt("644", 8)) // programs.rs:58
+        out.putArchiveEntry(e)
+        out.write(elf)
+        out.closeArchiveEntry()
+      }
+    } finally out.close()
+  }
+
+  /** S10: read a programs tar back as (pubkey BINARY, elf BINARY) — the
+    * stats source (solana-opcode-stats/main.rs:30-53; entry name is the
+    * base58 pubkey + ".so"). Sequential by format: one task per tar,
+    * parallelism across tars. */
+  def readProgramsTar(spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    spark.createDataset(paths).repartition(math.max(1, paths.size))
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.flatMap { path =>
+          val p = new Path(path)
+          val tar = new TarArchiveInputStream(new java.io.BufferedInputStream(
+            p.getFileSystem(conf).open(p), 1 << 16))
+          new Iterator[(Array[Byte], Array[Byte])] {
+            private var entry = tar.getNextEntry
+            override def hasNext: Boolean = {
+              while (entry != null && !entry.getName.endsWith(".so")) entry = tar.getNextEntry
+              if (entry == null) { tar.close(); false } else true
+            }
+            override def next(): (Array[Byte], Array[Byte]) = {
+              val name = entry.getName.stripSuffix(".so")
+              val elf = tar.readAllBytes()
+              entry = tar.getNextEntry
+              (Base58.decode(name), elf)
+            }
+          }
+        }
+      }
+      .toDF("pubkey", "elf")
+  }
 }

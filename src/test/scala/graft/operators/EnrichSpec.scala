@@ -127,6 +127,33 @@ class ProgramsOpcodeSpec extends SparkTestBase {
 
   private def swap(i: Int): Byte = i.toByte
 
+  test("programs tar round-trip: snapshot -> tar -> opcode histogram equals " +
+      "direct path (programs.rs:54-62 + opcode-stats main.rs:30-53)") {
+    import graft.sources.SnapshotFixture
+    val fx = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 77L))
+    val accounts = graft.streaming.SnapshotReplay.toDF(spark.createDataset(fx.allRecords))
+    val progs = Programs.programs(accounts)
+    assert(progs.count() > 0)
+    val tarFile = java.nio.file.Files.createTempDirectory("graft-ptar").toString + "/programs.tar"
+    Programs.writeProgramsTar(progs, tarFile)
+    val fromTar = Programs.readProgramsTar(spark, Seq(tarFile))
+    // same (pubkey, elf) set survives the tar round-trip
+    val direct = progs.select(hex(col("pubkey")), hex(col("elf"))).as[(String, String)].collect().toSet
+    val tarred = fromTar.select(hex(col("pubkey")), hex(col("elf"))).as[(String, String)].collect().toSet
+    assert(tarred === direct)
+    // and the downstream histogram is identical
+    val h1 = OpcodeStats.histogram(progs).collect().map(_.toSeq).toSeq
+    val h2 = OpcodeStats.histogram(fromTar).collect().map(_.toSeq).toSeq
+    assert(h1 === h2)
+    // entry naming + mode match the reference sink (mode 0644, <base58>.so)
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(tarFile))
+    val e = tin.getNextEntry.asInstanceOf[org.apache.commons.compress.archivers.tar.TarArchiveEntry]
+    assert(e.getName.endsWith(".so"))
+    assert((e.getMode & 0xfff) === java.lang.Integer.parseInt("644", 8))
+    tin.close()
+  }
+
   test("mnemonics derive from the eBPF encoding") {
     import graft.etl.binary.Sbpf
     assert(Sbpf.mnemonic(0x07) === "add64 imm")
