@@ -11,10 +11,12 @@ import graft.tables.LakeTable
   * [[LakeTable]] under `foreachBatch`.
   *
   * Exactly-once story: Spark's checkpoint gives at-least-once re-delivery of
-  * each micro-batch with a stable `batchId`; the table's `appliedBatches`
-  * ledger makes the MERGE idempotent per `(pipelineId, batchId)` — a
-  * re-delivered batch after crash/restart is a no-op. Counters and
-  * per-partition lineage live in the table snapshot (`lineage`).
+  * each micro-batch with a stable monotonic `batchId`; the table's
+  * `(pipelineId → batchId)` txn watermark makes the MERGE idempotent — a
+  * re-delivered batch after crash/restart is a no-op, and the bookkeeping is
+  * O(#pipelines), not O(#batches). Per-batch counters (rows_in, upserts +
+  * caller-supplied dead-letter/enrichment counters, ≙ the reference's
+  * running counters sqlite.rs:404-435) land in the table snapshot lineage.
   */
 object CdcPipeline {
 
@@ -35,7 +37,8 @@ object CdcPipeline {
       pipelineId: String,
       salted: Boolean = false,
       maxFilesPerTrigger: Int = 64,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty): StreamingQuery = {
     val stream = spark.readStream
       .schema(changeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -44,7 +47,8 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("500 milliseconds"))
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        table.merge(df, s"$pipelineId-$batchId", salted = salted)
+        table.merge(df, s"$pipelineId-$batchId", salted = salted,
+          txn = Some((pipelineId, batchId)), counterCols = counterCols)
         () // discard count: Unit-returning closure keeps the 2.13 overload unambiguous
       }
       .start()
@@ -58,9 +62,10 @@ object CdcPipeline {
       changeSchema: StructType,
       checkpointDir: String,
       pipelineId: String,
-      salted: Boolean = false): Unit = {
+      salted: Boolean = false,
+      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
     val q = start(spark, table, changeDir, changeSchema, checkpointDir, pipelineId,
-      salted = salted)
+      salted = salted, counterCols = counterCols)
     q.awaitTermination()
   }
 }

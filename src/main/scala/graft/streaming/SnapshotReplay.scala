@@ -15,8 +15,10 @@ import graft.tables.LakeTable
   * successive MERGE batches).
   *
   * Resumable by construction: re-running `replayDir` after a crash skips
-  * already-applied snapshots (their ids are in `appliedBatches`) — the
-  * ledger IS the offset log, with per-batch lineage rows in the snapshot.
+  * already-applied snapshots — each snapshot advances the table's
+  * ("snapshot-replay" → slot) txn watermark, so any slot at or below it is
+  * a no-op. The watermark IS the offset log (O(1) metadata regardless of
+  * stream length), with per-batch lineage rows for the recent window.
   */
 object SnapshotReplay {
 
@@ -45,7 +47,8 @@ object SnapshotReplay {
       salted: Boolean = false): Long = {
     val src = SnapshotSource.open(spark, path)
     val batchId = s"snapshot:${new Path(path).getName}"
-    table.merge(toDF(src.accountUpdates(spark)), batchId, salted = salted)
+    table.merge(toDF(src.accountUpdates(spark)), batchId, salted = salted,
+      txn = Some(("snapshot-replay", src.manifest.slot)))
   }
 
   /** Replay every `.tar.zst` archive in `dir`, ordered by manifest slot

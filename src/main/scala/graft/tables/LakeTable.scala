@@ -1,32 +1,50 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
-import java.util.Comparator
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Dedup
 
-/** Snapshot metadata for one committed table version. */
+/** Per-batch lineage: counters (rows_in, upserts, caller-supplied) +
+  * touched buckets. */
+final case class LineageEntry(counters: Map[String, Long], touchedBuckets: Seq[Int])
+
+/** Snapshot metadata for one committed table version.
+  *
+  * Exactly-once bookkeeping is BOUNDED (a 100 TB table sees millions of
+  * batches — an ever-growing ledger would eventually dominate the snapshot):
+  *  - `txns`: per-writer high-watermark `app → max seq` (the Delta/Iceberg
+  *    txn-table pattern) — O(#writers), the primary idempotence mechanism
+  *    for monotonic streams (Structured Streaming batchIds, snapshot slots);
+  *  - `appliedBatches`/`lineage`: only the most recent `retainBatches` ids
+  *    kept for observability and legacy string-id idempotence; expired
+  *    lineage counters roll up into `totals`.
+  */
 final case class TableSnapshot(
     version: Long,
     schemaDdl: String,
     keyCols: Seq[String],
     orderCols: Seq[String],
     numBuckets: Int,
+    retainBatches: Int,
     /** bucket id → data files (relative to table root) */
     bucketFiles: Map[Int, Seq[String]],
-    /** idempotence ledger: batch ids already merged (exactly-once) */
+    /** per-writer high-watermark: appId → max applied sequence number */
+    txns: Map[String, Long],
+    /** most recent `retainBatches` batch ids (newest last) */
     appliedBatches: Seq[String],
-    /** per-batch lineage: batchId → (rows upserted, touched buckets) */
-    lineage: Map[String, (Long, Seq[Int])],
+    /** lineage for the retained batches */
+    lineage: Map[String, LineageEntry],
+    /** rolled-up counters of expired lineage (+ "batches" count) */
+    totals: Map[String, Long],
     rowCount: Long)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
@@ -46,11 +64,18 @@ final case class TableSnapshot(
   * by the same function, so the combine is a per-bucket local merge, never a
   * full-table shuffle.
   *
-  * Exactly-once: each merge records its `batchId` in the snapshot before the
-  * pointer swap; a re-delivered batch (foreachBatch retry after checkpoint
-  * recovery) is a no-op. Schema evolution: new columns in a batch are added
-  * as nullable columns; old files read through the evolved schema yield
-  * nulls (enrichment columns, north-rule requirement).
+  * Exactly-once: each merge advances its writer's `(app, seq)` watermark in
+  * the snapshot before the pointer swap; a re-delivered batch (foreachBatch
+  * retry after checkpoint recovery) is a no-op. Single-writer per version is
+  * ENFORCED: the commit creates `v<N+1>.json` with CREATE_NEW, so two
+  * writers racing from version N cannot both publish — the loser fails with
+  * a concurrent-writer error instead of silently discarding the winner.
+  * Schema evolution: new columns in a batch are added as nullable columns;
+  * old files read through the evolved schema yield nulls.
+  *
+  * Old versions are retired with [[expire]]: metadata older than K versions
+  * is deleted and `commit-<v>` directories no longer referenced by any
+  * retained snapshot are garbage-collected.
   */
 final class LakeTable private (
     val spark: SparkSession,
@@ -84,14 +109,30 @@ final class LakeTable private (
 
   /** MERGE INTO: LWW upsert of `batch` under exactly-once semantics.
     *
-    * @param batchId   unique replay id (e.g. "<checkpointId>-<batchId>")
+    * @param batchId   human-readable replay id (lineage key)
     * @param salted    route the in-batch dedup through the two-phase salted
     *                  path (hot-key skew)
+    * @param txn       (appId, seq) writer watermark — the SCALABLE
+    *                  idempotence mechanism: the batch is a no-op iff
+    *                  seq ≤ the app's recorded watermark. Callers replaying
+    *                  monotonic streams (foreachBatch batch ids, snapshot
+    *                  slots) should always pass it; without it idempotence
+    *                  falls back to `batchId ∈ appliedBatches`, which only
+    *                  covers the last `retainBatches` batches.
+    * @param counterCols extra per-batch counters recorded in lineage; each
+    *                  must be a sum/count-style aggregate (they are computed
+    *                  per bucket in the stats pass and summed).
     * @return rows upserted (0 for a re-delivered batch)
     */
-  def merge(batch: DataFrame, batchId: String, salted: Boolean = false): Long = {
+  def merge(batch: DataFrame, batchId: String, salted: Boolean = false,
+      txn: Option[(String, Long)] = None,
+      counterCols: Map[String, Column] = Map.empty): Long = {
     val snap = snapshot()
-    if (snap.appliedBatches.contains(batchId)) return 0L // exactly-once no-op
+    val replayed = txn match {
+      case Some((app, seq)) => snap.txns.get(app).exists(_ >= seq)
+      case None             => snap.appliedBatches.contains(batchId)
+    }
+    if (replayed) return 0L // exactly-once no-op
 
     // --- schema evolution: batch may add new nullable columns ---
     val curSchema = StructType.fromDDL(snap.schemaDdl)
@@ -109,25 +150,24 @@ final class LakeTable private (
     val alignedBatch =
       if (cacheBatch) alignedBatch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else alignedBatch0
-    val dbg = sys.env.get("GRAFT_MERGE_DEBUG").contains("1")
-    var tPhase = System.nanoTime()
-    def phase(name: String): Unit = {
-      if (dbg) {
-        val now = System.nanoTime()
-        System.err.println(f"[merge $batchId] $name ${(now - tPhase) / 1e9}%.2fs")
-        tPhase = now
-      }
-    }
     try {
-      // --- one stats job: touched buckets for pruning + distinct-key count
-      // (= post-dedup upsert count; dedup never changes the key set) ---
+      // --- one stats job: touched buckets for pruning, distinct-key count
+      // (= post-dedup upsert count; dedup never changes the key set), batch
+      // row count, and any caller counters — all per bucket, summed here ---
+      val counterNames = counterCols.keys.toSeq.sorted
+      val aggs = count_distinct(struct(snap.keyCols.map(col): _*)).as("_nkeys") +:
+        count(lit(1)).as("_nrows") +:
+        counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
       val stats = alignedBatch
         .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
-        .agg(count_distinct(struct(snap.keyCols.map(col): _*)).as("nkeys"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val touched = stats.map(_.getInt(0)).toSeq.sorted
       val upserts = stats.map(_.getLong(1)).sum
-      phase("stats")
+      val rowsIn = stats.map(_.getLong(2)).sum
+      val customCounters = counterNames.zipWithIndex.map { case (n, i) =>
+        n -> stats.map(_.getLong(3 + i)).sum
+      }.toMap
 
       val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
       val existing =
@@ -164,25 +204,82 @@ final class LakeTable private (
       merged
         .drop(SubCol)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
-      phase("write")
 
       val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
       val newBucketFiles = snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written
       // both counts are parquet-footer metadata reads, no data scan
       val rowCount = snap.rowCount - countRows(touchedFiles, curSchema) +
         countRows(written.values.flatten.map(rel => s"$root/$rel").toSeq, curSchema)
-      phase("counts")
+
+      // --- bounded bookkeeping: retention + rollup ---
+      val entry = LineageEntry(
+        Map("rows_in" -> rowsIn, "upserts" -> upserts) ++ customCounters,
+        touched)
+      val keptIds = (snap.appliedBatches :+ batchId).takeRight(snap.retainBatches)
+      val lineageAll = snap.lineage + (batchId -> entry)
+      val (keptLineage, expired) = lineageAll.partition { case (id, _) => keptIds.contains(id) }
+      val rolledTotals = expired.values.foldLeft(
+        snap.totals.updated("batches", snap.totals.getOrElse("batches", 0L))) {
+        case (tot, e) =>
+          val withBatch = tot.updated("batches", tot.getOrElse("batches", 0L) + 1L)
+          e.counters.foldLeft(withBatch) { case (t, (k, v)) => t.updated(k, t.getOrElse(k, 0L) + v) }
+      }
 
       commit(TableSnapshot(
         version = newVersion,
         schemaDdl = evolved.toDDL,
-        keyCols = snap.keyCols, orderCols = snap.orderCols, numBuckets = snap.numBuckets,
+        keyCols = snap.keyCols, orderCols = snap.orderCols,
+        numBuckets = snap.numBuckets, retainBatches = snap.retainBatches,
         bucketFiles = newBucketFiles,
-        appliedBatches = snap.appliedBatches :+ batchId,
-        lineage = snap.lineage + (batchId -> (upserts, touched)),
+        txns = txn.fold(snap.txns) { case (app, seq) => snap.txns.updated(app, seq) },
+        appliedBatches = keptIds,
+        lineage = keptLineage,
+        totals = rolledTotals,
         rowCount = rowCount))
       upserts
     } finally { if (cacheBatch) alignedBatch.unpersist(false) }
+  }
+
+  /** Retire old versions: delete snapshot metadata older than the most
+    * recent `keepVersions` and remove `commit-<v>` directories that no
+    * retained snapshot references (time travel within the retained window
+    * stays intact). Safe to run any time from the single writer.
+    * @return (metadata files removed, commit dirs removed) */
+  def expire(keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val current = currentVersion()
+    val minKept = math.max(0L, current - keepVersions + 1)
+    val meta = Paths.get(root, "meta")
+    val referenced: Set[String] = (minKept to current).flatMap { v =>
+      val p = meta.resolve(s"v$v.json")
+      if (Files.exists(p))
+        readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
+          .map(rel => rel.split('/').take(2).mkString("/")) // data/commit-<k>
+      else Nil
+    }.toSet
+    var metaRemoved = 0
+    Files.list(meta).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < minKept)
+      }
+      .toSeq.foreach { p => Files.delete(p); metaRemoved += 1 }
+    var commitsRemoved = 0
+    val dataDir = Paths.get(root, "data")
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("commit-") &&
+          !referenced.contains(s"data/${p.getFileName}"))
+        .toSeq.foreach { p => deleteRecursively(p); commitsRemoved += 1 }
+    }
+    (metaRemoved, commitsRemoved)
+  }
+
+  private def deleteRecursively(p: JPath): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
   }
 
   /** Row counts straight from parquet footers on the driver — no Spark job
@@ -205,12 +302,22 @@ final class LakeTable private (
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
-  /** Write v<N>.json, then atomically swap the VERSION pointer
-    * (write-audit-publish ≙ TempFileGuard::promote, sqlite.rs:446-451). */
+  /** Write v<N>.json (CREATE_NEW — the concurrent-writer guard), then
+    * atomically swap the VERSION pointer (write-audit-publish ≙
+    * TempFileGuard::promote, sqlite.rs:446-451). */
   private def commit(s: TableSnapshot): Unit = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
-    Files.write(meta.resolve(s"v${s.version}.json"), snapshotJson(s))
+    try
+      Files.write(meta.resolve(s"v${s.version}.json"), snapshotJson(s),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer detected: meta/v${s.version}.json already exists " +
+            s"(another merge committed from version ${s.version - 1}); " +
+            "LakeTable requires a single writer per table")
+    }
     val tmp = meta.resolve(s"VERSION.tmp.${s.version}")
     Files.write(tmp, s.version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, meta.resolve("VERSION"),
@@ -222,16 +329,21 @@ object LakeTable {
 
   private val mapper = new ObjectMapper()
 
+  /** Lineage/ledger retention window (batches). */
+  final val DefaultRetainBatches = 128
+
   /** Create a new empty table (version 0) or open the existing one. */
   def createOrOpen(spark: SparkSession, root: String, schema: StructType,
-      keyCols: Seq[String], orderCols: Seq[String], numBuckets: Int = 16): LakeTable = {
+      keyCols: Seq[String], orderCols: Seq[String], numBuckets: Int = 16,
+      retainBatches: Int = DefaultRetainBatches): LakeTable = {
     val t = new LakeTable(spark, root)
     val meta = Paths.get(root, "meta")
     if (!Files.exists(meta.resolve("VERSION"))) {
       Files.createDirectories(meta)
       val s0 = TableSnapshot(0L, schema.toDDL, keyCols, orderCols, numBuckets,
-        Map.empty, Nil, Map.empty, 0L)
-      Files.write(meta.resolve("v0.json"), snapshotJson(s0))
+        retainBatches, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L)
+      Files.write(meta.resolve("v0.json"), snapshotJson(s0),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       val tmp = meta.resolve("VERSION.tmp.0")
       Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, meta.resolve("VERSION"),
@@ -266,17 +378,23 @@ object LakeTable {
     val keys = o.putArray("keyCols"); s.keyCols.foreach(keys.add)
     val ords = o.putArray("orderCols"); s.orderCols.foreach(ords.add)
     o.put("numBuckets", s.numBuckets)
+    o.put("retainBatches", s.retainBatches)
     val bf = o.putObject("bucketFiles")
     s.bucketFiles.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       val arr = bf.putArray(b.toString); fs.foreach(arr.add)
     }
+    val tx = o.putObject("txns")
+    s.txns.toSeq.sortBy(_._1).foreach { case (app, seq) => tx.put(app, seq) }
     val ab = o.putArray("appliedBatches"); s.appliedBatches.foreach(ab.add)
     val lin = o.putObject("lineage")
-    s.lineage.toSeq.sortBy(_._1).foreach { case (id, (rows, buckets)) =>
-      val e = lin.putObject(id)
-      e.put("rows", rows)
-      val tb = e.putArray("touchedBuckets"); buckets.foreach(tb.add)
+    s.lineage.toSeq.sortBy(_._1).foreach { case (id, e) =>
+      val n = lin.putObject(id)
+      val cs = n.putObject("counters")
+      e.counters.toSeq.sortBy(_._1).foreach { case (k, v) => cs.put(k, v) }
+      val tb = n.putArray("touchedBuckets"); e.touchedBuckets.foreach(tb.add)
     }
+    val tot = o.putObject("totals")
+    s.totals.toSeq.sortBy(_._1).foreach { case (k, v) => tot.put(k, v) }
     o.put("rowCount", s.rowCount)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
@@ -285,6 +403,9 @@ object LakeTable {
     val node = mapper.readTree(Files.readAllBytes(root.resolve("meta").resolve(s"v$version.json")))
     def strs(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
       n.elements().asScala.map(_.asText()).toSeq
+    def longMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] =
+      if (n == null) Map.empty
+      else n.asInstanceOf[ObjectNode].fieldNames().asScala.map(k => k -> n.get(k).asLong()).toMap
     val bf = node.get("bucketFiles").asInstanceOf[ObjectNode]
     val bucketFiles = bf.fieldNames().asScala.map { b =>
       b.toInt -> strs(bf.get(b))
@@ -292,7 +413,8 @@ object LakeTable {
     val lin = node.get("lineage").asInstanceOf[ObjectNode]
     val lineage = lin.fieldNames().asScala.map { id =>
       val e = lin.get(id)
-      id -> (e.get("rows").asLong(), e.get("touchedBuckets").elements().asScala.map(_.asInt()).toSeq)
+      id -> LineageEntry(longMap(e.get("counters")),
+        e.get("touchedBuckets").elements().asScala.map(_.asInt()).toSeq)
     }.toMap
     TableSnapshot(
       version = node.get("version").asLong(),
@@ -300,9 +422,14 @@ object LakeTable {
       keyCols = strs(node.get("keyCols")),
       orderCols = strs(node.get("orderCols")),
       numBuckets = node.get("numBuckets").asInt(),
+      retainBatches =
+        if (node.has("retainBatches")) node.get("retainBatches").asInt()
+        else DefaultRetainBatches,
       bucketFiles = bucketFiles,
+      txns = longMap(node.get("txns")),
       appliedBatches = strs(node.get("appliedBatches")),
       lineage = lineage,
+      totals = longMap(node.get("totals")),
       rowCount = node.get("rowCount").asLong())
   }
 }

@@ -98,11 +98,39 @@ class CdcPipelineSpec extends SparkTestBase {
       ("r1", "a.scala", sha("v2 of a")), ("r1", "b.scala", sha("v1 of b")),
       ("r2", "x.py", sha("v1 of x")), ("r2", "y.py", sha("v1 of y"))))
 
-    // re-delivery of an already-applied micro-batch id is a no-op
+    // re-delivery of an already-applied micro-batch is a no-op, both via the
+    // txn watermark (the pipeline's mechanism) and the legacy id ledger
     val v = table.currentVersion()
+    assert(table.merge(
+      Seq(("r9", "z.md", 9L, "md", "ghost")).toDF("repo", "path", "commitSeq", "lang", "content"),
+      "pipe1-0-retry", txn = Some(("pipe1", 0L))) === 0L)
     assert(table.merge(
       Seq(("r9", "z.md", 9L, "md", "ghost")).toDF("repo", "path", "commitSeq", "lang", "content"),
       "pipe1-0") === 0L)
     assert(table.currentVersion() === v)
+    // the pipeline's txn watermark is bounded per-writer metadata
+    assert(table.snapshot().txns.keySet === Set("pipe1"))
+  }
+
+  test("runOnce surfaces per-batch counters (incl. dead-letter style) into lineage") {
+    val changeDir = Files.createTempDirectory("changes-c").toString
+    val cp = Files.createTempDirectory("cp-c").toString
+    val table = mkTable()
+    Seq(
+      ("r1", "a.scala", 1L, "scala", "ok"),
+      ("r1", "b.bin", 1L, "binary", null: String),   // dead-letter analog
+      ("r1", "c.scala", 1L, "scala", "ok2"))
+      .toDF("repo", "path", "commitSeq", "lang", "content")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeC",
+      counterCols = Map(
+        "dead_letters" -> count(when(col("content").isNull, 1)),
+        "scala_rows" -> count(when(col("lang") === "scala", 1))))
+    val lineage = table.snapshot().lineage
+    val e = lineage(lineage.keys.filter(_.startsWith("pipeC-")).head)
+    assert(e.counters("rows_in") === 3L)
+    assert(e.counters("upserts") === 3L)
+    assert(e.counters("dead_letters") === 1L)
+    assert(e.counters("scala_rows") === 2L)
   }
 }

@@ -50,7 +50,7 @@ class LakeTableSpec extends SparkTestBase {
     // single-key delta: touches exactly one bucket
     t.merge(Seq(("k7", 2L, "v7b")).toDF("k", "wv", "v"), "delta")
     val after = t.snapshot()
-    val touched = after.lineage("delta")._2
+    val touched = after.lineage("delta").touchedBuckets
     assert(touched.size === 1)
     before.foreach { case (b, files) =>
       if (!touched.contains(b)) assert(after.bucketFiles(b) === files, s"bucket $b rewritten")
@@ -81,5 +81,81 @@ class LakeTableSpec extends SparkTestBase {
     assert(t2.read().count() === 1L)
     assert(t2.snapshot().appliedBatches === Seq("b1"))
     assert(t2.merge(Seq(("a", 9L, "dup")).toDF("k", "wv", "v"), "b1") === 0L)
+  }
+
+  test("txn watermark: seq at or below the app's high-water mark is a no-op") {
+    val t = newTable()
+    assert(t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "s5",
+      txn = Some(("app", 5L))) === 1L)
+    // re-delivery and older sequences are no-ops even with fresh batch ids
+    assert(t.merge(Seq(("a", 9L, "x")).toDF("k", "wv", "v"), "s5-retry",
+      txn = Some(("app", 5L))) === 0L)
+    assert(t.merge(Seq(("a", 9L, "x")).toDF("k", "wv", "v"), "s4-late",
+      txn = Some(("app", 4L))) === 0L)
+    assert(t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "s6",
+      txn = Some(("app", 6L))) === 1L)
+    assert(t.snapshot().txns === Map("app" -> 6L))
+    assert(t.read().as[(String, Long, String)].collect().toSeq === Seq(("a", 2L, "a2")))
+  }
+
+  test("metadata stays bounded: ledger/lineage capped, expired counters roll up") {
+    val root = Files.createTempDirectory("laketbl-bounded").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4,
+      retainBatches = 8)
+    (1 to 20).foreach { i =>
+      t.merge(Seq((s"k${i % 5}", i.toLong, s"v$i")).toDF("k", "wv", "v"), s"b$i",
+        txn = Some(("app", i.toLong)))
+    }
+    val s = t.snapshot()
+    assert(s.appliedBatches.size === 8)
+    assert(s.appliedBatches.last === "b20")
+    assert(s.lineage.keySet === s.appliedBatches.toSet)
+    assert(s.txns === Map("app" -> 20L))
+    // 12 expired batches rolled into totals, counters summed
+    assert(s.totals("batches") === 12L)
+    assert(s.totals("rows_in") === 12L)   // one row per expired batch
+    assert(s.totals("upserts") === 12L)
+    assert(s.lineage("b20").counters("rows_in") === 1L)
+  }
+
+  test("expire removes old snapshot metadata and unreferenced commit dirs") {
+    val root = Files.createTempDirectory("laketbl-expire").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 2)
+    (1 to 6).foreach { i =>
+      t.merge(Seq(("a", i.toLong, s"v$i")).toDF("k", "wv", "v"), s"b$i")
+    }
+    val dataDirsBefore = new java.io.File(s"$root/data").list().count(_.startsWith("commit-"))
+    assert(dataDirsBefore === 6)
+    val (metaGone, commitsGone) = t.expire(keepVersions = 2)
+    assert(metaGone === 5)     // v0..v4 removed, v5+v6 kept
+    assert(commitsGone >= 1)   // commits referenced by neither v5 nor v6
+    // table still reads the latest state
+    assert(t.read().as[(String, Long, String)].collect().toSeq === Seq(("a", 6L, "v6")))
+    // and the previous retained version's files are intact (time travel window)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/meta/v5.json")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/meta/v4.json")))
+  }
+
+  test("concurrent writer loses loudly (CREATE_NEW commit guard)") {
+    val root = Files.createTempDirectory("laketbl-race").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 2)
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    // simulate a racing writer that already published v2
+    Files.write(java.nio.file.Paths.get(s"$root/meta/v2.json"), "{}".getBytes)
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("b", 1L, "b1")).toDF("k", "wv", "v"), "b2")
+    }
+  }
+
+  test("merge records counters in lineage, including caller counterCols") {
+    import org.apache.spark.sql.functions._
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, null: String))
+      .toDF("k", "wv", "v"), "b1",
+      counterCols = Map("null_values" -> count(when(col("v").isNull, 1))))
+    val e = t.snapshot().lineage("b1")
+    assert(e.counters("rows_in") === 3L)
+    assert(e.counters("upserts") === 2L)   // a dedups in-batch
+    assert(e.counters("null_values") === 1L)
   }
 }
