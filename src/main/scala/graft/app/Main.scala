@@ -16,9 +16,9 @@ import graft.streaming.SnapshotReplay
   *   graft.app.Main <programs-dir-table>   --opcode-stats-out DIR
   *   graft.app.Main <replay-dir>           --replay-table DIR   (full+incs)
   *
-  * Source dispatch (dir vs .tar.zst archive) follows main.rs:183-213; HTTP
-  * sources are intentionally not wired in this sandbox (zero egress) but
-  * the SnapshotSource seam accepts any Hadoop FileSystem URI.
+  * Source dispatch (http(s) URL vs dir vs .tar.zst archive) follows
+  * main.rs:183-213; HTTP bodies stream straight into the archive decoder
+  * (tested against a localhost server — the sandbox has no egress).
   */
 object Main {
 

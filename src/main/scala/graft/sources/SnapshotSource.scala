@@ -38,8 +38,11 @@ sealed trait SnapshotSource {
 
 object SnapshotSource {
 
-  /** Source dispatch (S6, main.rs:183-213): dir → unpacked, file → archive. */
+  /** Source dispatch (S6, main.rs:183-213): http(s) URL → streamed archive,
+    * dir → unpacked, file → archive. */
   def open(spark: SparkSession, path: String): SnapshotSource = {
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      return HttpSnapshotSource(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.getFileStatus(p).isDirectory) UnpackedSnapshotSource(spark, path)
@@ -155,17 +158,23 @@ final case class ArchiveSnapshotSource(spark: SparkSession, archivePath: String)
 object ArchiveSnapshotSource {
   import SnapshotSource._
 
-  private def openTar(path: String, conf: Configuration): TarArchiveInputStream = {
-    val p = new Path(path)
-    val raw = p.getFileSystem(conf).open(p)
+  private[sources] def wrapTarZst(raw: java.io.InputStream): TarArchiveInputStream =
     new TarArchiveInputStream(new BufferedInputStream(
       new ZstdInputStream(new BufferedInputStream(raw, 1 << 16)), 1 << 16))
+
+  private def openTar(path: String, conf: Configuration): TarArchiveInputStream = {
+    val p = new Path(path)
+    wrapTarZst(p.getFileSystem(conf).open(p))
   }
 
   /** Scan entries until the manifest; an AppendVec before it is an error
     * (ordering guard, archived.rs:53-56). */
-  def readManifest(path: String, conf: Configuration): SnapshotManifest = {
-    val tar = openTar(path, conf)
+  def readManifest(path: String, conf: Configuration): SnapshotManifest =
+    readManifest(openTar(path, conf))
+
+  /** Stream-based manifest scan (caller supplies the raw tar.zst bytes —
+    * file or HTTP body); closes the stream. */
+  def readManifest(tar: TarArchiveInputStream): SnapshotManifest = {
     try {
       var entry = tar.getNextEntry
       while (entry != null) {
@@ -176,7 +185,7 @@ object ArchiveSnapshotSource {
           throw new IllegalStateException(s"AppendVec $name precedes manifest (UnexpectedAppendVec)")
         entry = tar.getNextEntry
       }
-      throw new IllegalStateException(s"no manifest found in $path (NoSnapshotManifest)")
+      throw new IllegalStateException(s"no manifest found (NoSnapshotManifest)")
     } finally tar.close()
   }
 
@@ -201,8 +210,12 @@ object ArchiveSnapshotSource {
     * the entry itself), so memory stays one record at a time even for
     * multi-GiB vecs inside the archive.
     */
-  def decodeArchive(path: String, conf: Configuration): Iterator[AccountUpdate] = {
-    val tar = openTar(path, conf)
+  def decodeArchive(path: String, conf: Configuration): Iterator[AccountUpdate] =
+    decodeTar(openTar(path, conf))
+
+  /** Same single-pass decode over an already-opened tar stream (HTTP body,
+    * test streams). */
+  def decodeTar(tar: TarArchiveInputStream): Iterator[AccountUpdate] = {
     var manifest: SnapshotManifest = null
     new Iterator[AccountUpdate] {
       private var cur: Iterator[AccountUpdate] = Iterator.empty
@@ -233,5 +246,43 @@ object ArchiveSnapshotSource {
       override def hasNext: Boolean = { ensure(); cur.hasNext }
       override def next(): AccountUpdate = { ensure(); cur.next() }
     }
+  }
+}
+
+/** S5: HTTP(S) streaming source (main.rs:188-200,
+  * `SupportedLoader::new_download`): the response body streams straight
+  * into the sequential tar.zst decode — the archive is never materialized.
+  * One GET for the manifest probe, one GET inside the (single) decode task;
+  * like local archives, parallelism comes from many URLs, never within one
+  * stream (archived.rs:41-43).
+  */
+final case class HttpSnapshotSource(spark: SparkSession, url: String) extends SnapshotSource {
+
+  override lazy val manifest: SnapshotManifest =
+    ArchiveSnapshotSource.readManifest(
+      ArchiveSnapshotSource.wrapTarZst(HttpSnapshotSource.openUrl(url)))
+
+  override def accountUpdates(spark: SparkSession): Dataset[AccountUpdate] =
+    HttpSnapshotSource.fromUrls(spark, Seq(url))
+}
+
+object HttpSnapshotSource {
+
+  /** Open the response body stream with sane timeouts (connect 30 s; read
+    * timeout bounds a stalled peer, not total transfer). */
+  def openUrl(url: String): InputStream = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn.getInputStream
+  }
+
+  /** Many snapshot URLs → one sequential streaming-decode task each. */
+  def fromUrls(spark: SparkSession, urls: Seq[String]): Dataset[AccountUpdate] = {
+    import spark.implicits._
+    spark.createDataset(urls).repartition(math.max(1, urls.size))
+      .mapPartitions(_.flatMap { u =>
+        ArchiveSnapshotSource.decodeTar(ArchiveSnapshotSource.wrapTarZst(openUrl(u)))
+      })
   }
 }

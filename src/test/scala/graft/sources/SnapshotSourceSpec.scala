@@ -63,3 +63,36 @@ class SnapshotSourceSpec extends SparkTestBase {
     assert(SnapshotSource.parseManifestPath("snapshots/7/8") === None)
   }
 }
+
+/** S5: HTTP streaming source against an in-test localhost server. */
+class HttpSnapshotSourceSpec extends SparkTestBase {
+
+  test("streams a fixture archive over HTTP; matches the local decode") {
+    val fx = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 11L))
+    val dir = java.nio.file.Files.createTempDirectory("http-snap").toString
+    val file = s"$dir/snap.tar.zst"
+    SnapshotFixture.writeArchive(fx, file)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/snap.tar.zst", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/snap.tar.zst"
+      val src = SnapshotSource.open(spark, url)
+      assert(src.isInstanceOf[HttpSnapshotSource]) // dispatch (main.rs:188-200)
+      assert(src.manifest.slot === fx.manifest.slot)
+      assert(src.manifest.entries.toSet === fx.manifest.entries.toSet)
+      val viaHttp = src.accountUpdates(spark).collect()
+        .map(r => (r.pubkey.toSeq, r.writeVersion, r.lamports)).sortBy(_.toString)
+      val viaFile = ArchiveSnapshotSource(spark, file).accountUpdates(spark).collect()
+        .map(r => (r.pubkey.toSeq, r.writeVersion, r.lamports)).sortBy(_.toString)
+      assert(viaHttp.length === fx.allRecords.size)
+      assert(viaHttp.toSeq === viaFile.toSeq)
+    } finally server.stop(0)
+  }
+}
