@@ -38,25 +38,32 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline CDC replay throughput (generation excluded from timing)
-    val work = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
-    val (fixtures, _) = graft.sources.SnapshotFixture.generateStream(
-      seed = 42L, increments = 2,
-      spec = graft.sources.SnapshotFixture.Spec(accountsPerVec = 800, pubkeyPool = 40000))
-    fixtures.foreach(fx => graft.sources.SnapshotFixture.writeArchive(
-      fx, s"$work/snap-${fx.manifest.slot}.tar.zst"))
-    val events = fixtures.map(_.allRecords.size).sum
-    val table = graft.streaming.SnapshotReplay.createTable(spark, s"$work/table", 16)
+    // headline CDC replay throughput: full + 2 incremental UNPACKED
+    // snapshots in tmpfs (decode parallelism = vec count; archives are
+    // sequential by format), sized so merge work dominates fixed per-batch
+    // costs (12.3M events ≈ 3 GiB; ≥ 60 s at the scaling bench's local[4],
+    // see SCALING.json). Generation is excluded from timing and cached in
+    // tmpfs across runs via a DONE marker.
+    val work = ScalingBench.defaultWorkDir("graft-bench-cdc")
+    val perVec = sys.env.getOrElse("SPARK_GRAFT_BENCH_VEC", "128000").toInt
+    val events = ScalingBench.ensureInput(s"$work/input", perVec)
+    val tableDir = s"$work/table-${System.nanoTime()}"
+    val table = graft.streaming.SnapshotReplay.createTable(spark, tableDir, 32)
     val t0 = System.nanoTime()
-    graft.streaming.SnapshotReplay.replayDir(spark, table, work)
+    Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
+      graft.streaming.SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name")
+    }
     val replaySec = (System.nanoTime() - t0) / 1e9
+    val finalRows = table.read().count()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
     val replayThroughput = (events / replaySec).round
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + replaySec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""extra":{"cdc_replay_events":$events,"cdc_replay_sec":$replaySec,""" +
-      s""""cdc_replay_events_per_sec":$replayThroughput},"sf":"$sfDir"}""")
+      s""""cdc_replay_events_per_sec":$replayThroughput,""" +
+      s""""cdc_replay_final_rows":$finalRows},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,42 +23,50 @@ import graft.streaming.SnapshotReplay
   */
 object ScalingBench {
 
+  /** Generate (or reuse, via DONE marker) the full+inc1+inc2 unpacked
+    * replay input; returns total events. Shared with graft.Bench. */
+  def ensureInput(inputDir: String, accountsPerVec: Int): Long = {
+    if (Files.exists(Paths.get(inputDir, "DONE." + accountsPerVec))) {
+      new String(Files.readAllBytes(Paths.get(inputDir, "DONE." + accountsPerVec))).trim.toLong
+    } else {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputDir))
+      var wv = 0L
+      var n = 0L
+      val snaps = Seq(
+        // (name, slots, vecsPerSlot, perVec, isDelta, baseSlot)
+        ("snap-full", 8, 8, accountsPerVec, false, 100L),
+        ("snap-inc1", 4, 8, accountsPerVec / 2, true, 108L),
+        ("snap-inc2", 4, 8, accountsPerVec / 2, true, 112L))
+      snaps.foreach { case (name, slots, vps, perVec, delta, base) =>
+        val spec = SnapshotFixture.Spec(seed = 42L + base, slots = slots,
+          vecsPerSlot = vps, accountsPerVec = perVec,
+          pubkeyPool = accountsPerVec * 20, baseSlot = base, isDelta = delta)
+        val (cnt, w) = SnapshotFixture.writeLargeUnpacked(s"$inputDir/$name", spec, wv)
+        wv = w; n += cnt
+      }
+      Files.write(Paths.get(inputDir, "DONE." + accountsPerVec),
+        n.toString.getBytes("UTF-8"))
+      n
+    }
+  }
+
+  /** tmpfs working set: the sandbox has ONE ~460 MB/s disk for 32 cores, so
+    * on-disk shuffle saturates long before CPU — a single-box artifact a
+    * real N→4N cluster (disks scale with nodes) does not have. tmpfs makes
+    * the comparison measure the engine, not the shared spindle. */
+  def defaultWorkDir(name: String): String =
+    if (Files.isDirectory(Paths.get("/dev/shm"))) s"/dev/shm/$name"
+    else s"/tmp/$name"
+
   def main(args: Array[String]): Unit = {
-    val accountsPerVec = if (args.nonEmpty) args(0).toInt else 16000
-    // tmpfs working set: the sandbox has ONE ~460 MB/s disk for 32 cores, so
-    // on-disk shuffle saturates long before CPU — a single-box artifact a
-    // real N→4N cluster (disks scale with nodes) does not have. tmpfs makes
-    // the two-level comparison measure the engine, not the shared spindle.
-    val defaultWork =
-      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-scaling"
-      else "/tmp/graft-scaling"
-    val work = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", defaultWork)
+    // sized so the local[4] replay runs ≥ 60 s (BASELINE.md protocol:
+    // amortizes fixed per-merge costs; ~24.6M events ≈ 6 GiB in tmpfs)
+    val accountsPerVec = if (args.nonEmpty) args(0).toInt else 256000
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", defaultWorkDir("graft-scaling"))
     val inputDir = s"$work/input"
 
     // --- generate once (full + 2 incrementals, 64+32+32 vecs) ---
-    val total =
-      if (Files.exists(Paths.get(inputDir, "DONE." + accountsPerVec))) {
-        new String(Files.readAllBytes(Paths.get(inputDir, "DONE." + accountsPerVec))).trim.toLong
-      } else {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputDir))
-        var wv = 0L
-        var n = 0L
-        val snaps = Seq(
-          // (name, slots, vecsPerSlot, perVec, isDelta, baseSlot)
-          ("snap-full", 8, 8, accountsPerVec, false, 100L),
-          ("snap-inc1", 4, 8, accountsPerVec / 2, true, 108L),
-          ("snap-inc2", 4, 8, accountsPerVec / 2, true, 112L))
-        snaps.foreach { case (name, slots, vps, perVec, delta, base) =>
-          val spec = SnapshotFixture.Spec(seed = 42L + base, slots = slots,
-            vecsPerSlot = vps, accountsPerVec = perVec,
-            pubkeyPool = accountsPerVec * 20, baseSlot = base, isDelta = delta)
-          val (cnt, w) = SnapshotFixture.writeLargeUnpacked(s"$inputDir/$name", spec, wv)
-          wv = w; n += cnt
-        }
-        Files.write(Paths.get(inputDir, "DONE." + accountsPerVec),
-          n.toString.getBytes("UTF-8"))
-        n
-      }
+    val total = ensureInput(inputDir, accountsPerVec)
 
     // --- replay at both parallelism levels: N and 4N cores ---
     // N=4 vs 4N=16 by default (BASELINE.md allows "N and 4N cores"): a
@@ -69,9 +77,16 @@ object ScalingBench {
     // with warm JIT), then reps interleaved; per-level result = fastest rep
     // (resists the host's background-load noise, same treatment for both
     // levels).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     val nA = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     val nB = nA * 4
-    val runs = Seq(-nB, nA, nB, nA, nB, nA, nB).map { signedCpus =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val plan = -nB +: Seq.fill(reps)(Seq(nA, nB)).flatten
+    val runs = plan.map { signedCpus =>
       val warmup = signedCpus < 0
       val cpus = math.abs(signedCpus)
       val spark = SparkSession.builder()
@@ -87,14 +102,18 @@ object ScalingBench {
       val tableDir = s"$work/table-$cpus-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, tableDir, numBuckets = 32)
       val snaps = if (warmup) Seq("snap-inc1") else Seq("snap-full", "snap-inc1", "snap-inc2")
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       snaps.foreach { name =>
         SnapshotReplay.applySnapshot(spark, table, s"$inputDir/$name", salted = false)
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
       val finalRows = if (warmup) 0L else table.read().count()
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      System.err.println(f"[scaling] local[$cpus] ${if (warmup) "warmup" else "run"} " +
+        f"sec=$sec%.1f gc=$gcSec%.1f")
       (cpus, sec, total / sec, finalRows)
     }.drop(1)
 

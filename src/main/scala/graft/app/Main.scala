@@ -41,6 +41,8 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // S9: read-progress reporting (≙ ReadProgressTracking, lib.rs:92-107)
+    graft.streaming.Progress.attach(spark)
 
     try mode match {
       case "--table-out" => // flagship: K1 keyed-upsert table (≙ --sqlite-out)

@@ -37,6 +37,9 @@ final case class TableSnapshot(
     retainBatches: Int,
     /** bucket id → data files (relative to table root) */
     bucketFiles: Map[Int, Seq[String]],
+    /** bucket id → row count (maintained incrementally so merges never
+      * re-read old footers) */
+    bucketRows: Map[Int, Long],
     /** per-writer high-watermark: appId → max applied sequence number */
     txns: Map[String, Long],
     /** most recent `retainBatches` batch ids (newest last) */
@@ -150,6 +153,13 @@ final class LakeTable private (
     val alignedBatch =
       if (cacheBatch) alignedBatch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else alignedBatch0
+    val dbg = sys.env.get("GRAFT_MERGE_DEBUG").contains("1")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge $batchId] $name ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
     try {
       // --- one stats job: touched buckets for pruning, distinct-key count
       // (= post-dedup upsert count; dedup never changes the key set), batch
@@ -162,6 +172,7 @@ final class LakeTable private (
         .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
+      phase("stats")
       val touched = stats.map(_.getInt(0)).toSeq.sorted
       val upserts = stats.map(_.getLong(1)).sum
       val rowsIn = stats.map(_.getLong(2)).sum
@@ -187,7 +198,11 @@ final class LakeTable private (
       // salted path (hot keys) trades this for a two-phase agg and is off
       // for high-cardinality keys.
       val cores = spark.sparkContext.defaultParallelism
-      val writeFactor = math.max(1, math.ceil(2.0 * cores / math.max(1, touched.size)).toInt)
+      // 4 sub-splits per core: small tasks pack into the final wave without
+      // a straggler tail (measured: with 1 wave of core-sized tasks the
+      // slowest task ran 3x the median and defined the stage wall)
+      val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "4").toInt
+      val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
       val SubCol = "_gsubsplit"
       val unioned = existing.unionByName(alignedBatch)
         .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
@@ -205,11 +220,20 @@ final class LakeTable private (
         .drop(SubCol)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
 
+      phase("write")
       val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
       val newBucketFiles = snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written
-      // both counts are parquet-footer metadata reads, no data scan
-      val rowCount = snap.rowCount - countRows(touchedFiles, curSchema) +
-        countRows(written.values.flatten.map(rel => s"$root/$rel").toSeq, curSchema)
+      // old touched rows come from the incrementally-maintained bucketRows
+      // (no re-read); new files need ONE footer pass, parallelized — the
+      // serial driver-side footer loop was a measured scaling bottleneck
+      val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
+        countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+      val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+        b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+      }
+      val newBucketRows = snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows
+      val rowCount = snap.rowCount - oldTouchedRows + writtenRows.values.sum
+      phase("counts")
 
       // --- bounded bookkeeping: retention + rollup ---
       val entry = LineageEntry(
@@ -231,11 +255,13 @@ final class LakeTable private (
         keyCols = snap.keyCols, orderCols = snap.orderCols,
         numBuckets = snap.numBuckets, retainBatches = snap.retainBatches,
         bucketFiles = newBucketFiles,
+        bucketRows = newBucketRows,
         txns = txn.fold(snap.txns) { case (app, seq) => snap.txns.updated(app, seq) },
         appliedBatches = keptIds,
         lineage = keptLineage,
         totals = rolledTotals,
         rowCount = rowCount))
+      phase("commit")
       upserts
     } finally { if (cacheBatch) alignedBatch.unpersist(false) }
   }
@@ -283,16 +309,33 @@ final class LakeTable private (
   }
 
   /** Row counts straight from parquet footers on the driver — no Spark job
-    * (the two bookkeeping counts per merge would otherwise cost two job
-    * round-trips each commit). */
+    * (a count job per commit would cost a whole job round-trip). Footer
+    * reads are parallelized: a serial loop over N files is driver-side
+    * serial time that caps scaling efficiency. */
   private def countRows(files: Seq[String], schema: StructType): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
+    files.par_.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
+  }
+
+  implicit private class ParSeq[A](s: Seq[A]) {
+    /** Bounded-parallel map without the (absent) parallel-collections jar. */
+    def par_ : ParOps[A] = new ParOps(s)
+  }
+  final private class ParOps[A](s: Seq[A]) {
+    def map[B](f: A => B): Seq[B] = {
+      if (s.size <= 1) return s.map(f)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, s.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(s.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   /** Project `df` onto `schema`, adding missing columns as typed nulls. */
@@ -341,7 +384,7 @@ object LakeTable {
     if (!Files.exists(meta.resolve("VERSION"))) {
       Files.createDirectories(meta)
       val s0 = TableSnapshot(0L, schema.toDDL, keyCols, orderCols, numBuckets,
-        retainBatches, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L)
+        retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L)
       Files.write(meta.resolve("v0.json"), snapshotJson(s0),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       val tmp = meta.resolve("VERSION.tmp.0")
@@ -383,6 +426,8 @@ object LakeTable {
     s.bucketFiles.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       val arr = bf.putArray(b.toString); fs.foreach(arr.add)
     }
+    val br = o.putObject("bucketRows")
+    s.bucketRows.toSeq.sortBy(_._1).foreach { case (b, n) => br.put(b.toString, n) }
     val tx = o.putObject("txns")
     s.txns.toSeq.sortBy(_._1).foreach { case (app, seq) => tx.put(app, seq) }
     val ab = o.putArray("appliedBatches"); s.appliedBatches.foreach(ab.add)
@@ -426,6 +471,7 @@ object LakeTable {
         if (node.has("retainBatches")) node.get("retainBatches").asInt()
         else DefaultRetainBatches,
       bucketFiles = bucketFiles,
+      bucketRows = longMap(node.get("bucketRows")).map { case (k, v) => k.toInt -> v },
       txns = longMap(node.get("txns")),
       appliedBatches = strs(node.get("appliedBatches")),
       lineage = lineage,
