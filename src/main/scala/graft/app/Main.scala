@@ -63,6 +63,10 @@ object Main {
       case "--programs-tar" => // K4 tar form: ustar of <base58>.so, mode 0644
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         Programs.writeProgramsTar(Programs.programs(SnapshotReplay.toDF(accounts)), out)
+      case "--geyser" => // K3: plugin push (geyser_plugin.rs:25-60); out = config json
+        val handler = graft.streaming.GeyserPluginLoader.load(out)
+        val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
+        graft.streaming.PushSink.push(accounts, handler, isStartup = false)
       case "--opcode-stats-out" => // solana-opcode-stats main; source is a
         // programs tar (the reference pipes --programs-out into its stdin,
         // solana-opcode-stats/main.rs:30-53) or a snapshot to scan directly
@@ -80,7 +84,7 @@ object Main {
   private val usage: String =
     """usage: graft.app.Main <snapshot|dir|programs.tar> <sink-mode> <out> [--buckets N]
       |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out
-      |           | --programs-tar | --opcode-stats-out
+      |           | --programs-tar | --opcode-stats-out | --geyser
       |  exactly one sink mode per run (reference main.rs:27-31);
       |  --opcode-stats-out accepts a --programs-tar output as its source
       |  (≙ the reference's programs-tar → opcode-stats stdin pipe)""".stripMargin

@@ -17,10 +17,12 @@ object Dedup {
 
   /** One-shuffle LWW: `groupBy(keys).agg(max_by(row, ordering))`.
     *
-    * Scale notes: hash aggregation with map-side partial aggregates — at
-    * 100 TB this is strictly better than the window/row_number formulation
-    * (which sorts every partition); rows collapse to one-per-key in the
-    * partial stage before the shuffle.
+    * Scale notes: two-phase aggregation with map-side partials — rows
+    * collapse to one-per-key in the partial stage BEFORE the shuffle, which
+    * is what beats the window/row_number formulation at 100 TB (window
+    * shuffles every row, then sorts). With a struct payload Spark plans
+    * SortAggregate (struct agg buffers aren't hash-aggregable); the partial/
+    * final pair around a single exchange is asserted in PlanSpec.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[String]): DataFrame = {
     val cols = df.columns.toSeq

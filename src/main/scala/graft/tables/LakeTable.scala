@@ -87,6 +87,7 @@ final class LakeTable private (
   import LakeTable._
 
   val BucketCol = "_gbucket"
+  val SubSplitCol = "_gsubsplit"
 
   def currentVersion(): Long = {
     val vf = Paths.get(root, "meta", "VERSION")
@@ -198,26 +199,17 @@ final class LakeTable private (
       // salted path (hot keys) trades this for a two-phase agg and is off
       // for high-cardinality keys.
       val cores = spark.sparkContext.defaultParallelism
-      // 4 sub-splits per core: small tasks pack into the final wave without
-      // a straggler tail (measured: with 1 wave of core-sized tasks the
-      // slowest task ran 3x the median and defined the stage wall)
-      val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "4").toInt
+      // sub-splits per core measured neutral between 2 and 4 waves; 2 keeps
+      // file counts lower
+      val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "2").toInt
       val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
-      val SubCol = "_gsubsplit"
-      val unioned = existing.unionByName(alignedBatch)
-        .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
-        .withColumn(SubCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
-        .repartition(math.max(1, touched.size * writeFactor), col(BucketCol), col(SubCol))
-      val merged =
-        if (salted)
-          Dedup.saltedLatestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubCol), snap.orderCols)
-        else Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubCol), snap.orderCols)
+      val merged = buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
 
       // --- write only touched buckets under a fresh commit dir ---
       val newVersion = snap.version + 1
       val commitRel = s"data/commit-$newVersion"
       merged
-        .drop(SubCol)
+        .drop(SubSplitCol)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
 
       phase("write")
@@ -264,6 +256,22 @@ final class LakeTable private (
       phase("commit")
       upserts
     } finally { if (cacheBatch) alignedBatch.unpersist(false) }
+  }
+
+  /** The ONE-shuffle LWW merge plan (exposed for plan tests): in-batch
+    * dedup and old∪new resolution are one aggregation riding the bucket
+    * repartition — HashPartitioning(bucket, subsplit) satisfies the
+    * grouping's ClusteredDistribution (both partition exprs are in the
+    * grouping), so Catalyst inserts NO second exchange. */
+  private[graft] def buildMerged(existing: DataFrame, alignedBatch: DataFrame,
+      snap: TableSnapshot, touchedCount: Int, writeFactor: Int, salted: Boolean): DataFrame = {
+    val unioned = existing.unionByName(alignedBatch)
+      .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+      .withColumn(SubSplitCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
+      .repartition(math.max(1, touchedCount * writeFactor), col(BucketCol), col(SubSplitCol))
+    if (salted)
+      Dedup.saltedLatestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
+    else Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
   }
 
   /** Retire old versions: delete snapshot metadata older than the most
