@@ -79,7 +79,7 @@ object Similarity {
     */
   def lshTopKDim(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       dim: Int, k: Int = 5, nPlanes: Int = 6, tables: Int = 4, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, maxBucket: Int = 100000): DataFrame = {
     val c0 = corpus.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
     val q00 = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
     val perTable = (0 until tables).map { t =>
@@ -96,8 +96,17 @@ object Similarity {
             .map(i => s"_bucket ^ ${1L << i}").mkString(", ")})")).as("_bucket"))
       (c, q)
     }
-    val c = perTable.map(_._1).reduce(_ unionByName _)
+    val cAll = perTable.map(_._1).reduce(_ unionByName _)
     val q = perTable.map(_._2).reduce(_ unionByName _)
+    // hot-bucket cap: a bucket holding B corpus rows costs B work for EVERY
+    // probe landing in it; web-scale corpora guarantee dense clusters (near-
+    // identical embeddings share all sign bits). Buckets over the cap are
+    // skipped as candidates — the other tables/probes keep recall.
+    val okBuckets = cAll.groupBy(col("_table"), col("_bucket"))
+      .agg(count(lit(1)).as("_bsize"))
+      .filter(col("_bsize") <= maxBucket)
+      .select("_table", "_bucket")
+    val c = cAll.join(okBuckets, Seq("_table", "_bucket"))
     val scored = c.join(q, Seq("_table", "_bucket"))
       .filter(col("_qid") =!= col("_cid"))
       .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
@@ -109,17 +118,23 @@ object Similarity {
         col("rank"), col("_cos").as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH buckets as candidates,
-    * cosine ≥ threshold verification (id_a < id_b). */
+  /** Embedding-cosine near-duplicate pairs: LSH buckets as candidates
+    * (hot-bucket capped — a bucket of B near-identical embeddings otherwise
+    * yields B²/2 pairs), cosine ≥ threshold verification (id_a < id_b). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,
-      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val v = df.select(col(idCol).as("_id"), normalize(col(embCol)).as("_emb"))
       .withColumn("_bucket", lshBucket(col("_emb"), planes))
-    v.as("l").join(v.as("r"),
-        col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
-        dot(col("l._emb"), col("r._emb")).as("cosine"))
+    val cands = NearDup.cappedBucketPairs(
+      v.select(col("_id"), col("_bucket")), "_id", Seq("_bucket"), maxBucket)
+    val embs = v.select(col("_id"), col("_emb"))
+    cands
+      .join(embs.as("ea"), col("id_a") === col("ea._id"))
+      .join(embs.as("eb"), col("id_b") === col("eb._id"))
+      .select(col("id_a"), col("id_b"),
+        dot(col("ea._emb"), col("eb._emb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
