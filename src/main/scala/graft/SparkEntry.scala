@@ -181,34 +181,61 @@ object SparkEntry {
         col("lamports"), sha2(col("data"), 256).as("content_sha256"))
     }),
 
-    // P3/A2 — SPL token-account enrichment table over the snapshot fixture
-    // (sqlite.rs:264-284). Rows-only check (binary decode has no SQL oracle;
-    // field-level assertions live in EnrichSpec).
-    "q17_token_accounts" -> ((s, _) =>
-      Enrich.tokenAccounts(fixtureAccounts(s))
-        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
-          graft.functions.functions.base58(col("mint")).as("mint_b58"),
-          col("amount"), col("state"), col("delegated_amount"))),
+    // P3/A2 — SPL token-account enrichment through the REAL 165-byte decode
+    // (sqlite.rs:264-284): payloads packed from `customer` by an invertible
+    // rule, every decoded field (incl. both COption shapes) oracled in SQL.
+    // The snapshot-fixture variant stays covered by EnrichSpec + q16.
+    "q17_token_accounts" -> ((s, dir) => {
+      val accounts = syntheticTokenAccounts(t(s, dir, "customer"))
+      Enrich.tokenAccounts(accounts).select(
+        leLongUdf(col("pubkey")).as("cust_id"),
+        leLongUdf(col("mint")).as("mint_id"),
+        leLongUdf(col("token_owner")).as("holder_id"),
+        col("amount"),
+        col("state").cast("int").as("state"),
+        col("is_native"),
+        col("delegated_amount"),
+        leLongUdf(col("delegate")).as("delegate_id"),
+        leLongUdf(col("close_authority")).as("close_id"))
+    }),
 
-    // P6/A2 — Metaplex metadata enrichment with progressive-tail nulls.
-    "q18_token_metadata" -> ((s, _) =>
-      Enrich.tokenMetadata(fixtureAccounts(s))
-        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
-          col("name"), col("symbol"), col("uri"), col("seller_fee_basis_points"),
-          col("edition_nonce"), col("collection_verified"))),
+    // P6/A2 — Metaplex metadata through the REAL borsh decode with
+    // progressive-tail nulls: version = 1 + k%3 picks how much tail the
+    // payload carries, and the oracle CASEs on the same rule — the
+    // schema-evolution semantics themselves are oracle-checked.
+    "q18_token_metadata" -> ((s, dir) => {
+      val accounts = syntheticMetadataAccounts(t(s, dir, "customer"))
+      Enrich.tokenMetadata(accounts).select(
+        leLongUdf(col("pubkey")).as("cust_id"),
+        col("name"), col("symbol"), col("uri"),
+        col("seller_fee_basis_points").cast("int").as("fee"),
+        col("primary_sale_happened"), col("is_mutable"),
+        col("edition_nonce").cast("int").as("edition_nonce"),
+        col("token_standard").cast("int").as("token_standard"),
+        col("collection_verified"),
+        col("use_method").cast("int").as("use_method"),
+        col("uses_remaining"), col("uses_total"))
+    }),
 
-    // G1/A3 — multisig signer explode (one row per signer).
-    "q19_multisig_explode" -> ((s, _) =>
-      Enrich.tokenMultisigs(fixtureAccounts(s))
-        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
-          graft.functions.functions.base58(col("signer")).as("signer_b58"),
-          col("m"), col("n"))),
+    // G1/A3 — multisig signer explode (one row per live signer slot)
+    // through the REAL 355-byte decode; n varies 1..11 per row.
+    "q19_multisig_explode" -> ((s, dir) => {
+      val accounts = syntheticMultisigAccounts(t(s, dir, "customer"))
+      Enrich.tokenMultisigs(accounts).select(
+        leLongUdf(col("pubkey")).as("cust_id"),
+        col("m").cast("int").as("m"),
+        col("n").cast("int").as("n"),
+        leLongUdf(col("signer")).as("signer_id"))
+    }),
 
-    // F8/F9/K4 — program extraction.
-    "q20_programs" -> ((s, _) =>
-      Programs.programs(fixtureAccounts(s))
-        .select(graft.functions.functions.base58(col("pubkey")).as("pubkey_b58"),
-          length(col("elf")).as("elf_len"))),
+    // F8/F9/K4 — program extraction with BOTH loader paths and both drop
+    // rules (non-executable F8, wrong bincode tag F9) oracled.
+    "q20_programs" -> ((s, dir) => {
+      val accounts = syntheticProgramAccounts(t(s, dir, "customer"))
+      Programs.programs(accounts).select(
+        leLongUdf(col("pubkey")).as("cust_id"),
+        length(col("elf")).as("elf_len"))
+    }),
 
     // A5/G2/O1 — opcode histogram through the REAL decode path (pack →
     // Sbpf.opcodes explode → group/count/countDistinct → order/filter) over
@@ -318,6 +345,104 @@ object SparkEntry {
     )
   )
 
+  /** First 8 little-endian bytes of a 32-byte key as BIGINT (inverse of the
+    * fixture pkFromLong rule; null-safe for nullable COption columns). */
+  private val leLongUdf = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else Some(java.nio.ByteBuffer.wrap(b, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+
+  private def pk(i: Long): Array[Byte] = graft.sources.SnapshotFixture.pkFromLong(i)
+
+  /** (pubkey, owner, data) rows with REAL 165-byte SPL token payloads packed
+    * from c_custkey by an SQL-invertible rule. */
+  private def syntheticTokenAccounts(customer: DataFrame): DataFrame = {
+    val packUdf = udf((k: Long) => graft.etl.binary.SplToken.packTokenAccount(
+      graft.etl.model.TokenAccount(
+        mint = pk(k + 1000000L),
+        owner = pk(k + 2000000L),
+        amount = k * 131 + 7,
+        delegate = if (k % 3 == 0) Some(pk(k + 3000000L)) else None,
+        state = (k % 3).toShort,
+        isNative = if (k % 5 == 0) Some(k * 11) else None,
+        delegatedAmount = k * 7,
+        closeAuthority = if (k % 4 == 0) Some(pk(k + 4000000L)) else None)))
+    val pkUdf = udf((k: Long) => pk(k))
+    customer.select(col("c_custkey").cast("long").as("k"))
+      .select(pkUdf(col("k")).as("pubkey"),
+        lit(Enrich.TokenProgram).as("owner"),
+        packUdf(col("k")).as("data"))
+  }
+
+  /** Borsh metadata payloads at version 1 + k%3 (v1 / +nonce / full v1.2
+    * incl. uses) — the progressive-tail rule the oracle mirrors. */
+  private def syntheticMetadataAccounts(customer: DataFrame): DataFrame = {
+    val packUdf = udf((k: Long) => graft.etl.binary.BorshMetadata.encode(
+      graft.etl.model.TokenMetadata(
+        updateAuthority = pk(k + 5000000L),
+        mint = pk(k + 6000000L),
+        name = s"NFT-$k",
+        symbol = s"S${k % 10}",
+        uri = s"ipfs://$k",
+        sellerFeeBasisPoints = (k % 10000).toInt,
+        creators = if (k % 7 == 0) None
+          else Some(Seq(graft.etl.model.Creator(pk(k + 7000000L), k % 2 == 0, (k % 101).toShort))),
+        primarySaleHappened = k % 2 == 0,
+        isMutable = k % 3 == 0,
+        editionNonce = Some((k % 255).toShort),
+        tokenStandard = Some((k % 5).toShort),
+        collectionVerified = Some(k % 2 == 1),
+        collectionKey = Some(pk(k + 8000000L)),
+        useMethod = Some((k % 4).toShort),
+        usesRemaining = Some(k * 3),
+        usesTotal = Some(k * 5)),
+      version = 1 + (k % 3).toInt))
+    val pkUdf = udf((k: Long) => pk(k))
+    customer.select(col("c_custkey").cast("long").as("k"))
+      .select(pkUdf(col("k")).as("pubkey"),
+        lit(Enrich.MetadataProgram).as("owner"),
+        packUdf(col("k")).as("data"))
+  }
+
+  /** 355-byte multisigs: n = 1 + k%11 live signer slots (ids k*16+i). */
+  private def syntheticMultisigAccounts(customer: DataFrame): DataFrame = {
+    val packUdf = udf((k: Long) => graft.etl.binary.SplToken.packMultisig(
+      graft.etl.model.TokenMultisig(
+        m = (1 + k % 5).toShort,
+        n = (1 + k % 11).toShort,
+        signers = (0 until 11).map(i => pk(k * 16 + i)))))
+    val pkUdf = udf((k: Long) => pk(k))
+    customer.select(col("c_custkey").cast("long").as("k"))
+      .select(pkUdf(col("k")).as("pubkey"),
+        lit(Enrich.TokenProgram).as("owner"),
+        packUdf(col("k")).as("data"))
+  }
+
+  /** Program accounts exercising both loader paths + both drop rules:
+    * even k → BpfLoader (F8; dropped when k%17==0 via executable=false),
+    * odd k → upgradeable ProgramData (F9; dropped when k%19==0 via a wrong
+    * bincode tag). elf length = 8·(1 + k%13). */
+  private def syntheticProgramAccounts(customer: DataFrame): DataFrame = {
+    val packUdf = udf((k: Long) => {
+      val elf = Array.tabulate((8 * (1 + k % 13)).toInt)(i => ((k + i) % 256).toByte)
+      if (k % 2 == 0) elf
+      else {
+        val tag = if (k % 19 == 0) 2 else Programs.ProgramDataTag
+        java.nio.ByteBuffer.allocate(Programs.ProgramDataHeaderLen + elf.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(tag).put(new Array[Byte](Programs.ProgramDataHeaderLen - 4))
+          .put(elf).array()
+      }
+    })
+    val pkUdf = udf((k: Long) => pk(k))
+    customer.select(col("c_custkey").cast("long").as("k"))
+      .select(pkUdf(col("k")).as("pubkey"),
+        when(col("k") % 2 === 0, lit(graft.operators.Programs.BpfLoader))
+          .otherwise(lit(graft.operators.Programs.BpfLoaderUpgradeable)).as("owner"),
+        (col("k") % 2 === 0 && col("k") % 17 =!= 0).as("executable"),
+        packUdf(col("k")).as("data"))
+  }
+
   /** Pack event ids into an sBPF-shaped instruction stream: one 8-byte slot
     * per event, opcode byte = 32 + id % 64 (q21 fixture builder; the decode
     * side is the real Sbpf.opcodes walk). */
@@ -401,6 +526,47 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q14_lang_id" ->
         s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      // twins of the real binary decode paths: the pack rules are invertible
+      // in SQL, so every decoded field (COption tags, progressive borsh
+      // tails, loader filters) is oracle-checked
+      "q17_token_accounts" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+          | CAST(c_custkey + 1000000 AS BIGINT) AS mint_id,
+          | CAST(c_custkey + 2000000 AS BIGINT) AS holder_id,
+          | CAST(c_custkey * 131 + 7 AS BIGINT) AS amount,
+          | CAST(c_custkey % 3 AS INT) AS state,
+          | CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey * 11 AS BIGINT) END AS is_native,
+          | CAST(c_custkey * 7 AS BIGINT) AS delegated_amount,
+          | CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey + 3000000 AS BIGINT) END AS delegate_id,
+          | CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey + 4000000 AS BIGINT) END AS close_id
+          |FROM customer""".stripMargin,
+      "q18_token_metadata" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+          | 'NFT-' || CAST(c_custkey AS VARCHAR) AS name,
+          | 'S' || CAST(c_custkey % 10 AS VARCHAR) AS symbol,
+          | 'ipfs://' || CAST(c_custkey AS VARCHAR) AS uri,
+          | CAST(c_custkey % 10000 AS INT) AS fee,
+          | c_custkey % 2 = 0 AS primary_sale_happened,
+          | c_custkey % 3 = 0 AS is_mutable,
+          | CASE WHEN c_custkey % 3 >= 1 THEN CAST(c_custkey % 255 AS INT) END AS edition_nonce,
+          | CASE WHEN c_custkey % 3 = 2 THEN CAST(c_custkey % 5 AS INT) END AS token_standard,
+          | CASE WHEN c_custkey % 3 = 2 THEN c_custkey % 2 = 1 END AS collection_verified,
+          | CASE WHEN c_custkey % 3 = 2 THEN CAST(c_custkey % 4 AS INT) END AS use_method,
+          | CASE WHEN c_custkey % 3 = 2 THEN CAST(c_custkey * 3 AS BIGINT) END AS uses_remaining,
+          | CASE WHEN c_custkey % 3 = 2 THEN CAST(c_custkey * 5 AS BIGINT) END AS uses_total
+          |FROM customer""".stripMargin,
+      "q19_multisig_explode" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+          | CAST(1 + c_custkey % 5 AS INT) AS m,
+          | CAST(1 + c_custkey % 11 AS INT) AS n,
+          | CAST(c_custkey * 16 + i AS BIGINT) AS signer_id
+          |FROM customer, unnest(generate_series(0, c_custkey % 11)) AS t(i)""".stripMargin,
+      "q20_programs" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+          | CAST(8 * (1 + c_custkey % 13) AS INT) AS elf_len
+          |FROM customer
+          |WHERE (c_custkey % 2 = 0 AND c_custkey % 17 <> 0)
+          |   OR (c_custkey % 2 = 1 AND c_custkey % 19 <> 0)""".stripMargin,
       // twin of the real opcode pipeline: the pack rule (32 + id % 64) is
       // invertible in SQL and the mnemonic table is generated from the same
       // eBPF-encoding derivation the engine uses (Sbpf.mnemonic)

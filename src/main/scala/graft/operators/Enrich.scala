@@ -127,6 +127,7 @@ object Enrich {
         col("token_metadata.primarySaleHappened").as("primary_sale_happened"),
         col("token_metadata.isMutable").as("is_mutable"),
         col("token_metadata.editionNonce").as("edition_nonce"),
+        col("token_metadata.tokenStandard").as("token_standard"),
         col("token_metadata.collectionVerified").as("collection_verified"),
         col("token_metadata.collectionKey").as("collection_key"),
         col("token_metadata.useMethod").as("use_method"),
