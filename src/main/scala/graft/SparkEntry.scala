@@ -252,12 +252,13 @@ object SparkEntry {
       OpcodeStats.histogram(progs)
     }),
 
-    // Training op — MinHash+LSH near-dup dedup over documents (survivor
-    // annotation). Probabilistic candidates + exact verification; no SQL
-    // oracle (hash-family specific) — NearDupSpec holds the brute-force
-    // equivalence proof.
+    // Training op — MinHash+LSH near-dup dedup with survivor annotation,
+    // through the PORTABLE hash family (md5 base + modular permutations) so
+    // the whole banded pipeline has an exact DuckDB twin; the xxhash64
+    // production family runs the same code shape (NearDupSpec brute-force
+    // proofs).
     "q22_dedup_minhash" -> ((s, dir) =>
-      NearDup.minHashDedup(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      NearDup.minHashDedupPortable(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"), col("dup_of"))),
 
     // Training op — SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk
@@ -309,9 +310,11 @@ object SparkEntry {
 
     // Training op — winnowing fingerprint near-dup (MOSS containment
     // dedup; candidates share an exploded fingerprint, stop-fingerprint
-    // capped). Rows-only (fingerprints are a UDF — no SQL twin).
+    // capped) through the PORTABLE fingerprint path (window-min values over
+    // md5 gram hashes), which has an exact SQL twin; the O(n) imperative
+    // winnow UDF stays the production variant (property specs).
     "q29_winnow_dedup" -> ((s, dir) =>
-      TextOps.winnowContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.winnowContainmentPairsPortable(t(s, dir, "documents"), "doc_id", "text",
         minContainment = 0.5)),
 
     // North-rule CDC e2e over the input_hint table shape: deterministic
@@ -526,6 +529,191 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q14_lang_id" ->
         s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+      // exact twin of the portable winnow containment dedup: same md5 gram
+      // hashes, same window-min fingerprint sets, same stop-fp cap and
+      // containment arithmetic
+      "q29_winnow_dedup" ->
+        """WITH d AS (SELECT doc_id, lower(text) AS t, length(text) AS len FROM documents),
+          |lng AS (SELECT doc_id, t, len - 9 AS n FROM d WHERE len >= 10),
+          |pos AS (
+          |  SELECT doc_id, n, i,
+          |    ('0x' || substr(md5(substr(t, CAST(i AS INT), 10)), 1, 15))::BIGINT AS h
+          |  FROM lng, unnest(generate_series(1, n)) u(i)),
+          |win AS (
+          |  SELECT doc_id, n, i,
+          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+          |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS mn
+          |  FROM pos),
+          |fps1 AS (SELECT DISTINCT doc_id, mn AS fp FROM win WHERE i <= GREATEST(n - 9, 1)),
+          |fps2 AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS fp
+          |         FROM d WHERE len < 10),
+          |fps AS (SELECT * FROM fps1 UNION SELECT DISTINCT * FROM fps2),
+          |nf AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id),
+          |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |  FROM fps a JOIN rare USING (fp) JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, shared,
+          |  CAST(shared AS DOUBLE) / CAST(LEAST(na.n_fps, nb.n_fps) AS DOUBLE) AS containment
+          |FROM pairs JOIN nf na ON id_a = na.doc_id JOIN nf nb ON id_b = nb.doc_id
+          |WHERE CAST(shared AS DOUBLE) / CAST(LEAST(na.n_fps, nb.n_fps) AS DOUBLE) >= 0.5""".stripMargin,
+      // exact twin of the portable MinHash dedup: same md5-based 28-bit
+      // shingle hashes, the same 32 modular permutations and 8 band keys,
+      // string-for-string
+      "q22_dedup_minhash" -> {
+        import graft.operators.NearDup.{permA, permB, MinHashPrime}
+        val k = 32; val bands = 8; val r = k / bands
+        val mins = (0 until k)
+          .map(i => s"MIN((hb * ${permA(i)} + ${permB(i)}) % $MinHashPrime) AS m$i")
+          .mkString(", ")
+        val bandSelect = (0 until bands).map { j =>
+          val key = (0 until r).map(x => s"CAST(m${j * r + x} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(tk) >= 3
+           |      THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+           |             i -> array_to_string(tk[i:i+2], ' ')))
+           |      ELSE [lt] END AS shingles
+           |  FROM toks),
+           |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hb FROM ex),
+           |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+           |bandkeys AS (${bandSelect.mkString(" UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bandkeys a JOIN bandkeys b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |ver AS (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+           |    CAST(len(sa.shingles) + len(sb.shingles)
+           |         - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+           |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id),
+           |dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_of FROM ver WHERE j >= 0.5 GROUP BY id_b)
+           |SELECT d.doc_id, dup.dup_of FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin
+      },
+      // exact twin of the multi-table multi-probe LSH ANN: per-table seeded
+      // planes embedded as literals, 1-bit-flip probe buckets via xor,
+      // max-cos dedup and the same rank window as the Spark side
+      "q26_ann_lsh" -> {
+        val tables = 4; val nPlanes = 6
+        val planeRows = (0 until tables).flatMap { t =>
+          Similarity.hyperplanes(nPlanes, dim = 64, seed = 42L + 7919L * t)
+            .zipWithIndex.map { case (pl, i) => s"($t, $i, [${pl.mkString(", ")}])" }
+        }.mkString(", ")
+        val probes = (0 until nPlanes).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+        def dotPlane =
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            | list_transform(range(1, 65), j -> v.u[j] * p.plane[j])), (a, b) -> a + b)"""
+            .stripMargin.replaceAll("\n", " ")
+        def dotPair =
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            | list_transform(range(1, 65), j -> vq.u[j] * vc.u[j])), (a, b) -> a + b)"""
+            .stripMargin.replaceAll("\n", " ")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, emb,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM e),
+           |v AS (
+           |  SELECT vec_id,
+           |    list_transform(emb, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE CAST(0.0 AS DOUBLE) END) AS u
+           |  FROM n),
+           |p(t, i, plane) AS (VALUES $planeRows),
+           |cb AS (
+           |  SELECT t, vec_id,
+           |    SUM(CASE WHEN $dotPlane >= 0.0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+           |  FROM v, p GROUP BY t, vec_id),
+           |qb AS (
+           |  SELECT t, vec_id, unnest([bucket, $probes]) AS bucket
+           |  FROM cb WHERE vec_id < 20),
+           |scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid, max($dotPair) AS cos
+           |  FROM qb q
+           |  JOIN cb c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  JOIN v vq ON q.vec_id = vq.vec_id
+           |  JOIN v vc ON c.vec_id = vc.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, cid ASC) AS rn FROM scored)
+           |WHERE rn <= 5""".stripMargin
+      },
+      // exact twin of the hyperplane-LSH cosine near-dup path: the seeded
+      // planes are deterministic, so they are EMBEDDED as literals; the
+      // normalize/dot arithmetic reuses the bit-exact q25 skeleton
+      // (left-to-right folds on both engines)
+      "q27_cosine_near_dup" -> {
+        val planes = Similarity.hyperplanes(nPlanes = 8, dim = 64, seed = 42L)
+        val planeRows = planes.zipWithIndex
+          .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+          .mkString(", ")
+        def dotPlane =
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            | list_transform(range(1, 65), j -> v.u[j] * p.plane[j])), (a, b) -> a + b)"""
+            .stripMargin.replaceAll("\n", " ")
+        def dotPair =
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            | list_transform(range(1, 65), j -> va.u[j] * vb.u[j])), (a, b) -> a + b)"""
+            .stripMargin.replaceAll("\n", " ")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, emb,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM e),
+           |v AS (
+           |  SELECT vec_id,
+           |    list_transform(emb, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE CAST(0.0 AS DOUBLE) END) AS u
+           |  FROM n),
+           |p(i, plane) AS (VALUES $planeRows),
+           |b AS (
+           |  SELECT vec_id,
+           |    SUM(CASE WHEN $dotPlane >= 0.0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+           |  FROM v, p GROUP BY vec_id),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT id_a, id_b
+           |FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
+           |WHERE $dotPair >= 0.2""".stripMargin
+      },
+      // exact twin of the portable 60-bit SimHash pipeline: md5-derived
+      // token hashes, 60 vote sums, 4x15-bit pigeonhole candidates, Hamming
+      // verification - generated column-for-column from the same constants
+      "q23_dedup_simhash" -> {
+        val bits = graft.operators.NearDup.SimHashBits
+        val votes = (0 until bits)
+          .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val sigExpr = (0 until bits)
+          .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sigExpr AS sim FROM v),
+           |ch AS (SELECT doc_id, (sim >> (15 * c)) & 32767 AS cv, c
+           |       FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+           |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+           |WHERE bit_count(xor(sa.sim, sb.sim)) <= 3""".stripMargin
+      },
       // twins of the real binary decode paths: the pack rules are invertible
       // in SQL, so every decoded field (COption tags, progressive borsh
       // tails, loader filters) is oracle-checked

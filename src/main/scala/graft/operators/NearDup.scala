@@ -118,44 +118,102 @@ object NearDup {
     docs.join(dupOf, Seq(idCol), "left")
   }
 
+  // ---------------- portable MinHash (oracle-able twin family) ----------------
+
+  /** Word w-shingles as raw STRINGS (portable across engines). */
+  def shingleStrings(textCol: String, w: Int = 3): Column = {
+    val toks = s"split(lower($textCol), ' ')"
+    when(expr(s"size($toks)") >= w,
+      array_distinct(expr(
+        s"transform(sequence(1, size($toks) - ${w - 1}), i -> concat_ws(' ', slice($toks, i, $w)))")))
+      .otherwise(array(lower(col(textCol))))
+  }
+
+  /** Modular permutation constants (embedded in the SQL oracle too). */
+  final val MinHashPrime = 2147483647L // 2^31 - 1
+  def permA(i: Int): Long = 37L * i + 11
+  def permB(i: Int): Long = 101L * i + 7
+
+  /** MinHash over a PORTABLE hash family: base shingle hash = first 7 hex
+    * chars of md5 (28 bits — (a·h + b) mod P never overflows 64-bit signed,
+    * which matters because DuckDB errors on overflow where the JVM wraps),
+    * permutation i = (aᵢ·h + bᵢ) mod (2³¹−1). Same banded-LSH structure as
+    * the xxhash64 family, but every step has an exact ANSI-SQL twin (q22's
+    * oracle). The xxhash64 family stays the production default (cheaper per
+    * hash); both run the same candidate/verify code shape. All built-ins —
+    * the pipeline stays whole-stage-codegen'd. */
+  def minHashDedupPortable(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    val r = k / bands
+    val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    val base = docs.repartition(par)
+      .withColumn("_shingles", shingleStrings(textCol, w))
+      .withColumn("_hb", expr(
+        "transform(_shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"))
+    val sigCols = (0 until k).map(i =>
+      array_min(expr(s"transform(_hb, h -> (h * ${permA(i)} + ${permB(i)}) % $MinHashPrime)"))
+        .as(s"_m$i"))
+    val sig = base.select(col(idCol).as("_id") +: col("_shingles").as("_sh") +: sigCols: _*)
+    val bandKey = (0 until bands).map(j =>
+      concat_ws("|", (0 until r).map(x => col(s"_m${j * r + x}").cast("string")): _*))
+    val bandsDf = sig.select(col("_id"),
+      posexplode(array(bandKey: _*)).as(Seq("_band", "_bhash")))
+    val cands = cappedBucketPairs(bandsDf, "_id", Seq("_band", "_bhash"), maxBucket)
+    val sh = sig.select(col("_id"), col("_sh"), size(col("_sh")).as("_ns"))
+    val pairs = cands
+      .join(sh.as("sa"), col("id_a") === col("sa._id"))
+      .join(sh.as("sb"), col("id_b") === col("sb._id"))
+      .withColumn("_inter", size(array_intersect(col("sa._sh"), col("sb._sh"))))
+      .select(col("id_a"), col("id_b"),
+        (col("_inter").cast("double") /
+          (col("sa._ns") + col("sb._ns") - col("_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val dupOf = pairs.groupBy(col("id_b").as(idCol)).agg(min(col("id_a")).as("dup_of"))
+    docs.join(dupOf, Seq(idCol), "left")
+  }
+
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over whitespace tokens (deterministic UDF — the
-    * per-bit vote accumulation has no array-function form). */
-  private val simHashUdf = udf((tokens: Seq[String]) => {
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL
-      val h = (h1 << 32) | h2
-      var b = 0
-      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  })
+  final val SimHashBits = 60
 
-  def simHash(text: Column): Column = simHashUdf(split(lower(text), " "))
+  /** 60-bit SimHash signatures over whitespace tokens — pure built-ins, no
+    * UDF: per-token hash = first 15 hex chars of md5 (60 bits, fits a
+    * signed long, and md5 is identical across engines ⇒ q23 gets an EXACT
+    * ANSI-SQL oracle), per-bit ±1 votes as 60 codegen'd conditional sums in
+    * ONE aggregation (map-side combined). Returns (_id, _sim). */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    val toks = docs.repartition(par)
+      .select(col(idCol).as("_id"), explode(split(lower(col(textCol)), " ")).as("_t"))
+      .withColumn("_h", conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimHashBits).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_v$b"))
+    toks.groupBy(col("_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("_id"),
+        (0 until SimHashBits)
+          .map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("_sim"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates via
-    * the pigeonhole principle: 4 16-bit chunks — any pair within distance 3
+    * the pigeonhole principle: 4 15-bit chunks — any pair within distance 3
     * shares at least one chunk; the capped chunk equi-join is the only
-    * shuffle. */
+    * quadratic-risk shuffle. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole supports maxDist <= 3")
-    val base = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sim"))
+    val base = simHashSignatures(docs, idCol, textCol)
     val chunks = base.select(col("_id"),
-      posexplode(expr("transform(sequence(0, 3), c -> (_sim >> (c * 16)) & 65535)"))
+      posexplode(expr("transform(sequence(0, 3), c -> (_sim >> (c * 15)) & 32767)"))
         .as(Seq("_chunk", "_cval")))
     val sims = base.select(col("_id"), col("_sim"))
     cappedBucketPairs(chunks, "_id", Seq("_chunk", "_cval"), maxBucket)
       .join(sims.as("sa"), col("id_a") === col("sa._id"))
       .join(sims.as("sb"), col("id_b") === col("sb._id"))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(sa._sim ^ sb._sim)").as("hamming"))
+        expr("cast(bit_count(sa._sim ^ sb._sim) as int)").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

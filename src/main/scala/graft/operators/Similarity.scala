@@ -51,7 +51,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (seeded xorshift — no
     * wall-clock, reproducible across runs/executors). */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var state = seed ^ 0x5deece66dL
     def next(): Double = {
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17

@@ -140,6 +140,71 @@ object TextOps {
     f(text)
   }
 
+  /** Portable winnowing fingerprints as (id, fp) ROWS — pure built-ins with
+    * an exact ANSI-SQL twin (q29's oracle). Key observation: the winnow
+    * fingerprint SET is exactly the distinct window-minimum VALUES over all
+    * full k-gram-hash windows (the classic rightmost-tie rule only decides
+    * which POSITION is recorded, not which value) — so one window frame
+    * `min(h) over (order by i rows between current and window-1 following)`
+    * computes it. Gram hash = first 15 hex chars of md5 (engine-agnostic).
+    * The imperative [[winnow]] UDF stays the production default (O(n),
+    * single pass, no shuffle); this twin validates the algorithm. */
+  def winnowFingerprintRowsPortable(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 10, window: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // small sources often arrive as one split; spread before the explode
+    val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    val d = docs.repartition(par).select(col(idCol), lower(col(textCol)).as("_t"),
+      length(col(textCol)).as("_len"))
+    val long = d.filter(col("_len") >= k)
+      .withColumn("_n", col("_len") - (k - 1))
+      .select(col(idCol), col("_t"), col("_n"),
+        explode(expr("sequence(1, _n)")).as("_i"))
+      .select(col(idCol), col("_n"), col("_i"), expr(
+        s"cast(conv(substring(md5(substring(_t, _i, $k)), 1, 15), 16, 10) as bigint)").as("_h"))
+    val wspec = W.partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(W.currentRow, window - 1)
+    val fpsLong = long
+      .withColumn("_mn", min(col("_h")).over(wspec))
+      // full windows only; docs with n ≤ window collapse to the single
+      // global-min window at i = 1 (greatest(n-window+1, 1))
+      .filter(col("_i") <= greatest(col("_n") - (window - 1), lit(1)))
+      .select(col(idCol), col("_mn").as("fp"))
+    val fpsShort = d.filter(col("_len") < k && col("_len").isNotNull)
+      .select(col(idCol), expr(
+        "cast(conv(substring(md5(_t), 1, 15), 16, 10) as bigint)").as("fp"))
+    fpsLong.unionByName(fpsShort).distinct()
+  }
+
+  /** Containment scoring over (id, fp) rows — shared by the UDF and the
+    * portable fingerprint paths. */
+  def containmentPairsFromFps(fp: org.apache.spark.sql.DataFrame, idCol: String,
+      minContainment: Double, maxDf: Int): org.apache.spark.sql.DataFrame = {
+    val withN = fp.join(fp.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps")), Seq(idCol))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("fp")
+    val inJoin = withN.join(rare, "fp")
+    inJoin.as("l").join(inJoin.as("r"),
+        col("l.fp") === col("r.fp") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("l.n_fps")).as("n_a"), first(col("r.n_fps")).as("n_b"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+  }
+
+  /** Containment near-dup through the portable winnow (oracle-able). */
+  def winnowContainmentPairsPortable(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 10, window: Int = 10,
+      minContainment: Double = 0.5, maxDf: Int = 64): org.apache.spark.sql.DataFrame =
+    containmentPairsFromFps(
+      winnowFingerprintRowsPortable(docs, idCol, textCol, k, window),
+      idCol, minContainment, maxDf)
+
   /** Containment-style near-dup pairs over winnowing fingerprints (the MOSS
     * pipeline at corpus scale): containment = shared fingerprints / smaller
     * fingerprint set.

@@ -102,6 +102,41 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("portable winnow fingerprints equal a direct per-doc computation") {
+    // independent in-memory oracle: md5 gram hashes, min over each full
+    // window, distinct values
+    def oracle(text: String, k: Int = 10, window: Int = 10): Set[Long] = {
+      val t = text.toLowerCase
+      if (t.length < k) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        return Set(java.lang.Long.parseLong(md.take(15), 16))
+      }
+      val hs = (0 to t.length - k).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.substring(i, i + k).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16)
+      }
+      if (hs.length <= window) Set(hs.min)
+      else (0 to hs.length - window).map(w => hs.slice(w, w + window).min).toSet
+    }
+    val out = TextOps.winnowFingerprintRowsPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    texts.foreach { case (id, text) =>
+      assert(out(id) === oracle(text), s"doc $id fingerprints diverge")
+    }
+  }
+
+  test("portable minhash dedup matches the xxhash-family dup_of structure") {
+    // different hash families may differ on borderline candidates, but the
+    // exact-dup pair (1,5) must be found by both and survivors must agree
+    val portable = NearDup.minHashDedupPortable(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(portable(5L) === Some(1L))
+    assert(portable(1L) === None && portable(3L) === None)
+  }
+
   test("adversarial boilerplate cluster stays bounded (hot-bucket caps)") {
     // 300 docs all sharing one boilerplate sentence + unique content: without
     // caps each hot band-bucket / stop fingerprint yields ~300²/2 candidates
