@@ -38,7 +38,8 @@ object CdcPipeline {
       salted: Boolean = false,
       maxFilesPerTrigger: Int = 64,
       availableNow: Boolean = true,
-      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty): StreamingQuery = {
+      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      autoExpireKeepVersions: Option[Int] = Some(8)): StreamingQuery = {
     val stream = spark.readStream
       .schema(changeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -49,6 +50,10 @@ object CdcPipeline {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         table.merge(df, s"$pipelineId-$batchId", salted = salted,
           txn = Some((pipelineId, batchId)), counterCols = counterCols)
+        // long-running CDC self-maintains: retire snapshots/commit dirs
+        // beyond the retention window after every merge (cheap driver-side
+        // fs work; single writer, so always safe here)
+        autoExpireKeepVersions.foreach(k => table.expire(k))
         () // discard count: Unit-returning closure keeps the 2.13 overload unambiguous
       }
       .start()
@@ -63,9 +68,11 @@ object CdcPipeline {
       checkpointDir: String,
       pipelineId: String,
       salted: Boolean = false,
-      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+      counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      autoExpireKeepVersions: Option[Int] = Some(8)): Unit = {
     val q = start(spark, table, changeDir, changeSchema, checkpointDir, pipelineId,
-      salted = salted, counterCols = counterCols)
+      salted = salted, counterCols = counterCols,
+      autoExpireKeepVersions = autoExpireKeepVersions)
     q.awaitTermination()
   }
 }

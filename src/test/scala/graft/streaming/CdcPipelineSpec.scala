@@ -112,6 +112,29 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(table.snapshot().txns.keySet === Set("pipe1"))
   }
 
+  test("auto-expiry retires old versions as the stream advances") {
+    val changeDir = Files.createTempDirectory("changes-e").toString
+    val cp = Files.createTempDirectory("cp-e").toString
+    val table = mkTable()
+    // the SAME key every batch: each merge rewrites the same bucket, so
+    // earlier commit dirs lose their last reference and must be GC'd
+    // (commit dirs still referenced by retained snapshots must survive)
+    (1 to 6).foreach { i =>
+      Seq(("r1", "same.txt", i.toLong, "txt", s"v$i"))
+        .toDF("repo", "path", "commitSeq", "lang", "content")
+        .write.mode("append").parquet(changeDir)
+      CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeE",
+        autoExpireKeepVersions = Some(2))
+    }
+    assert(table.read().count() === 1L)
+    assert(table.read().select("content").as[String].head() === "v6")
+    val metaDir = new java.io.File(table.root, "meta")
+    val versions = metaDir.list().count(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(versions <= 2, s"expected <= 2 retained versions, found $versions")
+    val commits = new java.io.File(table.root, "data").list().count(_.startsWith("commit-"))
+    assert(commits <= 2, s"expected old commit dirs GC'd, found $commits")
+  }
+
   test("runOnce surfaces per-batch counters (incl. dead-letter style) into lineage") {
     val changeDir = Files.createTempDirectory("changes-c").toString
     val cp = Files.createTempDirectory("cp-c").toString
