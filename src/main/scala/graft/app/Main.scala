@@ -31,6 +31,9 @@ object Main {
       case Array("--buckets", n) => n.toInt
     }.getOrElse(64)
 
+    // embedded callers (tests, notebooks) keep their session; only a
+    // session this CLI itself created is stopped on exit
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("graft-etl")
       // spark-submit injects spark.master as a system property; standalone
@@ -78,7 +81,7 @@ object Main {
           .coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
       case other =>
         System.err.println(s"unknown sink mode $other\n$usage"); sys.exit(2)
-    } finally spark.stop()
+    } finally if (preExisting.isEmpty) spark.stop()
   }
 
   private val usage: String =
