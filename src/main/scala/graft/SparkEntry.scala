@@ -456,17 +456,6 @@ object SparkEntry {
     out
   })
 
-  /** Deterministic fixture accounts shared by the binary-operator queries
-    * (seed fixed; regenerated per JVM under tmp). */
-  private lazy val fixtureDF = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def fixtureAccounts(s: SparkSession): DataFrame =
-    fixtureDF.computeIfAbsent("fx", _ => {
-      import graft.sources.SnapshotFixture
-      val fx = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 42L))
-      import s.implicits._
-      graft.streaming.SnapshotReplay.toDF(s.createDataset(fx.allRecords)).cache()
-    })
-
   /** DuckDB-runnable ANSI SQL twins; keys must mirror `queries`. */
   def oracleSql: Map[String, String] = {
     val lwwSql =
