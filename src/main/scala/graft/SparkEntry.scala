@@ -345,7 +345,22 @@ object SparkEntry {
         t(s, dir, "events"), windowLen = "10 minutes", slide = "10 minutes")
         .select(unix_timestamp(col("window_start")).as("window_epoch"),
           col("event_type"), col("n"))
-    )
+    ),
+
+    // P4/A2 — SPL mint enrichment through the REAL 82-byte decode
+    // (sqlite.rs:286-303): every field incl. both COptions oracled; k%6==0
+    // rows are packed uninitialized and dropped by the unpack (spl_token
+    // Pack::unpack semantics), which the oracle's WHERE mirrors.
+    "q32_mint_accounts" -> ((s, dir) => {
+      val accounts = syntheticMintAccounts(t(s, dir, "customer"))
+      Enrich.tokenMints(accounts).select(
+        leLongUdf(col("pubkey")).as("cust_id"),
+        leLongUdf(col("mint_authority")).as("authority_id"),
+        col("supply"),
+        col("decimals").cast("int").as("decimals"),
+        col("is_initialized"),
+        leLongUdf(col("freeze_authority")).as("freeze_id"))
+    })
   )
 
   /** First 8 little-endian bytes of a 32-byte key as BIGINT (inverse of the
@@ -365,11 +380,31 @@ object SparkEntry {
         mint = pk(k + 1000000L),
         owner = pk(k + 2000000L),
         amount = k * 131 + 7,
-        delegate = if (k % 3 == 0) Some(pk(k + 3000000L)) else None,
+        // NOT k%3: state==0 (k%3==0) rows are rejected as uninitialized, so a
+        // k%3 rule would leave the COption-Some path unexercised in survivors
+        delegate = if (k % 2 == 0) Some(pk(k + 3000000L)) else None,
         state = (k % 3).toShort,
         isNative = if (k % 5 == 0) Some(k * 11) else None,
         delegatedAmount = k * 7,
         closeAuthority = if (k % 4 == 0) Some(pk(k + 4000000L)) else None)))
+    val pkUdf = udf((k: Long) => pk(k))
+    customer.select(col("c_custkey").cast("long").as("k"))
+      .select(pkUdf(col("k")).as("pubkey"),
+        lit(Enrich.TokenProgram).as("owner"),
+        packUdf(col("k")).as("data"))
+  }
+
+  /** 82-byte SPL mint payloads packed from c_custkey by an SQL-invertible
+    * rule; k%6==0 rows are uninitialized (rejected by the decode, mirrored
+    * by the oracle's WHERE). */
+  private def syntheticMintAccounts(customer: DataFrame): DataFrame = {
+    val packUdf = udf((k: Long) => graft.etl.binary.SplToken.packMint(
+      graft.etl.model.TokenMint(
+        mintAuthority = if (k % 3 != 1) Some(pk(k + 9000000L)) else None,
+        supply = k * 977 + 5,
+        decimals = (k % 10).toShort,
+        isInitialized = k % 6 != 0,
+        freezeAuthority = if (k % 4 == 0) Some(pk(k + 9500000L)) else None)))
     val pkUdf = udf((k: Long) => pk(k))
     customer.select(col("c_custkey").cast("long").as("k"))
       .select(pkUdf(col("k")).as("pubkey"),
@@ -575,9 +610,12 @@ object SparkEntry {
            |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hb FROM ex),
            |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
            |bandkeys AS (${bandSelect.mkString(" UNION ALL ")}),
+           |ok AS (SELECT band, key FROM bandkeys
+           |       GROUP BY band, key HAVING count(*) BETWEEN 2 AND 256),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bandkeys a JOIN bandkeys b
+           |  FROM bandkeys a JOIN ok ON a.band = ok.band AND a.key = ok.key
+           |  JOIN bandkeys b
            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
            |ver AS (
            |  SELECT id_a, id_b,
@@ -623,6 +661,7 @@ object SparkEntry {
            |  SELECT t, vec_id,
            |    SUM(CASE WHEN $dotPlane >= 0.0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
            |  FROM v, p GROUP BY t, vec_id),
+           |okb AS (SELECT t, bucket FROM cb GROUP BY t, bucket HAVING count(*) <= 100000),
            |qb AS (
            |  SELECT t, vec_id, unnest([bucket, $probes]) AS bucket
            |  FROM cb WHERE vec_id < 20),
@@ -630,6 +669,7 @@ object SparkEntry {
            |  SELECT q.vec_id AS qid, c.vec_id AS cid, max($dotPair) AS cos
            |  FROM qb q
            |  JOIN cb c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  JOIN okb ON c.t = okb.t AND c.bucket = okb.bucket
            |  JOIN v vq ON q.vec_id = vq.vec_id
            |  JOIN v vc ON c.vec_id = vc.vec_id
            |  GROUP BY 1, 2)
@@ -672,9 +712,11 @@ object SparkEntry {
            |  SELECT vec_id,
            |    SUM(CASE WHEN $dotPlane >= 0.0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
            |  FROM v, p GROUP BY vec_id),
+           |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 4096),
            |cand AS (
            |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |  FROM b x JOIN ok ON x.bucket = ok.bucket
+           |  JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |SELECT id_a, id_b
            |FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
            |WHERE $dotPair >= 0.2""".stripMargin
@@ -697,8 +739,10 @@ object SparkEntry {
            |sig AS (SELECT doc_id, $sigExpr AS sim FROM v),
            |ch AS (SELECT doc_id, (sim >> (15 * c)) & 32767 AS cv, c
            |       FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+           |ok AS (SELECT c, cv FROM ch GROUP BY c, cv HAVING count(*) BETWEEN 2 AND 1024),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+           |  FROM ch a JOIN ok ON a.c = ok.c AND a.cv = ok.cv
+           |  JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
            |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
            |WHERE bit_count(xor(sa.sim, sb.sim)) <= 3""".stripMargin
@@ -706,6 +750,9 @@ object SparkEntry {
       // twins of the real binary decode paths: the pack rules are invertible
       // in SQL, so every decoded field (COption tags, progressive borsh
       // tails, loader filters) is oracle-checked
+      // the fixture packs state = k%3, so a third of the payloads are
+      // Uninitialized — the engine rejects them (spl_token Pack::unpack
+      // semantics) and the oracle's WHERE mirrors the drop rule
       "q17_token_accounts" ->
         """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
           | CAST(c_custkey + 1000000 AS BIGINT) AS mint_id,
@@ -714,9 +761,19 @@ object SparkEntry {
           | CAST(c_custkey % 3 AS INT) AS state,
           | CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey * 11 AS BIGINT) END AS is_native,
           | CAST(c_custkey * 7 AS BIGINT) AS delegated_amount,
-          | CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey + 3000000 AS BIGINT) END AS delegate_id,
+          | CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey + 3000000 AS BIGINT) END AS delegate_id,
           | CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey + 4000000 AS BIGINT) END AS close_id
-          |FROM customer""".stripMargin,
+          |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+      // P4 mint decode through the REAL 82-byte unpack; k%6==0 rows are
+      // packed uninitialized and must be dropped by engine AND oracle
+      "q32_mint_accounts" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+          | CASE WHEN c_custkey % 3 <> 1 THEN CAST(c_custkey + 9000000 AS BIGINT) END AS authority_id,
+          | CAST(c_custkey * 977 + 5 AS BIGINT) AS supply,
+          | CAST(c_custkey % 10 AS INT) AS decimals,
+          | TRUE AS is_initialized,
+          | CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey + 9500000 AS BIGINT) END AS freeze_id
+          |FROM customer WHERE c_custkey % 6 <> 0""".stripMargin,
       "q18_token_metadata" ->
         """SELECT CAST(c_custkey AS BIGINT) AS cust_id,
           | 'NFT-' || CAST(c_custkey AS VARCHAR) AS name,

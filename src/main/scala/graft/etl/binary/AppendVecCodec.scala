@@ -15,14 +15,26 @@ import graft.etl.model.AccountUpdate
   * | offset | field         | type          | section (append_vec.rs)   |
   * |--------|---------------|---------------|---------------------------|
   * | 0      | write_version | u64           | StoredMeta (:53-60)       |
-  * | 8      | pubkey        | [u8;32]       | StoredMeta                |
-  * | 40     | data_len      | u64           | StoredMeta                |
-  * | 48     | lamports      | u64           | AccountMeta (:64-74,      |
-  * | 56     | owner         | [u8;32]       |   natural Rust layout:    |
-  * | 88     | executable    | u8 (+7 pad)   |   bool at 40, rent_epoch  |
-  * | 96     | rent_epoch    | u64           |   8-aligned at 48)        |
+  * | 8      | data_len      | u64           | StoredMeta                |
+  * | 16     | pubkey        | [u8;32]       | StoredMeta                |
+  * | 48     | lamports      | u64           | AccountMeta (:64-74)      |
+  * | 56     | rent_epoch    | u64           | AccountMeta               |
+  * | 64     | owner         | [u8;32]       | AccountMeta               |
+  * | 96     | executable    | u8 (+7 pad)   | AccountMeta               |
   * | 104    | hash          | [u8;32]       | Hash (:254)               |
   * | 136    | data          | data_len (+pad to 8) | (:255)             |
+  *
+  * The structs are `repr(Rust)` (no `repr(C)` in append_vec.rs:53-74), and
+  * rustc's default layout orders fields by DESCENDING ALIGNMENT, not
+  * declaration order: within StoredMeta the two u64s (write_version,
+  * data_len) precede the align-1 `pubkey` array, and within AccountMeta the
+  * u64s (lamports, rent_epoch) precede `owner` and `executable`. Later
+  * solana-accounts-db versions freeze exactly this layout with `repr(C)` by
+  * declaring `{write_version, data_len, pubkey}` / `{lamports, rent_epoch,
+  * owner, executable}`, and third-party parsers of real snapshots
+  * (e.g. Firedancer's fd_solana_account_hdr) read the same offsets.
+  * AppendVecCodecSpec pins these absolute offsets against hand-authored
+  * bytes so encoder/decoder co-drift cannot pass the round-trip tests.
   *
   * The scan stops at the first offset where a full record no longer fits
   * inside `currentLen` (append_vec.rs:221-224, lib.rs:61-70); `currentLen`
@@ -94,7 +106,7 @@ object AppendVecCodec {
         if (done) return
         if (offset + HeaderSize > currentLen) { done = true; return }
         if (!readFully(header, HeaderSize)) { done = true; return }
-        val dataLen = hbuf.getLong(40)
+        val dataLen = hbuf.getLong(8)
         if (dataLen < 0 || offset + HeaderSize + dataLen > currentLen) { done = true; return }
         // a record that FITS currentLen but exceeds the JVM array limit is a
         // hard error, not a silent stream desync (reads would short-count
@@ -111,14 +123,14 @@ object AppendVecCodec {
         val padAvail = math.min(pad, currentLen - (offset + HeaderSize + dataLen))
         skipFully(padAvail)
         nextRec = AccountUpdate(
-          pubkey = java.util.Arrays.copyOfRange(header, 8, 40),
+          pubkey = java.util.Arrays.copyOfRange(header, 16, 48),
           slot = slot,
           writeVersion = hbuf.getLong(0),
           dataLen = dataLen,
-          owner = java.util.Arrays.copyOfRange(header, 56, 88),
+          owner = java.util.Arrays.copyOfRange(header, 64, 96),
           lamports = hbuf.getLong(48),
-          executable = header(88) != 0,
-          rentEpoch = hbuf.getLong(96),
+          executable = header(96) != 0,
+          rentEpoch = hbuf.getLong(56),
           hash = java.util.Arrays.copyOfRange(header, 104, 136),
           data = data)
         offset += HeaderSize + dataLen + padAvail
@@ -142,12 +154,12 @@ object AppendVecCodec {
       val rec = ByteBuffer.allocate(align8(HeaderSize + r.data.length))
         .order(ByteOrder.LITTLE_ENDIAN)
       rec.putLong(0, r.writeVersion)
-      putBytes(rec, 8, r.pubkey, 32)
-      rec.putLong(40, r.data.length.toLong)
+      rec.putLong(8, r.data.length.toLong)
+      putBytes(rec, 16, r.pubkey, 32)
       rec.putLong(48, r.lamports)
-      putBytes(rec, 56, r.owner, 32)
-      rec.put(88, if (r.executable) 1.toByte else 0.toByte)
-      rec.putLong(96, r.rentEpoch)
+      rec.putLong(56, r.rentEpoch)
+      putBytes(rec, 64, r.owner, 32)
+      rec.put(96, if (r.executable) 1.toByte else 0.toByte)
       putBytes(rec, 104, r.hash, 32)
       putBytes(rec, 136, r.data, r.data.length)
       out.write(rec.array())

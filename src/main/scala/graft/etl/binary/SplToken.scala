@@ -11,6 +11,12 @@ import graft.etl.model.{TokenAccount, TokenMint, TokenMultisig}
   * 235-324): token account = 165 B, mint = 82 B, multisig = 355 B; any other
   * size under the token program owner is warn-and-skip (sqlite.rs:252-258).
   * `COption<T>` = 4-byte little-endian tag (0/1) + value bytes.
+  *
+  * Uninitialized accounts are REJECTED (→ None), mirroring spl_token's
+  * `Pack::unpack` (the reference's `if let Ok(..)` at sqlite.rs:238-251
+  * skips them): a token account whose `state` is 0 (Uninitialized), a mint
+  * with `is_initialized == false`, or a multisig with
+  * `is_initialized == 0` never reaches a sink row.
   */
 object SplToken {
 
@@ -39,9 +45,11 @@ object SplToken {
   /** 165-B token account (sqlite.rs:264-284): mint(0,32) owner(32,32)
     * amount(64,u64) delegate(72,COption pk) state(108,u8)
     * is_native(109,COption u64) delegated_amount(121,u64)
-    * close_authority(129,COption pk). */
+    * close_authority(129,COption pk). `state == 0` (Uninitialized) rejects
+    * the account, as spl_token's `Account::unpack` does. */
   def unpackTokenAccount(data: Array[Byte]): Option[TokenAccount] = {
     if (data.length != TokenAccountSize) return None
+    if (data(108) == 0) return None // AccountState::Uninitialized
     val buf = le(data)
     Some(TokenAccount(
       mint = slice(data, 0, 32),
@@ -56,9 +64,11 @@ object SplToken {
 
   /** 82-B mint (sqlite.rs:286-303): mint_authority(0,COption pk)
     * supply(36,u64) decimals(44,u8) is_initialized(45,u8)
-    * freeze_authority(46,COption pk). */
+    * freeze_authority(46,COption pk). `is_initialized == false` rejects the
+    * mint, as spl_token's `Mint::unpack` does. */
   def unpackMint(data: Array[Byte]): Option[TokenMint] = {
     if (data.length != MintSize) return None
+    if (data(45) == 0) return None // uninitialized
     val buf = le(data)
     Some(TokenMint(
       mintAuthority = cOptionPubkey(data, 0),
@@ -70,9 +80,11 @@ object SplToken {
 
   /** 355-B multisig (sqlite.rs:305-315): m(0,u8) n(1,u8)
     * is_initialized(2,u8) signers(3, 11×32 B). Only the first `n` signer
-    * slots are meaningful (explode G1, sqlite.rs:315-322). */
+    * slots are meaningful (explode G1, sqlite.rs:315-322).
+    * `is_initialized == 0` rejects, as spl_token's `Multisig::unpack` does. */
   def unpackMultisig(data: Array[Byte]): Option[TokenMultisig] = {
     if (data.length != MultisigSize) return None
+    if (data(2) == 0) return None // uninitialized
     val m = (data(0) & 0xff).toShort
     val n = (data(1) & 0xff).toShort
     val signers = (0 until math.min(n.toInt, MaxSigners))

@@ -60,6 +60,44 @@ class AppendVecCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("absolute on-disk offsets match the repr(Rust) align-descending layout " +
+    "(hand-authored bytes, independent of the encoder)") {
+    // Layout per rustc's align-descending field ordering of the reference's
+    // repr(Rust) structs (append_vec.rs:53-74), frozen as repr(C) in later
+    // solana-accounts-db and read at the same offsets by Firedancer:
+    //   0  write_version u64 | 8 data_len u64 | 16 pubkey[32]
+    //   48 lamports u64 | 56 rent_epoch u64 | 64 owner[32] | 96 executable u8
+    //   104 hash[32] | 136 data
+    val data = Array[Byte](0x11, 0x22, 0x33)
+    val buf = java.nio.ByteBuffer.allocate(AppendVecCodec.align8(136 + data.length))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(0, 0x0102030405060708L)              // write_version
+    buf.putLong(8, data.length.toLong)               // data_len
+    (0 until 32).foreach(i => buf.put(16 + i, (0x40 + i).toByte)) // pubkey
+    buf.putLong(48, 987654321L)                      // lamports
+    buf.putLong(56, 361L)                            // rent_epoch
+    (0 until 32).foreach(i => buf.put(64 + i, (0x80 + i).toByte)) // owner
+    buf.put(96, 1.toByte)                            // executable
+    (0 until 32).foreach(i => buf.put(104 + i, (0xc0 + i).toByte)) // hash
+    data.indices.foreach(i => buf.put(136 + i, data(i)))
+    val bytes = buf.array()
+    val out = AppendVecCodec.decode(bytes, slot = 5L, bytes.length.toLong).toSeq
+    assert(out.size === 1)
+    val r = out.head
+    assert(r.writeVersion === 0x0102030405060708L)
+    assert(r.dataLen === 3L)
+    assert(r.pubkey.toSeq === (0 until 32).map(i => (0x40 + i).toByte))
+    assert(r.lamports === 987654321L)
+    assert(r.rentEpoch === 361L)
+    assert(r.owner.toSeq === (0 until 32).map(i => (0x80 + i).toByte))
+    assert(r.executable === true)
+    assert(r.hash.toSeq === (0 until 32).map(i => (0xc0 + i).toByte))
+    assert(r.data.toSeq === data.toSeq)
+    // and the encoder produces exactly these bytes (co-drift guard)
+    val (encoded, _) = AppendVecCodec.encode(Seq(r))
+    assert(encoded.toSeq === bytes.toSeq)
+  }
+
   test("trailing garbage past current_len is ignored (archived.rs:127-130)") {
     val (bytes, currentLen) = AppendVecCodec.encode(Seq(acct(1), acct(2)), trailingGarbage = 300)
     assert(bytes.length > currentLen)
@@ -194,6 +232,20 @@ class SplTokenSpec extends AnyFunSuite {
     assert(SplToken.unpackTokenAccount(new Array[Byte](100)).isEmpty)
     assert(SplToken.unpackMint(new Array[Byte](165)).isEmpty)
     assert(SplToken.unpackMultisig(new Array[Byte](82)).isEmpty)
+  }
+  test("uninitialized accounts are rejected like spl_token Pack::unpack " +
+      "(reference's `if let Ok`, sqlite.rs:238-251)") {
+    // token account: state byte 0 = AccountState::Uninitialized
+    val t = TokenAccount(pk(1), pk(2), 7L, None, state = 0, None, 0L, None)
+    assert(SplToken.unpackTokenAccount(SplToken.packTokenAccount(t)).isEmpty)
+    // mint: is_initialized == false
+    val m = TokenMint(None, 1L, 0, isInitialized = false, None)
+    assert(SplToken.unpackMint(SplToken.packMint(m)).isEmpty)
+    // multisig: is_initialized byte cleared
+    val bytes = SplToken.packMultisig(TokenMultisig(1, 1, Seq(pk(3))))
+    assert(SplToken.unpackMultisig(bytes).isDefined)
+    bytes(2) = 0
+    assert(SplToken.unpackMultisig(bytes).isEmpty)
   }
 }
 
