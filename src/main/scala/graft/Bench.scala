@@ -9,10 +9,16 @@ import org.apache.spark.sql.SparkSession
   * measure first-job session warmup.
   *
   * `cdc_replay` is the headline north-rule metric: decode+merge throughput
-  * of a deterministic full+incremental snapshot stream into the lake table
-  * (events/sec in `extra.cdc_replay_events_per_sec`; scaling efficiency
-  * across parallelism levels is measured separately by graft.ScalingBench —
-  * see BASELINE.md).
+  * of a deterministic full+incremental snapshot stream into the lake table.
+  * It uses the SAME protocol as graft.ScalingBench: `$SPARK_GRAFT_BENCH_REPS`
+  * (default 3) repetitions on fresh tables, headline = the FASTEST rep —
+  * a single sample on this shared box can land on a co-tenant noise spike
+  * (BENCH_r02's 113 s sample vs SCALING.json's 20-40 s band); per-rep walls
+  * are recorded in `extra.cdc_replay_rep_secs` so outliers are visible.
+  *
+  * Query failures are NOT swallowed: a crashing query reports -1 seconds AND
+  * lands in `extra.errors`, so a regression cannot ship a green-looking
+  * artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,43 +33,62 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup pass (not timed)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def note(name: String, e: Throwable): Unit = {
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      errors.getOrElseUpdate(name, msg)
+      System.err.println(s"[bench] $name FAILED: $msg")
+    }
+
+    // warmup pass (not timed; failures still recorded)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case e: Throwable => note(name, e) }
     }
     // timed pass
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => note(name, e); name -> -1.0 }
     }
 
     // headline CDC replay throughput: full + 2 incremental UNPACKED
     // snapshots in tmpfs (decode parallelism = vec count; archives are
     // sequential by format), sized so merge work dominates fixed per-batch
-    // costs (12.3M events ≈ 3 GiB; ≥ 60 s at the scaling bench's local[4],
-    // see SCALING.json). Generation is excluded from timing and cached in
-    // tmpfs across runs via a DONE marker.
+    // costs (12.3M events ≈ 3 GiB). Generation is excluded from timing and
+    // cached in tmpfs across runs via a DONE marker. Headline = min of reps.
     val work = ScalingBench.defaultWorkDir("graft-bench-cdc")
     val perVec = sys.env.getOrElse("SPARK_GRAFT_BENCH_VEC", "128000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val events = ScalingBench.ensureInput(s"$work/input", perVec)
-    val tableDir = s"$work/table-${System.nanoTime()}"
-    val table = graft.streaming.SnapshotReplay.createTable(spark, tableDir, 32)
-    val t0 = System.nanoTime()
-    Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
-      graft.streaming.SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name")
+    val runs = (1 to reps).map { rep =>
+      val tableDir = s"$work/table-$rep-${System.nanoTime()}"
+      val table = graft.streaming.SnapshotReplay.createTable(spark, tableDir, 32)
+      val t0 = System.nanoTime()
+      Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
+        graft.streaming.SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val finalRows = table.read().count()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      System.err.println(f"[bench] cdc_replay rep $rep: $sec%.1fs (${(events / sec).round} ev/s)")
+      (sec, finalRows)
     }
-    val replaySec = (System.nanoTime() - t0) / 1e9
-    val finalRows = table.read().count()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+    require(runs.map(_._2).distinct.size == 1,
+      s"divergent final state across reps: ${runs.map(_._2)}")
+    val replaySec = runs.map(_._1).min
+    val finalRows = runs.head._2
     val replayThroughput = (events / replaySec).round
 
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val repSecs = runs.map(_._1).mkString("[", ",", "]")
     val total = results.map(_._2).sum + replaySec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""extra":{"cdc_replay_events":$events,"cdc_replay_sec":$replaySec,""" +
       s""""cdc_replay_events_per_sec":$replayThroughput,""" +
-      s""""cdc_replay_final_rows":$finalRows},"sf":"$sfDir"}""")
+      s""""cdc_replay_rep_secs":$repSecs,""" +
+      s""""cdc_replay_final_rows":$finalRows,"errors":$errJson},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

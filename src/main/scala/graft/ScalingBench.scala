@@ -8,18 +8,30 @@ import graft.sources.SnapshotFixture
 import graft.streaming.SnapshotReplay
 
 /** North-rule scaling benchmark (BASELINE.md measurement protocol): replay
-  * the SAME full+incremental snapshot stream at two parallelism levels —
-  * `local[8]` (shuffle.partitions=8) and `local[32]` (=32) — and report
-  * account-upserts/sec at both plus scaling efficiency
-  * `(thr_B / thr_A) / (32 / 8)`; the sandbox substitute for N vs 4N
+  * the SAME full+incremental snapshot stream at two parallelism levels — N
+  * and 4N cores — and report account-upserts/sec at both plus scaling
+  * efficiency `(thr_B / thr_A) / 4`; the sandbox substitute for N vs 4N
   * executors (no real cluster here).
+  *
+  * Two isolation modes (`SPARK_GRAFT_SCALE_MODE`):
+  *  - `threads` (default): `local[N]` — driver + N executor threads in ONE
+  *    JVM sharing one heap/GC. Cheapest, but thread counts in a shared heap
+  *    are the weakest stand-in for executor counts.
+  *  - `procs`: `local-cluster[N,1,mem]` — N SEPARATE single-core executor
+  *    JVMs with their own heaps and GC, shuffling over netty, exactly like
+  *    standalone workers on one host. This is the closest in-sandbox
+  *    approximation of "spark-submit at N and 4N executors": per-executor
+  *    memory is constant across the two levels (as it would be on a real
+  *    cluster), so the comparison doesn't conflate executor count with
+  *    per-thread heap shrinkage. Requires SPARK_HOME (the workers launch
+  *    executor JVMs via the Spark launcher).
   *
   * Input: deterministic unpacked snapshots (decode parallelism = AppendVec
   * count; archives are sequential by format). Generation time and Spark
   * session startup are excluded from the replay timing.
   *
   * Usage: runMain graft.ScalingBench [accountsPerVec] (default sized so the
-  * local[8] run is ≳60 s).
+  * N-core run is ≳60 s).
   */
 object ScalingBench {
 
@@ -85,37 +97,75 @@ object ScalingBench {
     val nA = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     val nB = nA * 4
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    val plan = -nB +: Seq.fill(reps)(Seq(nA, nB)).flatten
-    val runs = plan.map { signedCpus =>
-      val warmup = signedCpus < 0
-      val cpus = math.abs(signedCpus)
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
+    val plan = Seq.fill(reps)(Seq(nA, nB)).flatten
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "threads")
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "3072").toInt
+    val runs = plan.map { cpus =>
+      val builder = SparkSession.builder()
         .appName(s"graft-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", s"$work/spark-local")
-        .getOrCreate()
+      if (mode == "procs") {
+        require(sys.env.contains("SPARK_HOME"),
+          "SPARK_GRAFT_SCALE_MODE=procs needs SPARK_HOME (e.g. /opt/spark) so " +
+            "the in-process workers can launch executor JVMs")
+        // cpus/execCores separate executor JVMs (2 cores each by default —
+        // the realistic container shape); ship this JVM's classpath (graft
+        // classes + spark jars) and the JDK-17 --add-opens set to them.
+        //
+        // The executor JVMs MUST be told their real core budget:
+        //  - without -XX:ActiveProcessorCount each JVM sizes GC/netty/
+        //    common-pool threads from the MACHINE's 32 cores — 4N executors
+        //    × 32-wide pools oversubscribe the box (measured: 76 s straggler
+        //    tasks vs 2 s median on uniform partitions);
+        //  - ActiveProcessorCount alone then selects SerialGC at 1-2 cores,
+        //    whose stop-the-world pauses on a 3 GB heap are the next
+        //    straggler source (measured: 76→122 s rep swings). A real
+        //    cluster executor runs G1 inside its container cores — pin G1
+        //    with a small GC thread pool to reproduce that.
+        val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
+        val nExec = math.max(1, cpus / execCores)
+        builder
+          .master(s"local-cluster[$nExec,$execCores,$execMemMb]")
+          .config("spark.executor.memory", s"${execMemMb}m")
+          .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+          .config("spark.executor.extraJavaOptions",
+            org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions() +
+              s" -XX:ActiveProcessorCount=$execCores -XX:+UseG1GC" +
+              " -XX:ParallelGCThreads=2 -XX:ConcGCThreads=1")
+      } else {
+        builder.master(s"local[$cpus]")
+      }
+      val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      // IN-SESSION warmup batch (never timed): in procs mode every session
+      // spawns FRESH executor JVMs, so executor registration + JIT would
+      // otherwise land inside the timed window — a real cluster job pays
+      // that once per job, not once per 10^10-event stream, so it must not
+      // distort a minutes-long proxy run. Also warms threads-mode JIT.
+      val wDir = s"$work/wtable-$cpus-${System.nanoTime()}"
+      SnapshotReplay.applySnapshot(spark,
+        SnapshotReplay.createTable(spark, wDir, numBuckets = 32),
+        s"$inputDir/snap-inc1", salted = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wDir))
       val tableDir = s"$work/table-$cpus-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, tableDir, numBuckets = 32)
-      val snaps = if (warmup) Seq("snap-inc1") else Seq("snap-full", "snap-inc1", "snap-inc2")
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      snaps.foreach { name =>
+      Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
         SnapshotReplay.applySnapshot(spark, table, s"$inputDir/$name", salted = false)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
-      val finalRows = if (warmup) 0L else table.read().count()
+      val finalRows = table.read().count()
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
-      System.err.println(f"[scaling] local[$cpus] ${if (warmup) "warmup" else "run"} " +
-        f"sec=$sec%.1f gc=$gcSec%.1f")
+      System.err.println(f"[scaling] $mode[$cpus] run sec=$sec%.1f gc=$gcSec%.1f")
       (cpus, sec, total / sec, finalRows)
-    }.drop(1)
+    }
 
     val results = Seq(nA, nB).map { cpus =>
       runs.filter(_._1 == cpus).minBy(_._2)
@@ -124,7 +174,7 @@ object ScalingBench {
     require(rowsA == rowsB, s"divergent final state: $rowsA vs $rowsB")
     val efficiency = (thrB / thrA) / 4.0
     println(
-      s"""{"metric":"account_upserts_per_sec","events":$total,"final_rows":$rowsA,""" +
+      s"""{"metric":"account_upserts_per_sec","mode":"$mode","events":$total,"final_rows":$rowsA,""" +
         s""""local$nA":{"sec":$secA,"throughput":${thrA.round}},""" +
         s""""local$nB":{"sec":$secB,"throughput":${thrB.round}},""" +
         s""""scaling_efficiency":${f"$efficiency%.3f"},"target":0.8}""")

@@ -56,6 +56,11 @@ object Main {
         val table = SnapshotReplay.createTable(spark, out, buckets)
         val n = SnapshotReplay.replayDir(spark, table, source)
         System.err.println(s"[graft] replayed $n upserts -> $out")
+      case "--csv-out" if out == "-" => // K2 stdout form: stream rows to the
+        // pipe like csv.rs:32; a closed pipe (EPIPE) exits SILENTLY with
+        // success (csv.rs:55-56 — `head` compositions are not errors)
+        val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
+        csvToStdout(Enrich.csvProjection(SnapshotReplay.toDF(accounts)))
       case "--csv-out" => // K2: duplicates preserved, base58 keys (csv.rs)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         Enrich.csvProjection(SnapshotReplay.toDF(accounts))
@@ -63,18 +68,24 @@ object Main {
       case "--programs-out" => // K4: one <base58>.so per program (programs.rs)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         Programs.writeProgramsDir(Programs.programs(SnapshotReplay.toDF(accounts)), out)
-      case "--programs-tar" => // K4 tar form: ustar of <base58>.so, mode 0644
+      case "--programs-tar" => // K4 tar form: ustar of <base58>.so, mode 0644;
+        // out == "-" streams the tar to stdout (programs.rs:12-30), ready to
+        // pipe into --opcode-stats-out - (≙ the reference's two-binary pipe)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
-        Programs.writeProgramsTar(Programs.programs(SnapshotReplay.toDF(accounts)), out)
+        val progs = Programs.programs(SnapshotReplay.toDF(accounts))
+        if (out == "-") { Programs.writeProgramsTar(progs, System.out); System.out.flush() }
+        else Programs.writeProgramsTar(progs, out)
       case "--geyser" => // K3: plugin push (geyser_plugin.rs:25-60); out = config json
         val handler = graft.streaming.GeyserPluginLoader.load(out)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         graft.streaming.PushSink.push(accounts, handler, isStartup = false)
       case "--opcode-stats-out" => // solana-opcode-stats main; source is a
         // programs tar (the reference pipes --programs-out into its stdin,
-        // solana-opcode-stats/main.rs:30-53) or a snapshot to scan directly
+        // solana-opcode-stats/main.rs:30-53), "-" for a tar ON STDIN (the
+        // reference's actual input mode), or a snapshot to scan directly
         val programs =
-          if (source.endsWith(".tar")) Programs.readProgramsTar(spark, Seq(source))
+          if (source == "-") Programs.readProgramsTar(spark, Seq(spoolStdinTar()))
+          else if (source.endsWith(".tar")) Programs.readProgramsTar(spark, Seq(source))
           else Programs.programs(SnapshotReplay.toDF(
             graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)))
         OpcodeStats.histogram(programs)
@@ -84,11 +95,38 @@ object Main {
     } finally if (preExisting.isEmpty) spark.stop()
   }
 
+  /** Stream the 4-column CSV to stdout, one partition in memory at a time
+    * (toLocalIterator ≙ the reference's single-threaded stdout writer,
+    * csv.rs:22-62). PrintStream swallows EPIPE into checkError(), so a
+    * closed pipe stops the dump silently — exit code 0, like csv.rs:55-56. */
+  private[app] def csvToStdout(csv: org.apache.spark.sql.DataFrame): Unit = {
+    val ps = System.out
+    ps.println("pubkey,owner,data_len,lamports")
+    val it = csv.toLocalIterator()
+    while (it.hasNext && !ps.checkError()) {
+      val r = it.next()
+      ps.println(s"${r.getString(0)},${r.getString(1)},${r.getLong(2)},${r.getLong(3)}")
+    }
+    ps.flush()
+  }
+
+  /** Spool a tar arriving on stdin to a temp file so the (splittable-less)
+    * tar still decodes in an executor task, not on the driver. */
+  private def spoolStdinTar(): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft-stdin", ".tar")
+    java.nio.file.Files.copy(System.in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
   private val usage: String =
     """usage: graft.app.Main <snapshot|dir|programs.tar> <sink-mode> <out> [--buckets N]
       |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out
       |           | --programs-tar | --opcode-stats-out | --geyser
       |  exactly one sink mode per run (reference main.rs:27-31);
-      |  --opcode-stats-out accepts a --programs-tar output as its source
-      |  (≙ the reference's programs-tar → opcode-stats stdin pipe)""".stripMargin
+      |  --csv-out - streams CSV to stdout (silent EPIPE exit, csv.rs:55-56);
+      |  --programs-tar - streams the tar to stdout; source "-" with
+      |  --opcode-stats-out reads a programs tar from stdin — together the
+      |  reference's programs-tar | opcode-stats pipe""".stripMargin
 }

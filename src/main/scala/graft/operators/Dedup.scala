@@ -44,12 +44,23 @@ object Dedup {
       df: DataFrame,
       keys: Seq[String],
       ordering: Seq[String],
+      numSalts: Int = 16): DataFrame =
+    latestByKey(saltedPreAggregate(df, keys, ordering, numSalts), keys, ordering)
+
+  /** Phase 1 of the salted dedup alone: collapse to ≤ `numSalts` candidate
+    * rows per key, shuffling on (keys, salt) — the hot key's rows spread
+    * across `numSalts` reducers instead of one. Use when the FINAL per-key
+    * resolution must ride a different partitioning (e.g. LakeTable's bucket
+    * repartition): run this first, then the cheap final dedup downstream. */
+  def saltedPreAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
       numSalts: Int = 16): DataFrame = {
     val cols = df.columns.toSeq
     val salted = df.withColumn("_salt",
       pmod(xxhash64(cols.map(col): _*), lit(numSalts)))
-    val phase1 = latestByKey(salted, keys :+ "_salt", ordering)
-    latestByKey(phase1.drop("_salt"), keys, ordering)
+    latestByKey(salted, keys :+ "_salt", ordering).drop("_salt")
   }
 
   /** Exact-duplicate removal over an arbitrary fingerprint expression

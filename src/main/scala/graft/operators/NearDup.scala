@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection suite for training-data pipelines (builder
@@ -180,16 +180,24 @@ object NearDup {
   /** 60-bit SimHash signatures over whitespace tokens — pure built-ins, no
     * UDF: per-token hash = first 15 hex chars of md5 (60 bits, fits a
     * signed long, and md5 is identical across engines ⇒ q23 gets an EXACT
-    * ANSI-SQL oracle), per-bit ±1 votes as 60 codegen'd conditional sums in
-    * ONE aggregation (map-side combined). Returns (_id, _sim). */
+    * ANSI-SQL oracle). The expensive md5+conv runs ONCE PER DISTINCT TOKEN
+    * (the vocabulary, broadcast-joined back — Zipf makes it tiny next to
+    * the occurrence stream), and the 60 per-bit vote sums run once per
+    * (doc, token) pair weighted by the occurrence count — exact integer
+    * regrouping of the per-occurrence ±1 sums, so results (and the SQL
+    * oracle) are unchanged. Returns (_id, _sim). */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
     val toks = docs.repartition(par)
       .select(col(idCol).as("_id"), explode(split(lower(col(textCol)), " ")).as("_t"))
+    val counts = toks.groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_cnt"))
+    val vocab = toks.select(col("_t")).distinct()
       .withColumn("_h", conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until SimHashBits).map(b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_v$b"))
-    toks.groupBy(col("_id"))
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, col("_cnt"))
+        .otherwise(-col("_cnt"))).as(s"_v$b"))
+    counts.join(broadcast(vocab), "_t")
+      .groupBy(col("_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("_id"),
         (0 until SimHashBits)
@@ -245,7 +253,13 @@ object NearDup {
     *    O(|A|+|B|) string-hash intersect.
     *
     * Both are deterministic with one IEEE division per pair ⇒ exact DuckDB
-    * oracle (q24). Output (id_a, id_b, ngram_jaccard), id_a < id_b. */
+    * oracle (q24). Output (id_a, id_b, ngram_jaccard), id_a < id_b.
+    *
+    * NOTE: with `forceStrategy = None` this method runs ONE eager Spark job
+    * at DataFrame-construction time (the vocabulary probe that picks the
+    * strategy — and doubles as the dictionary when the bitmap path wins);
+    * the bitmap path runs a second tiny job (doc count) to size its blocks.
+    * Pass `forceStrategy` to keep construction fully lazy. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.5, dictBits: Int = 4096,
       forceStrategy: Option[String] = None): DataFrame = {
@@ -309,16 +323,22 @@ object NearDup {
 
   /** Dense-dictionary path (tiny vocabularies, where prefix filtering is
     * provably useless): dictionary-encode each doc's gram set into a
-    * \u2308V/64\u2309-word bitmap, broadcast the bitmap table (the same memory bound
-    * as any broadcast hash join: N * (V/8 + c) bytes), and verify pairs in a
-    * `mapPartitions` tight loop -- primitive arrays, Jaccard length
-    * pre-filter, popcount(AND) -- with each task owning a stripe of left
-    * indices. No per-pair UDF/codegen boundary: ~2*V/64 word ops per pair.
+    * \u2308V/64\u2309-word bitmap and verify pairs with a DISTRIBUTED block
+    * nested loop \u2014 docs hash into B blocks of ~`blockSize`, every block
+    * pair becomes one task-side tight loop (primitive arrays, Jaccard
+    * length pre-filter, popcount(AND); ~2\u00b7V/64 word ops per surviving
+    * pair). Nothing is ever collected to the driver (only the \u2264dictBits
+    * vocabulary is broadcast), so corpus size is bounded by cluster memory,
+    * not driver memory: per-group working set \u2248 2\u00b7blockSize\u00b7(V/8) bytes,
+    * shuffle volume \u2248 n\u00b7B rows. The O(n\u00b2) pair-check WORK is inherent to
+    * exact Jaccard under a tiny vocabulary (every gram is hot, so no
+    * candidate pruning exists) \u2014 this path distributes it instead of
+    * centralizing it.
     *
-    * Requires distinct, orderable doc ids (numeric or string) -- the output
+    * Requires distinct, orderable doc ids (numeric or string) \u2014 the output
     * orientation id_a < id_b must match the SQL oracle's `<`. */
   private def bitmapJaccardPairs(grams: DataFrame, threshold: Double,
-      vocabOpt: Option[Array[String]]): DataFrame = {
+      vocabOpt: Option[Array[String]], blockSize: Int = 8192): DataFrame = {
     val spark = grams.sparkSession
     import org.apache.spark.sql.types._
     val idType = grams.schema("_id").dataType
@@ -342,59 +362,72 @@ object NearDup {
       gs.foreach { g => val i = dict(g); bmv(i >> 6) |= (1L << (i & 63)) }
       bmv
     })
-    // collect (id, len, bitmap), sorted by id => index order == id order, so
-    // pairing on i < j directly yields id_a < id_b
-    val rows = grams.select(col("_id"), col("_len"), encodeUdf(col("_grams")).as("_bm"))
-      .collect()
-      .map(r => (r.get(0), r.getInt(1), r.getSeq[Long](2).toArray))
-      .sortBy(_._1)(ord)
-    val n = rows.length
-    val lens = rows.map(_._2)
-    val bms = rows.map(_._3)
-    val bcast = spark.sparkContext.broadcast((lens, bms))
-    import spark.implicits._
+    val enc = grams.select(col("_id"), col("_len"), encodeUdf(col("_grams")).as("_bm"))
+    // block count: enough blocks that the B(B+1)/2 block-pair groups keep
+    // every core busy, and small enough that two blocks fit a task comfortably
+    val nDocs = enc.count()
     val par = math.max(1, spark.sparkContext.defaultParallelism)
-    // stripe left indices across tasks (i pmod par) so the triangular
-    // workload (row i verifies n-1-i partners) balances across cores
-    val pairs = spark.range(0, n.toLong)
-      .repartition(par, pmod(col("id"), lit(par)))
-      .as[Long]
-      .mapPartitions { it =>
-        val (ls, bs) = bcast.value
-        val t = threshold
-        it.flatMap { iL =>
-          val i = iL.toInt
-          val li = ls(i)
-          val bi = bs(i)
-          Iterator.range(i + 1, n).flatMap { j =>
-            val lj = ls(j)
-            // Jaccard length filter with +0.5 IEEE slack (lossless; false
-            // positives die in verification)
-            if (li * t > lj + 0.5 || lj * t > li + 0.5) Iterator.empty
-            else {
-              var inter = 0
-              val bj = bs(j)
-              var w = 0
-              while (w < bi.length) { inter += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1 }
-              val jac = inter.toDouble / (li + lj - inter).toDouble
-              if (jac >= t) Iterator.single((i, j, jac)) else Iterator.empty
-            }
-          }
+    val minBlocksForPar = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
+    val b = math.max(1, math.max(minBlocksForPar, math.ceil(nDocs.toDouble / blockSize).toInt))
+    val blocked = enc.withColumn("_blk", pmod(xxhash64(col("_id")), lit(b)).cast("int"))
+
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType, nullable = false),
+      StructField("id_b", idType, nullable = false),
+      StructField("ngram_jaccard", DoubleType, nullable = false)))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val t = threshold
+
+    type Doc = (Any, Int, Array[Long])
+    def docOf(r: org.apache.spark.sql.Row): Doc =
+      (r.get(0), r.getInt(1), r.getSeq[Long](2).toArray)
+    def verify(x: Doc, y: Doc): Iterator[org.apache.spark.sql.Row] = {
+      val (xi, li, bi) = x
+      val (yi, lj, bj) = y
+      // Jaccard length filter with +0.5 IEEE slack (lossless; false
+      // positives die in verification)
+      if (li * t > lj + 0.5 || lj * t > li + 0.5) return Iterator.empty
+      var inter = 0
+      var w = 0
+      while (w < bi.length) { inter += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1 }
+      val jac = inter.toDouble / (li + lj - inter).toDouble
+      if (jac < t) Iterator.empty
+      else if (ord.lt(xi, yi)) Iterator.single(org.apache.spark.sql.Row(xi, yi, jac))
+      else Iterator.single(org.apache.spark.sql.Row(yi, xi, jac))
+    }
+
+    // intra-block pairs: group by block, loop i<j within
+    import spark.implicits._
+    val selfPairs = blocked
+      .groupByKey(_.getAs[Int]("_blk"))(Encoders.scalaInt)
+      .flatMapGroups { (_, rows) =>
+        val ds = rows.map(docOf).toArray
+        Iterator.range(0, ds.length).flatMap { i =>
+          Iterator.range(i + 1, ds.length).flatMap(j => verify(ds(i), ds(j)))
         }
       }
-      .toDF("_ia", "_ib", "ngram_jaccard")
-    // map dense indices back to original ids (tiny broadcast joins)
-    val idxRows = rows.zipWithIndex.map { case ((id, _, _), i) =>
-      org.apache.spark.sql.Row(i, id)
-    }
-    val idxSchema = StructType(Seq(
-      StructField("_idx", IntegerType, nullable = false),
-      StructField("_oid", idType, nullable = false)))
-    val idxDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(idxRows.toIndexedSeq, 1), idxSchema)
-    pairs
-      .join(broadcast(idxDf.as("xa")), col("_ia") === col("xa._idx"))
-      .join(broadcast(idxDf.as("xb")), col("_ib") === col("xb._idx"))
-      .select(col("xa._oid").as("id_a"), col("xb._oid").as("id_b"), col("ngram_jaccard"))
+
+    // cross-block pairs: each (bi < bj) block pair is one group; a doc joins
+    // the groups where its block is either side (replication factor B)
+    val pairIds = for (i <- 0 until b; j <- (i + 1) until b) yield (i * b + j, i, j)
+    if (pairIds.isEmpty) return spark.createDataFrame(selfPairs.rdd, outSchema)
+    val pairsDf = broadcast(pairIds.toDF("_pid", "_bi", "_bj"))
+    val left = blocked.join(pairsDf, col("_blk") === col("_bi"))
+      .select(col("_pid"), lit(0).as("_side"), col("_id"), col("_len"), col("_bm"))
+    val right = blocked.join(pairsDf, col("_blk") === col("_bj"))
+      .select(col("_pid"), lit(1).as("_side"), col("_id"), col("_len"), col("_bm"))
+    val crossPairs = left.unionByName(right)
+      .groupByKey(_.getAs[Int]("_pid"))(Encoders.scalaInt)
+      .flatMapGroups { (_, rows) =>
+        val ls = scala.collection.mutable.ArrayBuffer[Doc]()
+        val rs = scala.collection.mutable.ArrayBuffer[Doc]()
+        rows.foreach { r =>
+          val d = (r.get(2), r.getInt(3), r.getSeq[Long](4).toArray)
+          if (r.getInt(1) == 0) ls += d else rs += d
+        }
+        ls.iterator.flatMap(x => rs.iterator.flatMap(y => verify(x, y)))
+      }
+    spark.createDataFrame(selfPairs.unionByName(crossPairs).rdd, outSchema)
   }
 }

@@ -66,9 +66,15 @@ object Programs {
     * in memory at a time), matching the reference's single-threaded writer;
     * use [[writeProgramsDir]] when a distributed sink is wanted. */
   def writeProgramsTar(programs: DataFrame, file: String): Unit = {
+    val fos = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+    try writeProgramsTar(programs, fos) finally fos.close()
+  }
+
+  /** Stream form of [[writeProgramsTar]] (e.g. stdout — the reference writes
+    * its tar to a file or stdout, programs.rs:12-30). Does NOT close `sink`. */
+  def writeProgramsTar(programs: DataFrame, sink: java.io.OutputStream): Unit = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
-    val out = new TarArchiveOutputStream(
-      new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    val out = new TarArchiveOutputStream(sink)
     out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
     try {
       val it = programs.select("pubkey", "elf").toLocalIterator()
@@ -82,7 +88,8 @@ object Programs {
         out.write(elf)
         out.closeArchiveEntry()
       }
-    } finally out.close()
+      out.finish()
+    } finally out.flush()
   }
 
   /** S10: read a programs tar back as (pubkey BINARY, elf BINARY) — the

@@ -37,7 +37,12 @@ object SnapshotFixture {
       pubkeyPool: Int = 60, // < total accounts ⇒ cross-slot duplicates
       tokenOwnerFraction: Double = 0.7,
       baseSlot: Long = 100L,
-      isDelta: Boolean = false)
+      isDelta: Boolean = false,
+      /** hot-key skew (SkewBench): this fraction of records hits one of
+        * `hotKeys` pubkeys (0.0 = uniform; the extra random draw is only
+        * consumed when > 0, so existing fixtures are byte-stable). */
+      hotKeyFraction: Double = 0.0,
+      hotKeys: Int = 4)
 
   final case class Fixture(
       manifest: SnapshotManifest,
@@ -215,7 +220,11 @@ object SnapshotFixture {
         var wv = startWriteVersion + idx.toLong * perVec
         val recs = (0 until perVec).map { _ =>
           wv += 1
-          mkAccount(rnd, pkFromLong(rnd.nextInt(spec.pubkeyPool).toLong), slot, wv, spec)
+          val pk =
+            if (spec.hotKeyFraction > 0 && rnd.nextDouble() < spec.hotKeyFraction)
+              pkFromLong(rnd.nextInt(spec.hotKeys).toLong)
+            else pkFromLong(rnd.nextInt(spec.pubkeyPool).toLong)
+          mkAccount(rnd, pk, slot, wv, spec)
         }
         val (bytes, currentLen) = AppendVecCodec.encode(recs)
         Files.write(root.resolve(s"accounts/$slot.$v"), bytes)

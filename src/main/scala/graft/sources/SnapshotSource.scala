@@ -145,10 +145,12 @@ object UnpackedSnapshotSource {
 }
 
 /** S3/S4: `.tar.zst` archive snapshot — sequential stream, one task per
-  * archive (the reference has the same constraint, archived.rs:41-43). */
+  * archive (the reference has the same constraint, archived.rs:41-43).
+  * `manifest` is LAZY: callers that take the one-pass staging route
+  * (SnapshotReplay.applySnapshot) never probe the archive driver-side. */
 final case class ArchiveSnapshotSource(spark: SparkSession, archivePath: String) extends SnapshotSource {
 
-  override val manifest: SnapshotManifest =
+  override lazy val manifest: SnapshotManifest =
     ArchiveSnapshotSource.readManifest(archivePath, new Configuration())
 
   override def accountUpdates(spark: SparkSession): Dataset[AccountUpdate] =
@@ -191,13 +193,18 @@ object ArchiveSnapshotSource {
 
   /** Many archives → one sequential decode task each. Full + incremental
     * snapshot archives of a CDC stream are processed this way, parallelism
-    * across archives/batches (SURVEY.md §7.5). */
-  def fromArchives(spark: SparkSession, paths: Seq[String]): Dataset[AccountUpdate] = {
+    * across archives/batches (SURVEY.md §7.5).
+    * @param onManifest serializable task-side callback fired when an
+    *        archive's manifest entry is decoded mid-stream (e.g. add to an
+    *        accumulator) — lets a caller learn the snapshot slot from the
+    *        SAME single pass that decodes the rows. */
+  def fromArchives(spark: SparkSession, paths: Seq[String],
+      onManifest: SnapshotManifest => Unit = _ => ()): Dataset[AccountUpdate] = {
     import spark.implicits._
     spark.createDataset(paths).repartition(math.max(1, paths.size))
       .mapPartitions { it =>
         val conf = new Configuration()
-        it.flatMap(p => decodeArchive(p, conf))
+        it.flatMap(p => decodeTar(openTar(p, conf), onManifest))
       }
   }
 
@@ -215,7 +222,8 @@ object ArchiveSnapshotSource {
 
   /** Same single-pass decode over an already-opened tar stream (HTTP body,
     * test streams). */
-  def decodeTar(tar: TarArchiveInputStream): Iterator[AccountUpdate] = {
+  def decodeTar(tar: TarArchiveInputStream,
+      onManifest: SnapshotManifest => Unit = _ => ()): Iterator[AccountUpdate] = {
     var manifest: SnapshotManifest = null
     new Iterator[AccountUpdate] {
       private var cur: Iterator[AccountUpdate] = Iterator.empty
@@ -229,6 +237,7 @@ object ArchiveSnapshotSource {
             val name = entry.getName
             if (parseManifestPath(name).isDefined) {
               manifest = ManifestCodec.decode(tar)
+              onManifest(manifest)
             } else parseArchiveVecPath(name) match {
               case Some((slot, id)) =>
                 if (manifest == null)
@@ -252,9 +261,11 @@ object ArchiveSnapshotSource {
 /** S5: HTTP(S) streaming source (main.rs:188-200,
   * `SupportedLoader::new_download`): the response body streams straight
   * into the sequential tar.zst decode — the archive is never materialized.
-  * One GET for the manifest probe, one GET inside the (single) decode task;
-  * like local archives, parallelism comes from many URLs, never within one
-  * stream (archived.rs:41-43).
+  * `manifest` is lazy and UNUSED on the replay path: SnapshotReplay stages
+  * rows + captures the manifest in ONE pass, so each URL is fetched with a
+  * SINGLE GET (asserted in HttpSnapshotSourceSpec). Like local archives,
+  * parallelism comes from many URLs, never within one stream
+  * (archived.rs:41-43).
   */
 final case class HttpSnapshotSource(spark: SparkSession, url: String) extends SnapshotSource {
 
@@ -277,12 +288,14 @@ object HttpSnapshotSource {
     conn.getInputStream
   }
 
-  /** Many snapshot URLs → one sequential streaming-decode task each. */
-  def fromUrls(spark: SparkSession, urls: Seq[String]): Dataset[AccountUpdate] = {
+  /** Many snapshot URLs → one sequential streaming-decode task each.
+    * `onManifest` as in [[ArchiveSnapshotSource.fromArchives]]. */
+  def fromUrls(spark: SparkSession, urls: Seq[String],
+      onManifest: graft.etl.model.SnapshotManifest => Unit = _ => ()): Dataset[AccountUpdate] = {
     import spark.implicits._
     spark.createDataset(urls).repartition(math.max(1, urls.size))
       .mapPartitions(_.flatMap { u =>
-        ArchiveSnapshotSource.decodeTar(ArchiveSnapshotSource.wrapTarZst(openUrl(u)))
+        ArchiveSnapshotSource.decodeTar(ArchiveSnapshotSource.wrapTarZst(openUrl(u)), onManifest)
       })
   }
 }

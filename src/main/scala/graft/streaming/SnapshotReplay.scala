@@ -41,14 +41,52 @@ object SnapshotReplay {
       col("hash"), col("data"))
   }
 
-  /** Merge one snapshot (archive file or unpacked dir) as one batch.
+  /** Merge one snapshot (archive file, http(s) URL, or unpacked dir) as one
+    * batch.
+    *
+    * Unpacked dirs merge directly: the manifest is a tiny separate file and
+    * the per-vec files re-scan cheaply (merge evaluates its batch twice —
+    * stats pass + write pass — both parallel local reads).
+    *
+    * Stream-once sources (tar.zst archives, URLs) take a ONE-PASS staging
+    * route instead: a single sequential read decodes rows into a staging
+    * parquet while the manifest is captured via an accumulator from the same
+    * stream, then the merge's two batch evaluations hit the cheap local
+    * staging files. Each archive is read once; each URL costs exactly one
+    * GET (asserted in HttpSnapshotSourceSpec) — at 100 GB archives the
+    * second zstd+tar decode (or transfer) is the dominant avoidable cost.
+    *
     * @return rows upserted (0 if this snapshot was already applied). */
   def applySnapshot(spark: SparkSession, table: LakeTable, path: String,
       salted: Boolean = false): Long = {
-    val src = SnapshotSource.open(spark, path)
     val batchId = s"snapshot:${new Path(path).getName}"
-    table.merge(toDF(src.accountUpdates(spark)), batchId, salted = salted,
-      txn = Some(("snapshot-replay", src.manifest.slot)))
+    SnapshotSource.open(spark, path) match {
+      case u: graft.sources.UnpackedSnapshotSource =>
+        table.merge(toDF(u.accountUpdates(spark)), batchId, salted = salted,
+          txn = Some(("snapshot-replay", u.manifest.slot)))
+      case streamOnce =>
+        // cheap re-delivery pre-check (retained window); the authoritative
+        // txn-watermark check runs in merge() once the slot is known
+        if (table.snapshot().appliedBatches.contains(batchId)) return 0L
+        val acc = spark.sparkContext.collectionAccumulator[Long]("graft.manifest.slot")
+        val onManifest = (m: graft.etl.model.SnapshotManifest) => acc.add(m.slot)
+        val rows = streamOnce match {
+          case a: graft.sources.ArchiveSnapshotSource =>
+            graft.sources.ArchiveSnapshotSource.fromArchives(spark, Seq(a.archivePath), onManifest)
+          case h: graft.sources.HttpSnapshotSource =>
+            graft.sources.HttpSnapshotSource.fromUrls(spark, Seq(h.url), onManifest)
+        }
+        val staging = s"${table.root}/_staging/${new Path(path).getName}-${System.nanoTime()}"
+        try {
+          toDF(rows).write.mode("overwrite").parquet(staging) // the ONLY source read
+          val slots = acc.value
+          require(!slots.isEmpty, s"no manifest seen while staging $path")
+          val staged = spark.read.schema(accountSchema).parquet(staging)
+          table.merge(staged, batchId, salted = salted,
+            txn = Some(("snapshot-replay", slots.get(0))))
+        } finally
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    }
   }
 
   /** Replay every `.tar.zst` archive in `dir`, ordered by manifest slot

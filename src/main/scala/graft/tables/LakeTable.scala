@@ -262,16 +262,29 @@ final class LakeTable private (
     * dedup and old∪new resolution are one aggregation riding the bucket
     * repartition — HashPartitioning(bucket, subsplit) satisfies the
     * grouping's ClusteredDistribution (both partition exprs are in the
-    * grouping), so Catalyst inserts NO second exchange. */
+    * grouping), so Catalyst inserts NO second exchange.
+    *
+    * `salted` (hot-key skew): bucket and subsplit are FUNCTIONS OF THE KEY,
+    * so every duplicate of a hot key lands in one partition of the bucket
+    * exchange — a skewed stream makes that task the stage straggler. The
+    * salted plan pre-aggregates on (keys, salt) BEFORE the bucket exchange
+    * (its own shuffle, hot key spread over the salt space, ≤numSalts
+    * survivors per key), so the bucket exchange then carries only collapsed
+    * rows. Two shuffles instead of one — pay it only when the stream is
+    * actually skewed (SkewBench measures the crossover). */
   private[graft] def buildMerged(existing: DataFrame, alignedBatch: DataFrame,
       snap: TableSnapshot, touchedCount: Int, writeFactor: Int, salted: Boolean): DataFrame = {
-    val unioned = existing.unionByName(alignedBatch)
+    val cores = spark.sparkContext.defaultParallelism
+    val base0 = existing.unionByName(alignedBatch)
+    val base =
+      if (salted) Dedup.saltedPreAggregate(base0, snap.keyCols, snap.orderCols,
+        numSalts = math.max(16, cores))
+      else base0
+    val unioned = base
       .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
       .withColumn(SubSplitCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
       .repartition(math.max(1, touchedCount * writeFactor), col(BucketCol), col(SubSplitCol))
-    if (salted)
-      Dedup.saltedLatestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
-    else Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
+    Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
   }
 
   /** Retire old versions: delete snapshot metadata older than the most

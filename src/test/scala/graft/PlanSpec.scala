@@ -62,6 +62,15 @@ class PlanSpec extends SparkTestBase {
     val exchanges = nodes(p, "Exchange")
     assert(exchanges === 1,
       s"expected ONE exchange (the bucket repartition), got $exchanges:\n${p.take(4000)}")
+
+    // the SALTED plan trades that for exactly TWO exchanges: the (keys,salt)
+    // pre-aggregation shuffle BEFORE the bucket repartition — hot-key rows
+    // must spread over the salt space before they are funneled to their
+    // (key-derived) bucket partition
+    val saltedPlan = plan(t.buildMerged(existing, batch, t.snapshot(),
+      touchedCount = 8, writeFactor = 2, salted = true))
+    assert(nodes(saltedPlan, "Exchange") === 2,
+      s"expected TWO exchanges (salt pre-agg + bucket repartition):\n${saltedPlan.take(4000)}")
   }
 
   test("q22 minhash candidate generation never plans a cartesian product") {

@@ -48,6 +48,57 @@ class MainSpec extends SparkTestBase {
     assert(csv.count() > 0)
   }
 
+  test("--csv-out - streams to stdout; a closed pipe exits silently " +
+      "(csv.rs:32, 55-56)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.out
+    System.setOut(new java.io.PrintStream(buf, true, "UTF-8"))
+    try Main.main(Array(snapshotDir, "--csv-out", "-"))
+    finally System.setOut(old)
+    val lines = buf.toString("UTF-8").split("\n").toSeq
+    assert(lines.head === "pubkey,owner,data_len,lamports")
+    // same rows as the directory sink (duplicates preserved, no dedup)
+    val dir = out("csvcmp")
+    Main.main(Array(snapshotDir, "--csv-out", dir))
+    val expected = spark.read.option("header", "true").csv(dir).count()
+    assert(lines.size.toLong - 1 === expected)
+
+    // EPIPE analog: a PrintStream in error state stops the dump silently
+    // (no exception, no exit code) after at most one more row
+    val broken = new java.io.PrintStream(new java.io.OutputStream {
+      var n = 0
+      override def write(b: Int): Unit = { n += 1; if (n > 40) throw new java.io.IOException("EPIPE") }
+    }, true, "UTF-8")
+    System.setOut(broken)
+    try Main.main(Array(snapshotDir, "--csv-out", "-"))
+    finally System.setOut(old)
+  }
+
+  test("programs-tar on stdout pipes into opcode-stats on stdin " +
+      "(≙ the reference's two-binary pipe, solana-opcode-stats/main.rs:30)") {
+    // stage 1: --programs-tar - (tar bytes to stdout)
+    val tarBuf = new java.io.ByteArrayOutputStream()
+    val oldOut = System.out
+    System.setOut(new java.io.PrintStream(tarBuf, true, "UTF-8"))
+    try Main.main(Array(snapshotDir, "--programs-tar", "-"))
+    finally System.setOut(oldOut)
+    assert(tarBuf.size() > 0)
+    // stage 2: --opcode-stats-out with source "-" (tar on stdin)
+    val oldIn = System.in
+    System.setIn(new java.io.ByteArrayInputStream(tarBuf.toByteArray))
+    val statsDir = out("stats-stdin")
+    try Main.main(Array("-", "--opcode-stats-out", statsDir))
+    finally System.setIn(oldIn)
+    val piped = spark.read.option("header", "true").csv(statsDir)
+      .collect().map(_.toSeq).toSet
+    // identical to the direct (snapshot-scan) histogram
+    val directDir = out("stats-direct")
+    Main.main(Array(snapshotDir, "--opcode-stats-out", directDir))
+    val direct = spark.read.option("header", "true").csv(directDir)
+      .collect().map(_.toSeq).toSet
+    assert(piped === direct)
+  }
+
   test("--replay-table applies full + incrementals in slot order") {
     val work = Files.createTempDirectory("cli-replay").toString
     val (fixtures, expected) = SnapshotFixture.generateStream(seed = 9L, increments = 1)

@@ -182,6 +182,85 @@ class SolanaManifestCodecSpec extends AnyFunSuite {
     intercept[java.io.EOFException](SolanaManifestCodec.decode(bytes.take(200)))
   }
 
+  test("decodes INDEPENDENTLY-AUTHORED bincode bytes (second implementation " +
+      "from the solana.rs:63-111 field lists — catches encoder/decoder co-drift)") {
+    // A from-scratch byte assembly of DeserializableVersionedBank +
+    // AccountsDbFields, written per struct field lists, deliberately using
+    // collection shapes the production encoder never emits (empty maps,
+    // 2-element vectors, None options, absent default_on_eof tails).
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u64(v: Long): Unit = bos.write(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+    def f64(v: Double): Unit = bos.write(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array())
+    def bytes32(fill: Int): Unit = bos.write(Array.fill[Byte](32)(fill.toByte))
+
+    // ---- DeserializableVersionedBank (solana.rs:63-97) ----
+    // blockhash_queue: { last_hash_index u64, last_hash Option<Hash>,
+    //   ages HashMap<Hash, {FeeCalculator(u64), hash_index u64, ts u64}>, max_age usize }
+    u64(7); u8(0) // last_hash = None (encoder always writes Some)
+    u64(2); bytes32(0x11); u64(1); u64(2); u64(3)
+    bytes32(0x12); u64(4); u64(5); u64(6) // two age entries (encoder writes one)
+    u64(150)
+    u64(0) // ancestors: EMPTY map (encoder writes one entry)
+    bytes32(0x21) // hash
+    bytes32(0x22) // parent_hash
+    u64(776) // parent_slot
+    u64(2); u64(1); u64(9); u64(2); u64(10) // hard_forks: TWO (Slot, usize)
+    u64(11); u64(12); u64(13); u64(14); u64(15) // transaction_count..max_tick_height
+    u8(0) // hashes_per_tick = None
+    u64(64) // ticks_per_slot
+    u64(400000000L); u64(0) // ns_per_slot u128
+    u64(1600000000L) // genesis_creation_time
+    f64(78.3) // slots_per_year
+    u64(0) // accounts_data_len
+    u64(777) // slot  <-- bank slot
+    u64(1) // epoch
+    u64(770) // block_height
+    bytes32(0x31) // collector_id
+    u64(42) // collector_fees
+    u64(5000) // fee_calculator
+    u64(1); u64(2); u64(3); u64(4); u8(50) // fee_rate_governor (4×u64 + u8)
+    u64(9) // collected_rent
+    // rent_collector: epoch + EpochSchedule(33) + slots_per_year + Rent(17)
+    u64(1)
+    u64(432000); u64(432000); u8(1); u64(5); u64(6) // EpochSchedule (33 B, warmup=true)
+    f64(78.3)
+    u64(3480); f64(2.0); u8(50) // Rent
+    u64(432000); u64(432000); u8(0); u64(0); u64(0) // epoch_schedule
+    for (i <- 0 until 6) f64(0.1 * i) // inflation
+    // stakes: vote_accounts ONE entry w/ 5-byte account data; NO delegations
+    u64(1); bytes32(0x41); u64(1000) // pubkey, stake
+    u64(99); u64(5); u8(1); u8(2); u8(3); u8(4); u8(5) // Account{lamports, data[5]}
+    bytes32(0x42); u8(0); u64(361) // owner, executable=false, rent_epoch
+    u64(0) // stake_delegations: EMPTY
+    u64(0); u64(1) // unused, epoch
+    u64(0) // stake_history: EMPTY
+    u64(0); u64(0); u64(0) // unused_accounts: three EMPTY collections
+    u64(0) // epoch_stakes: EMPTY (encoder writes one full entry)
+    u8(1) // is_delta = true
+    // ---- AccountsDbFields (solana.rs:100-111) ----
+    u64(2) // two slots
+    u64(5); u64(1); u64(0); u64(100) // slot 5 → [(id 0, len 100)]
+    u64(7); u64(2); u64(1); u64(200); u64(2); u64(300) // slot 7 → two vecs
+    u64(999) // write_version
+    u64(777) // slot
+    bytes32(0xab) // BankHashInfo.hash
+    bytes32(0xac) // snapshot_hash
+    for (i <- 0 until 5) u64(50L + i) // BankHashStats
+    // default_on_eof vectors ABSENT (EOF here must be tolerated)
+
+    val out = SolanaManifestCodec.decode(bos.toByteArray)
+    assert(out.slot === 777L)
+    assert(out.writeVersion === 999L)
+    assert(out.isDelta === true)
+    assert(out.bankHash.toSeq === Array.fill[Byte](32)(0xab.toByte).toSeq)
+    assert(out.entries.toSet === Set(
+      ManifestEntry(5, 0, 100), ManifestEntry(7, 1, 200), ManifestEntry(7, 2, 300)))
+    assert(out.lengthMap((7L, 2L)) === 300L)
+  }
+
   test("ManifestCodec auto-detects bincode vs legacy GSNAP1") {
     val m = mk(isDelta = true)
     val real = ManifestCodec.decode(SolanaManifestCodec.encode(m))

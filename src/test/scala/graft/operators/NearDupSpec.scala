@@ -102,6 +102,32 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("bitmap path survives tiny vocab × 100k docs: distributed block " +
+      "nested loop, nothing collected to the driver") {
+    // 5-char alphabet → ≤625 distinct 4-grams, so the bitmap strategy is
+    // auto-selected; pseudo-random texts of ≥50 chars keep every unrelated
+    // pair far below the threshold (expected overlap ~8 of ~70 grams, and
+    // J ≥ 0.6 would need a ~16σ deviation); ten planted duplicate pairs are
+    // the exact expected output. Before the block-distributed rewrite this
+    // shape (large n, tiny vocabulary) collected every doc's bitmap to the
+    // driver.
+    val n = 100000L
+    val plant = 10L
+    val mk = udf { (i: Long) =>
+      val seed = if (i >= n / 2 && i < n / 2 + plant) i - n / 2 else i
+      val rr = new scala.util.Random(seed * 2654435761L)
+      val len = 50 + (seed % 60).toInt
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(('a' + rr.nextInt(5)).toChar))
+      sb.toString
+    }
+    val big = spark.range(0, n).select(col("id").as("doc_id"), mk(col("id")).as("text"))
+    val got = NearDup.ngramJaccardPairs(big, "doc_id", "text", n = 4, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = (0L until plant).map(i => (i, i + n / 2, 1.0)).toSet
+    assert(got === expected)
+  }
+
   test("portable winnow fingerprints equal a direct per-doc computation") {
     // independent in-memory oracle: md5 gram hashes, min over each full
     // window, distinct values

@@ -95,4 +95,38 @@ class HttpSnapshotSourceSpec extends SparkTestBase {
       assert(viaHttp.toSeq === viaFile.toSeq)
     } finally server.stop(0)
   }
+
+  test("replaying a URL costs exactly ONE GET (one-pass staging: rows + " +
+      "manifest from the same stream)") {
+    val fx = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 13L))
+    val dir = java.nio.file.Files.createTempDirectory("http-once").toString
+    val file = s"$dir/snap.tar.zst"
+    SnapshotFixture.writeArchive(fx, file)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/snap.tar.zst", (ex: com.sun.net.httpserver.HttpExchange) => {
+      gets.incrementAndGet()
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/snap.tar.zst"
+      val tableDir = java.nio.file.Files.createTempDirectory("http-once-tbl").toString
+      val table = graft.streaming.SnapshotReplay.createTable(spark, s"$tableDir/t", 4)
+      val n = graft.streaming.SnapshotReplay.applySnapshot(spark, table, url)
+      assert(n > 0)
+      assert(gets.get() === 1, "replay must fetch the archive exactly once")
+      // the staged merge carried the in-stream manifest slot into the ledger
+      assert(table.snapshot().txns("snapshot-replay") === fx.manifest.slot)
+      // re-delivery: the batchId pre-check skips without another GET
+      assert(graft.streaming.SnapshotReplay.applySnapshot(spark, table, url) === 0L)
+      assert(gets.get() === 1)
+      // staging dir is cleaned up
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tableDir/t/_staging")) ||
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$tableDir/t/_staging")).count() === 0)
+    } finally server.stop(0)
+  }
 }
