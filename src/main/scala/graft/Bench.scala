@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // off-heap Tungsten pages: the replay's reduce stage is GC-bound
+      // on-heap at high thread counts (see ScalingBench scaladoc)
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -73,8 +73,11 @@ object SkewBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$work/spark-local")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageProfiler.maybeAttach(spark)
 
     // warmup (JIT both plan shapes), then interleaved reps, min per arm
     def replay(salted: Boolean): (Double, Long) = {

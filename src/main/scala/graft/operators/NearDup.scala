@@ -59,19 +59,28 @@ object NearDup {
     * sizes; the join and the size-filter ride the SAME hash partitioning on
     * the bucket key, so Catalyst reuses the exchange — the exploded table is
     * shuffled once. */
+  /** `carry`: extra per-doc columns (functionally determined by the id, and
+    * cheap — e.g. a 64-bit signature) propagated to the output as
+    * `<name>_a` / `<name>_b`, so callers can verify candidates WITHOUT
+    * re-joining (and thus re-computing) the signature table. */
   private[operators] def cappedBucketPairs(
       exploded: DataFrame, idCol: String, bucketCols: Seq[String],
-      maxBucket: Int): DataFrame = {
-    val bcols = bucketCols.map(col)
-    val ok = exploded.groupBy(bcols: _*)
-      .agg(count(lit(1)).as("_bsize"))
+      maxBucket: Int, carry: Seq[String] = Nil): DataFrame = {
+    // bucket sizes via a WINDOW over the same (bucketCols) shuffle the
+    // self-join needs — NOT a separate groupBy+join: a groupBy branch plans
+    // its partial aggregate below its exchange, so it cannot share the
+    // exchange with the join sides and the (often expensive) subplan that
+    // produced `exploded` executes twice. The window form keeps ONE
+    // upstream execution; the self-join's two sides then reuse the
+    // identical exchange (ReusedExchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(bucketCols.map(col): _*)
+    val inBucket = exploded.withColumn("_bsize", count(lit(1)).over(w))
       .filter(col("_bsize") >= 2 && col("_bsize") <= maxBucket)
-      .select(bucketCols.map(col): _*)
-    val inBucket = exploded.join(ok, bucketCols)
     inBucket.as("l").join(inBucket.as("r"),
         bucketCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
           col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .select(col(s"l.$idCol").as("id_a") +: col(s"r.$idCol").as("id_b") +:
+        carry.flatMap(c => Seq(col(s"l.$c").as(s"${c}_a"), col(s"r.$c").as(s"${c}_b"))): _*)
       .distinct()
   }
 
@@ -188,16 +197,18 @@ object NearDup {
     * oracle) are unchanged. Returns (_id, _sim). */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    // ONE pass over the token stream: explode → md5 → 60 vote sums, all
+    // map-side-combined into per-doc rows before the (tiny) shuffle. A
+    // dedupe-tokens-first variant (count per (doc, token), hash only the
+    // distinct vocabulary, weight votes by count) was measured SLOWER: it
+    // scans/explodes the token stream twice and shuffles the (doc, token)
+    // pairs, which costs more than the md5 evaluations it saves.
     val toks = docs.repartition(par)
       .select(col(idCol).as("_id"), explode(split(lower(col(textCol)), " ")).as("_t"))
-    val counts = toks.groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_cnt"))
-    val vocab = toks.select(col("_t")).distinct()
       .withColumn("_h", conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until SimHashBits).map(b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, col("_cnt"))
-        .otherwise(-col("_cnt"))).as(s"_v$b"))
-    counts.join(broadcast(vocab), "_t")
-      .groupBy(col("_id"))
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_v$b"))
+    toks.groupBy(col("_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("_id"),
         (0 until SimHashBits)
@@ -213,15 +224,16 @@ object NearDup {
       maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole supports maxDist <= 3")
     val base = simHashSignatures(docs, idCol, textCol)
-    val chunks = base.select(col("_id"),
+    // the 64-bit signature rides the exploded chunk rows (carry), so the
+    // Hamming verification needs NO join back to the signature table —
+    // without this the whole signature aggregation is computed twice (the
+    // two consumers don't share an exchange)
+    val chunks = base.select(col("_id"), col("_sim"),
       posexplode(expr("transform(sequence(0, 3), c -> (_sim >> (c * 15)) & 32767)"))
         .as(Seq("_chunk", "_cval")))
-    val sims = base.select(col("_id"), col("_sim"))
-    cappedBucketPairs(chunks, "_id", Seq("_chunk", "_cval"), maxBucket)
-      .join(sims.as("sa"), col("id_a") === col("sa._id"))
-      .join(sims.as("sb"), col("id_b") === col("sb._id"))
+    cappedBucketPairs(chunks, "_id", Seq("_chunk", "_cval"), maxBucket, carry = Seq("_sim"))
       .select(col("id_a"), col("id_b"),
-        expr("cast(bit_count(sa._sim ^ sb._sim) as int)").as("hamming"))
+        expr("cast(bit_count(_sim_a ^ _sim_b) as int)").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
@@ -362,7 +374,12 @@ object NearDup {
       gs.foreach { g => val i = dict(g); bmv(i >> 6) |= (1L << (i & 63)) }
       bmv
     })
+    // eagerly materialize the encoded bitmaps ONCE (localCheckpoint): the
+    // encoding is consumed by four downstream plans (doc count, intra-block
+    // groups, both cross-block sides) which would otherwise each re-run the
+    // gram projection + dictionary encode
     val enc = grams.select(col("_id"), col("_len"), encodeUdf(col("_grams")).as("_bm"))
+      .localCheckpoint()
     // block count: enough blocks that the B(B+1)/2 block-pair groups keep
     // every core busy, and small enough that two blocks fit a task comfortably
     val nDocs = enc.count()

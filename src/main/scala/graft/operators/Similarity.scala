@@ -38,7 +38,9 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int = 5): DataFrame = {
-    val c = corpus.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
     val q = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
     val scored = c.join(broadcast(q), col("_qid") =!= col("_cid"))
       .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
@@ -80,7 +82,11 @@ object Similarity {
   def lshTopKDim(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       dim: Int, k: Int = 5, nPlanes: Int = 6, tables: Int = 4, seed: Long = 42L,
       multiProbe: Boolean = true, maxBucket: Int = 100000): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    // small parquet corpora arrive as ONE split; the normalize+bucket
+    // projection is the expensive part, so spread it first (cheap shuffle)
+    val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+    val c0 = corpus.repartition(par)
+      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
     val q00 = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
     val perTable = (0 until tables).map { t =>
       val planes = hyperplanes(nPlanes, dim, seed + 7919L * t)
@@ -101,12 +107,13 @@ object Similarity {
     // hot-bucket cap: a bucket holding B corpus rows costs B work for EVERY
     // probe landing in it; web-scale corpora guarantee dense clusters (near-
     // identical embeddings share all sign bits). Buckets over the cap are
-    // skipped as candidates — the other tables/probes keep recall.
-    val okBuckets = cAll.groupBy(col("_table"), col("_bucket"))
-      .agg(count(lit(1)).as("_bsize"))
+    // skipped as candidates — the other tables/probes keep recall. The cap
+    // is a WINDOW count (not a groupBy branch + join): a separate aggregate
+    // branch cannot share the corpus exchange and would re-run the whole
+    // normalize+bucket pipeline a second time.
+    val wCap = Window.partitionBy(col("_table"), col("_bucket"))
+    val c = cAll.withColumn("_bsize", count(lit(1)).over(wCap))
       .filter(col("_bsize") <= maxBucket)
-      .select("_table", "_bucket")
-    val c = cAll.join(okBuckets, Seq("_table", "_bucket"))
     val scored = c.join(q, Seq("_table", "_bucket"))
       .filter(col("_qid") =!= col("_cid"))
       .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
@@ -125,7 +132,9 @@ object Similarity {
       threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L,
       maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val v = df.select(col(idCol).as("_id"), normalize(col(embCol)).as("_emb"))
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val v = df.repartition(par)
+      .select(col(idCol).as("_id"), normalize(col(embCol)).as("_emb"))
       .withColumn("_bucket", lshBucket(col("_emb"), planes))
     val cands = NearDup.cappedBucketPairs(
       v.select(col("_id"), col("_bucket")), "_id", Seq("_bucket"), maxBucket)

@@ -181,11 +181,16 @@ object TextOps {
     * portable fingerprint paths. */
   def containmentPairsFromFps(fp: org.apache.spark.sql.DataFrame, idCol: String,
       minContainment: Double, maxDf: Int): org.apache.spark.sql.DataFrame = {
-    val withN = fp.join(fp.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps")), Seq(idCol))
-    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    // per-doc fingerprint counts AND the stop-fp document frequency are
+    // WINDOW counts, not groupBy branches + joins: each aggregate branch
+    // would re-execute the (expensive) fingerprint subplan; the window form
+    // keeps one upstream execution, and the final self-join on fp reuses
+    // the fp-partitioned exchange of the second window (ReusedExchange).
+    import org.apache.spark.sql.expressions.{Window => W}
+    val inJoin = fp
+      .withColumn("n_fps", count(lit(1)).over(W.partitionBy(col(idCol))))
+      .withColumn("_df", count(lit(1)).over(W.partitionBy(col("fp"))))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
-      .select("fp")
-    val inJoin = withN.join(rare, "fp")
     inJoin.as("l").join(inJoin.as("r"),
         col("l.fp") === col("r.fp") && col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
@@ -212,9 +217,9 @@ object TextOps {
     * Scale guards (both standard in MOSS-at-scale deployments):
     *  - STOP FINGERPRINTS: a fingerprint appearing in more than `maxDf` docs
     *    is boilerplate (license headers, templates) — each such fp produces
-    *    df²/2 join rows, so they are dropped before the self-join. The DF
-    *    aggregation is map-side combined and rides the same hash
-    *    partitioning as the join (exchange reuse);
+    *    df²/2 join rows, so they are dropped before the self-join via a
+    *    window count over fp (one upstream execution; the self-join reuses
+    *    the fp-partitioned exchange);
     *  - the self-join is an equi-join on fp with per-key fan-out ≤ maxDf —
     *    never quadratic in corpus size.
     */
@@ -226,10 +231,12 @@ object TextOps {
       .select(col(idCol), array_distinct(winnowFingerprints(col(textCol), k, window)).as("fps"))
       .withColumn("n_fps", size(col("fps")))
     val fp = base.select(col(idCol), col("n_fps"), explode(col("fps")).as("fp"))
-    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    // stop-fp filter as a window count (one upstream execution; the
+    // self-join reuses the fp-partitioned exchange — see
+    // containmentPairsFromFps)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val inJoin = fp.withColumn("_df", count(lit(1)).over(wFp))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
-      .select("fp")
-    val inJoin = fp.join(rare, "fp")
     inJoin.as("l").join(inJoin.as("r"),
         col("l.fp") === col("r.fp") && col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
