@@ -347,6 +347,27 @@ object SparkEntry {
           col("event_type"), col("n"))
     ),
 
+    // K1 MERGE-ON-READ — the lake table's MOR write path end-to-end WITH a
+    // DuckDB oracle (q16/q30's binary fixtures are rows-only; this one runs
+    // over the plain events table, so every row is SQL-checkable): three
+    // MOR merges append layers (no bucket rewrite), and read() resolves the
+    // layered buckets with the LWW rule — the result must equal the global
+    // per-key max, identical to q01's oracle.
+    "q33_lake_mor_cdc" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = java.nio.file.Files.createTempDirectory("graft-q33").toString
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      (0 until 3).foreach { k =>
+        table.merge(ev.filter(col("event_id") % 3 === k), s"mor-$k",
+          txn = Some(("q33", k.toLong)), mor = true)
+      }
+      table.read().select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
     // P4/A2 — SPL mint enrichment through the REAL 82-byte decode
     // (sqlite.rs:286-303): every field incl. both COptions oracled; k%6==0
     // rows are packed uninitialized and dropped by the unpack (spl_token
@@ -502,6 +523,9 @@ object SparkEntry {
     Map(
       "q01_lww_dedup" -> lwwSql,
       "q02_lww_dedup_salted" -> lwwSql,
+      // merge-on-read replay of the same events resolves to the same global
+      // per-key LWW state — batching and layering must be invisible
+      "q33_lake_mor_cdc" -> lwwSql,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

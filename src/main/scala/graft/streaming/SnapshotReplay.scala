@@ -58,12 +58,12 @@ object SnapshotReplay {
     *
     * @return rows upserted (0 if this snapshot was already applied). */
   def applySnapshot(spark: SparkSession, table: LakeTable, path: String,
-      salted: Boolean = false): Long = {
+      salted: Boolean = false, mor: Boolean = false): Long = {
     val batchId = s"snapshot:${new Path(path).getName}"
     SnapshotSource.open(spark, path) match {
       case u: graft.sources.UnpackedSnapshotSource =>
         table.merge(toDF(u.accountUpdates(spark)), batchId, salted = salted,
-          txn = Some(("snapshot-replay", u.manifest.slot)))
+          txn = Some(("snapshot-replay", u.manifest.slot)), mor = mor)
       case streamOnce =>
         // cheap re-delivery pre-check (retained window); the authoritative
         // txn-watermark check runs in merge() once the slot is known
@@ -83,7 +83,7 @@ object SnapshotReplay {
           require(!slots.isEmpty, s"no manifest seen while staging $path")
           val staged = spark.read.schema(accountSchema).parquet(staging)
           table.merge(staged, batchId, salted = salted,
-            txn = Some(("snapshot-replay", slots.get(0))))
+            txn = Some(("snapshot-replay", slots.get(0))), mor = mor)
         } finally
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     }
@@ -93,7 +93,7 @@ object SnapshotReplay {
     * (full snapshot first, then incrementals). Already-applied archives are
     * skipped via the exactly-once ledger. @return total rows upserted. */
   def replayDir(spark: SparkSession, table: LakeTable, dir: String,
-      salted: Boolean = false): Long = {
+      salted: Boolean = false, mor: Boolean = false): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archives = fs.listStatus(p).filter(_.isFile)
@@ -103,6 +103,6 @@ object SnapshotReplay {
       .map(a => (ArchiveSnapshotSource.readManifest(a,
         spark.sparkContext.hadoopConfiguration).slot, a))
       .sortBy(_._1).map(_._2)
-    ordered.map(applySnapshot(spark, table, _, salted)).sum
+    ordered.map(applySnapshot(spark, table, _, salted, mor)).sum
   }
 }

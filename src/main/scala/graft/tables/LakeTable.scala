@@ -48,7 +48,11 @@ final case class TableSnapshot(
     lineage: Map[String, LineageEntry],
     /** rolled-up counters of expired lineage (+ "batches" count) */
     totals: Map[String, Long],
-    rowCount: Long)
+    /** STORED rows (merge-on-read buckets count shadowed versions too) */
+    rowCount: Long,
+    /** buckets holding unresolved merge-on-read layers: reads resolve them
+      * with a LWW dedup until [[LakeTable.compact]] rewrites them */
+    morBuckets: Seq[Int] = Nil)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -99,13 +103,24 @@ final class LakeTable private (
 
   def schema: StructType = StructType.fromDDL(snapshot().schemaDdl)
 
-  /** Current table state as a DataFrame (all committed files, evolved schema). */
+  /** Current table state as a DataFrame (all committed files, evolved
+    * schema). Buckets carrying merge-on-read layers are resolved with the
+    * table's LWW rule on the fly; clean (copy-on-write) buckets stream
+    * straight from their files with no extra work. */
   def read(): DataFrame = {
     val s = snapshot()
     val schema = StructType.fromDDL(s.schemaDdl)
-    val files = s.bucketFiles.values.flatten.map(rel => s"$root/$rel").toSeq
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val dirty = s.morBuckets.toSet
+    def bucketPaths(bs: Iterable[Int]): Seq[String] =
+      bs.toSeq.sorted.flatMap(b => s.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val clean = readFiles(bucketPaths(s.bucketFiles.keys.filterNot(dirty)))
+    if (dirty.isEmpty) clean
+    else clean.unionByName(
+      Dedup.latestByKey(readFiles(bucketPaths(dirty)), s.keyCols, s.orderCols))
   }
 
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
@@ -128,9 +143,18 @@ final class LakeTable private (
     *                  per bucket in the stats pass and summed).
     * @return rows upserted (0 for a re-delivered batch)
     */
+  /** `mor = true` switches this merge to MERGE-ON-READ: the deduped batch
+    * is appended as a new LAYER to its buckets instead of rewriting them —
+    * write cost ∝ batch size instead of ∝ touched-bucket size (copy-on-write
+    * amplification: a delta brushing every bucket rewrites the whole table).
+    * Reads resolve layered buckets with the LWW rule until [[compact]]
+    * rewrites them; final state is IDENTICAL to copy-on-write merges
+    * (spec-proven fold equality). This is the Iceberg-v2 MOR trade: cheap
+    * writes, deferred read cost, explicit compaction. */
   def merge(batch: DataFrame, batchId: String, salted: Boolean = false,
       txn: Option[(String, Long)] = None,
-      counterCols: Map[String, Column] = Map.empty): Long = {
+      counterCols: Map[String, Column] = Map.empty,
+      mor: Boolean = false): Long = {
     val snap = snapshot()
     val replayed = txn match {
       case Some((app, seq)) => snap.txns.get(app).exists(_ >= seq)
@@ -182,8 +206,9 @@ final class LakeTable private (
       }.toMap
 
       val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+      // MOR never reads the table: the batch alone is deduped and appended
       val existing =
-        if (touchedFiles.isEmpty)
+        if (mor || touchedFiles.isEmpty)
           align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
         else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
 
@@ -214,17 +239,35 @@ final class LakeTable private (
 
       phase("write")
       val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
-      val newBucketFiles = snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written
-      // old touched rows come from the incrementally-maintained bucketRows
-      // (no re-read); new files need ONE footer pass, parallelized — the
-      // serial driver-side footer loop was a measured scaling bottleneck
-      val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
-        countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
       val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
         b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
       }
-      val newBucketRows = snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows
-      val rowCount = snap.rowCount - oldTouchedRows + writtenRows.values.sum
+      val (newBucketFiles, newBucketRows, rowCount, newMorBuckets) =
+        if (mor) {
+          // APPEND the new layer; a bucket becomes dirty (needs read-time
+          // resolution) once it holds more than the fresh layer
+          val bf = snap.bucketFiles ++ written.map { case (b, fs) =>
+            b -> (snap.bucketFiles.getOrElse(b, Nil) ++ fs)
+          }
+          val br = snap.bucketRows ++ writtenRows.map { case (b, n) =>
+            b -> (snap.bucketRows.getOrElse(b, 0L) + n)
+          }
+          val dirty = (snap.morBuckets ++
+            touched.filter(b => snap.bucketFiles.getOrElse(b, Nil).nonEmpty)).distinct.sorted
+          (bf, br, snap.rowCount + writtenRows.values.sum, dirty)
+        } else {
+          // copy-on-write REPLACES touched buckets (and resolves any of
+          // their MOR layers in the same pass). Old touched rows come from
+          // the incrementally-maintained bucketRows (no re-read); new files
+          // need ONE footer pass, parallelized — the serial driver-side
+          // footer loop was a measured scaling bottleneck.
+          val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
+            countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+          (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
+            snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
+            snap.rowCount - oldTouchedRows + writtenRows.values.sum,
+            snap.morBuckets.filterNot(touched.contains))
+        }
       phase("counts")
 
       // --- bounded bookkeeping: retention + rollup ---
@@ -252,10 +295,52 @@ final class LakeTable private (
         appliedBatches = keptIds,
         lineage = keptLineage,
         totals = rolledTotals,
-        rowCount = rowCount))
+        rowCount = rowCount,
+        morBuckets = newMorBuckets))
       phase("commit")
       upserts
     } finally { if (cacheBatch) alignedBatch.unpersist(false) }
+  }
+
+  /** Rewrite every merge-on-read bucket into a single resolved layer (the
+    * MOR debt collector): reads the dirty buckets' layers, applies the LWW
+    * rule once, and replaces their file lists. Table state is unchanged
+    * (spec-proven); read cost returns to the copy-on-write fast path.
+    * @return number of buckets compacted */
+  def compact(): Int = {
+    val snap = snapshot()
+    val dirty = snap.morBuckets.sorted
+    if (dirty.isEmpty) return 0
+    val curSchema = StructType.fromDDL(snap.schemaDdl)
+    val files = dirty.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+    val cores = spark.sparkContext.defaultParallelism
+    val writeFactor = math.max(1, math.ceil(2.0 * cores / dirty.size).toInt)
+    val emptyBatch = align(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema),
+      curSchema)
+    val merged = buildMerged(
+      align(spark.read.schema(curSchema).parquet(files: _*), curSchema),
+      emptyBatch, snap, dirty.size, writeFactor, salted = false)
+    val newVersion = snap.version + 1
+    val commitRel = s"data/commit-$newVersion"
+    merged.drop(SubSplitCol)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+    }
+    val oldDirtyRows = dirty.map(b => snap.bucketRows.getOrElse(b, 0L)).sum
+    val batchId = s"compact:v$newVersion"
+    commit(snap.copy(
+      version = newVersion,
+      bucketFiles = snap.bucketFiles.filter { case (b, _) => !dirty.contains(b) } ++ written,
+      bucketRows = snap.bucketRows.filter { case (b, _) => !dirty.contains(b) } ++ writtenRows,
+      appliedBatches = (snap.appliedBatches :+ batchId).takeRight(snap.retainBatches),
+      lineage = snap.lineage + (batchId -> LineageEntry(
+        Map("compacted_buckets" -> dirty.size.toLong), dirty)),
+      rowCount = snap.rowCount - oldDirtyRows + writtenRows.values.sum,
+      morBuckets = Nil))
+    dirty.size
   }
 
   /** The ONE-shuffle LWW merge plan (exposed for plan tests): in-batch
@@ -462,6 +547,7 @@ object LakeTable {
     val tot = o.putObject("totals")
     s.totals.toSeq.sortBy(_._1).foreach { case (k, v) => tot.put(k, v) }
     o.put("rowCount", s.rowCount)
+    val mb = o.putArray("morBuckets"); s.morBuckets.foreach(mb.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
 
@@ -497,6 +583,10 @@ object LakeTable {
       appliedBatches = strs(node.get("appliedBatches")),
       lineage = lineage,
       totals = longMap(node.get("totals")),
-      rowCount = node.get("rowCount").asLong())
+      rowCount = node.get("rowCount").asLong(),
+      morBuckets =
+        if (node.has("morBuckets"))
+          node.get("morBuckets").elements().asScala.map(_.asInt()).toSeq
+        else Nil)
   }
 }

@@ -26,6 +26,59 @@ class LakeTableSpec extends SparkTestBase {
     assert(t.snapshot().rowCount === 3L)
   }
 
+  test("merge-on-read: layered merges equal copy-on-write merges, compact " +
+      "clears the debt without changing state") {
+    val batches = Seq(
+      Seq(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")),
+      Seq(("a", 3L, "a3"), ("d", 1L, "d1"), ("a", 2L, "stale")),
+      Seq(("b", 5L, "b5"), ("e", 1L, "e1"), ("c", 0L, "stale")))
+    val cow = newTable()
+    val morT = newTable()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("k", "wv", "v")
+      assert(cow.merge(df, s"b$i") === morT.merge(df, s"b$i", mor = true))
+    }
+    def state(t: LakeTable) = t.read().as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    val expected = Seq(("a", 3L, "a3"), ("b", 5L, "b5"), ("c", 1L, "c1"),
+      ("d", 1L, "d1"), ("e", 1L, "e1"))
+    assert(state(cow) === expected)
+    assert(state(morT) === expected) // read-time LWW resolution over layers
+    // MOR stored extra shadowed versions; some buckets are dirty
+    assert(morT.snapshot().morBuckets.nonEmpty)
+    assert(morT.snapshot().rowCount > cow.snapshot().rowCount)
+    // layers per dirty bucket exceed one file list entry pre-compact
+    val dirtyB = morT.snapshot().morBuckets.head
+    assert(morT.snapshot().bucketFiles(dirtyB).size > 1)
+    // compaction: state identical, debt cleared, row counts converge
+    val dirtyCount = morT.snapshot().morBuckets.size
+    assert(morT.compact() === dirtyCount)
+    assert(state(morT) === expected)
+    assert(morT.snapshot().morBuckets.isEmpty)
+    assert(morT.snapshot().rowCount === cow.snapshot().rowCount)
+    assert(morT.compact() === 0) // idempotent
+    // a later COW merge on a fresh MOR layer also resolves it
+    assert(morT.merge(Seq(("a", 9L, "a9")).toDF("k", "wv", "v"), "b3", mor = true) === 1L)
+    assert(morT.snapshot().morBuckets.nonEmpty)
+    assert(morT.merge(Seq(("a", 10L, "a10")).toDF("k", "wv", "v"), "b4") === 1L)
+    assert(morT.snapshot().morBuckets.isEmpty)
+    assert(state(morT).find(_._1 == "a").get === (("a", 10L, "a10")))
+  }
+
+  test("merge-on-read: exactly-once and schema evolution hold") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1", mor = true,
+      txn = Some(("app", 1L)))
+    // re-delivery is a no-op
+    assert(t.merge(Seq(("a", 9L, "X")).toDF("k", "wv", "v"), "b1", mor = true,
+      txn = Some(("app", 1L))) === 0L)
+    // evolved column arrives via a MOR layer; old layers read as null
+    val evolved = Seq(("a", 2L, "a2", 7L), ("b", 1L, "b1", 8L)).toDF("k", "wv", "v", "extra")
+    t.merge(evolved, "b2", mor = true, txn = Some(("app", 2L)))
+    val rows = t.read().select("k", "wv", "extra").as[(String, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq(("a", 2L, Some(7L)), ("b", 1L, Some(8L))))
+  }
+
   test("re-delivered batch id is a no-op (exactly-once)") {
     val t = newTable()
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "batch-1")
