@@ -27,6 +27,14 @@ object CdcPipeline {
     *                   change across resumes of the same checkpoint.
     * @param maxFilesPerTrigger backpressure (≙ the reference's bounded
     *                   channel, parallel.rs:23)
+    * @param mor ingest micro-batches MERGE-ON-READ: each batch appends a
+    *                   layer (write ∝ batch) instead of rewriting touched
+    *                   buckets (write ∝ table) — the difference between a
+    *                   sustainable high-frequency upsert stream and one
+    *                   whose per-batch cost grows with the table
+    * @param compactEveryBatches with `mor`, run `table.compact()` after
+    *                   every N batches (bounds read-time layer debt);
+    *                   `None` leaves compaction to the caller
     */
   def start(
       spark: SparkSession,
@@ -39,7 +47,9 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 64,
       availableNow: Boolean = true,
       counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      autoExpireKeepVersions: Option[Int] = Some(8)): StreamingQuery = {
+      autoExpireKeepVersions: Option[Int] = Some(8),
+      mor: Boolean = false,
+      compactEveryBatches: Option[Int] = Some(16)): StreamingQuery = {
     val stream = spark.readStream
       .schema(changeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -49,7 +59,12 @@ object CdcPipeline {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("500 milliseconds"))
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         table.merge(df, s"$pipelineId-$batchId", salted = salted,
-          txn = Some((pipelineId, batchId)), counterCols = counterCols)
+          txn = Some((pipelineId, batchId)), counterCols = counterCols, mor = mor)
+        // periodic MOR debt collection (idempotent; a compaction interrupted
+        // before its commit simply re-runs after the next batch)
+        if (mor) compactEveryBatches.foreach { n =>
+          if (n > 0 && batchId % n == n - 1) table.compact()
+        }
         // long-running CDC self-maintains: retire snapshots/commit dirs
         // beyond the retention window after every merge (cheap driver-side
         // fs work; single writer, so always safe here)
@@ -69,10 +84,13 @@ object CdcPipeline {
       pipelineId: String,
       salted: Boolean = false,
       counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      autoExpireKeepVersions: Option[Int] = Some(8)): Unit = {
+      autoExpireKeepVersions: Option[Int] = Some(8),
+      mor: Boolean = false,
+      compactEveryBatches: Option[Int] = Some(16)): Unit = {
     val q = start(spark, table, changeDir, changeSchema, checkpointDir, pipelineId,
       salted = salted, counterCols = counterCols,
-      autoExpireKeepVersions = autoExpireKeepVersions)
+      autoExpireKeepVersions = autoExpireKeepVersions,
+      mor = mor, compactEveryBatches = compactEveryBatches)
     q.awaitTermination()
   }
 }

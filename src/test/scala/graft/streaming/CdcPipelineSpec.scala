@@ -112,6 +112,38 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(table.snapshot().txns.keySet === Set("pipe1"))
   }
 
+  test("merge-on-read streaming ingest reaches the same state; periodic " +
+      "compaction clears the layer debt mid-stream") {
+    val changeDir = Files.createTempDirectory("changes-mor").toString
+    val cp = Files.createTempDirectory("cp-mor").toString
+    val table = mkTable()
+    // two waves through MOR ingest with compaction every 2 batches
+    Seq(
+      ("r1", "a.scala", 1L, "scala", "v1 of a"),
+      ("r1", "b.scala", 1L, "scala", "v1 of b"))
+      .toDF("repo", "path", "commitSeq", "lang", "content")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeM",
+      mor = true, compactEveryBatches = Some(2))
+    Seq(
+      ("r1", "a.scala", 3L, "scala", "v3 of a"),
+      ("r1", "a.scala", 2L, "scala", "stale v2"),
+      ("r2", "x.py", 1L, "python", "v1 of x"))
+      .toDF("repo", "path", "commitSeq", "lang", "content")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeM",
+      mor = true, compactEveryBatches = Some(2))
+    // batch 1 (the second micro-batch, id 1) triggered compaction: no debt
+    assert(table.snapshot().morBuckets.isEmpty)
+    val state = table.read().select("repo", "path", "commitSeq", "content")
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(state === Map(
+      ("r1", "a.scala") -> ((3L, "v3 of a")),
+      ("r1", "b.scala") -> ((1L, "v1 of b")),
+      ("r2", "x.py") -> ((1L, "v1 of x"))))
+  }
+
   test("auto-expiry retires old versions as the stream advances") {
     val changeDir = Files.createTempDirectory("changes-e").toString
     val cp = Files.createTempDirectory("cp-e").toString
