@@ -30,6 +30,9 @@ object Main {
     val buckets = args.drop(3).sliding(2).collectFirst {
       case Array("--buckets", n) => n.toInt
     }.getOrElse(64)
+    // --mor: merge-on-read ingest (layer appends + final compaction) for the
+    // table-loading modes — write cost ∝ batch instead of ∝ touched buckets
+    val mor = args.drop(3).contains("--mor")
 
     // embedded callers (tests, notebooks) keep their session; only a
     // session this CLI itself created is stopped on exit
@@ -50,11 +53,13 @@ object Main {
     try mode match {
       case "--table-out" => // flagship: K1 keyed-upsert table (≙ --sqlite-out)
         val table = SnapshotReplay.createTable(spark, out, buckets)
-        val n = SnapshotReplay.applySnapshot(spark, table, source)
+        val n = SnapshotReplay.applySnapshot(spark, table, source, mor = mor)
+        if (mor) table.compact()
         System.err.println(s"[graft] $n upserts -> $out (version ${table.currentVersion()})")
       case "--replay-table" => // full + incrementals CDC replay
         val table = SnapshotReplay.createTable(spark, out, buckets)
-        val n = SnapshotReplay.replayDir(spark, table, source)
+        val n = SnapshotReplay.replayDir(spark, table, source, mor = mor)
+        if (mor) table.compact()
         System.err.println(s"[graft] replayed $n upserts -> $out")
       case "--csv-out" if out == "-" => // K2 stdout form: stream rows to the
         // pipe like csv.rs:32; a closed pipe (EPIPE) exits SILENTLY with
@@ -121,7 +126,7 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.app.Main <snapshot|dir|programs.tar> <sink-mode> <out> [--buckets N]
+    """usage: graft.app.Main <snapshot|dir|programs.tar> <sink-mode> <out> [--buckets N] [--mor]
       |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out
       |           | --programs-tar | --opcode-stats-out | --geyser
       |  exactly one sink mode per run (reference main.rs:27-31);

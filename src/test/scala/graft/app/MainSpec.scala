@@ -48,6 +48,18 @@ class MainSpec extends SparkTestBase {
     assert(csv.count() > 0)
   }
 
+  test("--table-out --mor ingests merge-on-read and compacts to the same state") {
+    val cow = out("tbl-cow"); val mor = out("tbl-mor")
+    Main.main(Array(snapshotDir, "--table-out", cow, "--buckets", "4"))
+    Main.main(Array(snapshotDir, "--table-out", mor, "--buckets", "4", "--mor"))
+    val a = graft.tables.LakeTable.open(spark, cow).read()
+      .selectExpr("hex(pubkey)", "writeVersion", "slot").collect().map(_.toSeq).toSet
+    val b = graft.tables.LakeTable.open(spark, mor).read()
+      .selectExpr("hex(pubkey)", "writeVersion", "slot").collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(graft.tables.LakeTable.open(spark, mor).snapshot().morBuckets.isEmpty)
+  }
+
   test("--csv-out - streams to stdout; a closed pipe exits silently " +
       "(csv.rs:32, 55-56)") {
     val buf = new java.io.ByteArrayOutputStream()

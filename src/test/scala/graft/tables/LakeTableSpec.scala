@@ -64,6 +64,32 @@ class LakeTableSpec extends SparkTestBase {
     assert(state(morT).find(_._1 == "a").get === (("a", 10L, "a10")))
   }
 
+  test("property: random batch stream with random per-batch COW/MOR modes " +
+      "and random compactions always equals the all-COW fold") {
+    val rnd = new scala.util.Random(20260817L)
+    val keys = ('a' to 'j').map(_.toString)
+    (0 until 3).foreach { round =>
+      val cow = newTable()
+      val mixed = newTable()
+      var wv = 0L
+      (0 until 6).foreach { b =>
+        val rows = (0 until (1 + rnd.nextInt(8))).map { _ =>
+          wv += 1
+          (keys(rnd.nextInt(keys.size)), wv, s"v$wv")
+        }
+        val df = rows.toDF("k", "wv", "v")
+        cow.merge(df, s"r$round-b$b")
+        mixed.merge(df, s"r$round-b$b", mor = rnd.nextBoolean())
+        if (rnd.nextInt(3) == 0) mixed.compact()
+      }
+      mixed.compact()
+      def state(t: LakeTable) =
+        t.read().as[(String, Long, String)].collect().sortBy(_._1).toSeq
+      assert(state(mixed) === state(cow), s"round $round diverged")
+      assert(mixed.snapshot().rowCount === cow.snapshot().rowCount)
+    }
+  }
+
   test("merge-on-read: exactly-once and schema evolution hold") {
     val t = newTable()
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1", mor = true,
