@@ -83,7 +83,19 @@ object Bench {
     val finalRows = runs.head._2
     val replayThroughput = (events / replaySec).round
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape incl. control chars — exception messages
+    // (e.g. AnalysisException plan fragments) routinely embed newlines, and
+    // an invalid artifact exactly when a query FAILS would defeat the
+    // errors field's purpose
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val repSecs = runs.map(_._1).mkString("[", ",", "]")

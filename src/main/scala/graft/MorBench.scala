@@ -26,7 +26,8 @@ object MorBench {
   def ensureMorInput(inputDir: String, fullPerVec: Int, deltaPerVec: Int,
       deltas: Int): (Long, Long) = {
     import java.nio.file.{Files, Paths}
-    val marker = s"DONE.$fullPerVec-$deltaPerVec-$deltas"
+    val marker = s"DONE.${graft.sources.SnapshotFixture.FormatVersion}-" +
+      s"$fullPerVec-$deltaPerVec-$deltas"
     if (Files.exists(Paths.get(inputDir, marker))) {
       val Array(a, b) = new String(Files.readAllBytes(Paths.get(inputDir, marker)))
         .trim.split(',')
@@ -81,7 +82,8 @@ object MorBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    final case class R(replaySec: Double, compactSec: Double, storedRows: Long, finalRows: Long)
+    final case class R(fullSec: Double, replaySec: Double, compactSec: Double,
+        storedRows: Long, finalRows: Long)
     def run(mor: Boolean): R = {
       val dir = s"$work/mor-table-$mor-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, dir, numBuckets = 32)
@@ -96,16 +98,15 @@ object MorBench {
         SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", mor = mor)
       }
       val replaySec = (System.nanoTime() - t0) / 1e9
-      val _ = fullSec
       val storedRows = table.snapshot().rowCount
       val t1 = System.nanoTime()
       if (mor) table.compact()
       val compactSec = (System.nanoTime() - t1) / 1e9
       val finalRows = table.read().count()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      System.err.println(f"[mor] mor=$mor replay=$replaySec%.1fs compact=$compactSec%.1fs " +
-        f"stored=$storedRows final=$finalRows")
-      R(replaySec, compactSec, storedRows, finalRows)
+      System.err.println(f"[mor] mor=$mor full=$fullSec%.1fs deltas=$replaySec%.1fs " +
+        f"compact=$compactSec%.1fs stored=$storedRows final=$finalRows")
+      R(fullSec, replaySec, compactSec, storedRows, finalRows)
     }
     run(mor = true) // warmup
     val runs = (1 to reps).flatMap(_ => Seq(false, true).map(m => m -> run(m)))
@@ -116,6 +117,7 @@ object MorBench {
     println(
       s"""{"metric":"cow_vs_mor_delta_stream","events":$events,"delta_events":$deltaEvents,""" +
         s""""deltas":$deltas,"final_rows":${cow.finalRows},""" +
+        s""""full_load_sec":${cow.fullSec},""" +
         s""""cow_delta_sec":${cow.replaySec},"cow_stored_rows":${cow.storedRows},""" +
         s""""mor_delta_sec":${mor.replaySec},"mor_compact_sec":${mor.compactSec},""" +
         s""""mor_total_sec":${mor.replaySec + mor.compactSec},""" +

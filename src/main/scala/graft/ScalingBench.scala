@@ -17,14 +17,15 @@ import graft.streaming.SnapshotReplay
   *  - `threads` (default): `local[N]` — driver + N executor threads in ONE
   *    JVM sharing one heap/GC. Cheapest, but thread counts in a shared heap
   *    are the weakest stand-in for executor counts.
-  *  - `procs`: `local-cluster[N,1,mem]` — N SEPARATE single-core executor
-  *    JVMs with their own heaps and GC, shuffling over netty, exactly like
-  *    standalone workers on one host. This is the closest in-sandbox
-  *    approximation of "spark-submit at N and 4N executors": per-executor
-  *    memory is constant across the two levels (as it would be on a real
-  *    cluster), so the comparison doesn't conflate executor count with
-  *    per-thread heap shrinkage. Requires SPARK_HOME (the workers launch
-  *    executor JVMs via the Spark launcher).
+  *  - `procs`: `local-cluster[cores/2, 2, mem]` — SEPARATE 2-core executor
+  *    JVMs (`SPARK_GRAFT_EXEC_CORES` overrides the core count) with their
+  *    own heaps and GC, shuffling over netty, exactly like standalone
+  *    workers on one host. This is the closest in-sandbox approximation of
+  *    "spark-submit at N and 4N executors": per-executor memory is constant
+  *    across the two levels (as it would be on a real cluster), so the
+  *    comparison doesn't conflate executor count with per-thread heap
+  *    shrinkage. Requires SPARK_HOME (the workers launch executor JVMs via
+  *    the Spark launcher).
   *
   * Input: deterministic unpacked snapshots (decode parallelism = AppendVec
   * count; archives are sequential by format). Generation time and Spark
@@ -38,8 +39,9 @@ object ScalingBench {
   /** Generate (or reuse, via DONE marker) the full+inc1+inc2 unpacked
     * replay input; returns total events. Shared with graft.Bench. */
   def ensureInput(inputDir: String, accountsPerVec: Int): Long = {
-    if (Files.exists(Paths.get(inputDir, "DONE." + accountsPerVec))) {
-      new String(Files.readAllBytes(Paths.get(inputDir, "DONE." + accountsPerVec))).trim.toLong
+    val marker = s"DONE.${SnapshotFixture.FormatVersion}-$accountsPerVec"
+    if (Files.exists(Paths.get(inputDir, marker))) {
+      new String(Files.readAllBytes(Paths.get(inputDir, marker))).trim.toLong
     } else {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputDir))
       var wv = 0L
@@ -56,8 +58,7 @@ object ScalingBench {
         val (cnt, w) = SnapshotFixture.writeLargeUnpacked(s"$inputDir/$name", spec, wv)
         wv = w; n += cnt
       }
-      Files.write(Paths.get(inputDir, "DONE." + accountsPerVec),
-        n.toString.getBytes("UTF-8"))
+      Files.write(Paths.get(inputDir, marker), n.toString.getBytes("UTF-8"))
       n
     }
   }
@@ -99,6 +100,10 @@ object ScalingBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val plan = Seq.fill(reps)(Seq(nA, nB)).flatten
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "threads")
+    // fail fast: a typo'd mode would silently run threads while stamping
+    // the raw string into the artifact's "mode" field
+    require(mode == "threads" || mode == "procs",
+      s"SPARK_GRAFT_SCALE_MODE must be 'threads' or 'procs', got '$mode'")
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "3072").toInt
     val runs = plan.map { cpus =>
       val builder = SparkSession.builder()

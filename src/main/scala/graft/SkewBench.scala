@@ -32,7 +32,7 @@ object SkewBench {
 
   def ensureSkewedInput(inputDir: String, accountsPerVec: Int,
       hotFraction: Double, hotKeys: Int): Long = {
-    val marker = s"DONE.$accountsPerVec-$hotFraction-$hotKeys"
+    val marker = s"DONE.${SnapshotFixture.FormatVersion}-$accountsPerVec-$hotFraction-$hotKeys"
     if (Files.exists(Paths.get(inputDir, marker))) {
       new String(Files.readAllBytes(Paths.get(inputDir, marker))).trim.toLong
     } else {

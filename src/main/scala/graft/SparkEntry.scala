@@ -169,7 +169,7 @@ object SparkEntry {
     "q16_snapshot_replay" -> ((s, _) => {
       import graft.sources.SnapshotFixture
       import graft.streaming.SnapshotReplay
-      val work = java.nio.file.Files.createTempDirectory("graft-q16").toString
+      val work = tempWorkDir("graft-q16")
       val (fixtures, _) = SnapshotFixture.generateStream(seed = 42L, increments = 2)
       fixtures.foreach(fx =>
         SnapshotFixture.writeArchive(fx, s"$work/snap-${fx.manifest.slot}.tar.zst"))
@@ -326,7 +326,7 @@ object SparkEntry {
       import graft.streaming.CdcPipeline
       import graft.tables.LakeTable
       import org.apache.spark.sql.types.StructType
-      val work = java.nio.file.Files.createTempDirectory("graft-q30").toString
+      val work = tempWorkDir("graft-q30")
       val (batches, _) = RepoChangeFixture.generate(RepoChangeFixture.Spec())
       RepoChangeFixture.writeBatches(s, batches, s"$work/changes")
       val schema = StructType.fromDDL(
@@ -355,7 +355,7 @@ object SparkEntry {
     // per-key max, identical to q01's oracle.
     "q33_lake_mor_cdc" -> ((s, dir) => {
       import graft.tables.LakeTable
-      val work = java.nio.file.Files.createTempDirectory("graft-q33").toString
+      val work = tempWorkDir("graft-q33")
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
@@ -383,6 +383,17 @@ object SparkEntry {
         leLongUdf(col("freeze_authority")).as("freeze_id"))
     })
   )
+
+  /** Temp work dir for the e2e queries (q16/q30/q33): the returned DataFrame
+    * is evaluated AFTER the query lambda returns, so the dir cannot be
+    * deleted eagerly — register a recursive delete at JVM exit instead
+    * (Verify/Bench are short-lived mains; repeated invocations must not
+    * accumulate orphaned table copies in tmp). */
+  private def tempWorkDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(dir)
+    dir.toString
+  }
 
   /** First 8 little-endian bytes of a 32-byte key as BIGINT (inverse of the
     * fixture pkFromLong rule; null-safe for nullable COption columns). */

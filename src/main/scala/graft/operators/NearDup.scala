@@ -189,12 +189,9 @@ object NearDup {
   /** 60-bit SimHash signatures over whitespace tokens — pure built-ins, no
     * UDF: per-token hash = first 15 hex chars of md5 (60 bits, fits a
     * signed long, and md5 is identical across engines ⇒ q23 gets an EXACT
-    * ANSI-SQL oracle). The expensive md5+conv runs ONCE PER DISTINCT TOKEN
-    * (the vocabulary, broadcast-joined back — Zipf makes it tiny next to
-    * the occurrence stream), and the 60 per-bit vote sums run once per
-    * (doc, token) pair weighted by the occurrence count — exact integer
-    * regrouping of the per-occurrence ±1 sums, so results (and the SQL
-    * oracle) are unchanged. Returns (_id, _sim). */
+    * ANSI-SQL oracle); the 60 per-bit ±1 vote sums run in ONE aggregation
+    * with map-side partials (the shuffle carries per-doc vote rows, not
+    * tokens). Returns (_id, _sim). */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
     // ONE pass over the token stream: explode → md5 → 60 vote sums, all

@@ -29,6 +29,13 @@ object SnapshotFixture {
   val BpfLoaderId: Array[Byte] = graft.etl.binary.Base58.decode(
     "BPFLoader2111111111111111111111111111111111")
 
+  /** Bump whenever the on-disk byte format of generated fixtures changes
+    * (codec layout, manifest encoding, generator logic): the bench input
+    * caches in tmpfs key their DONE markers on this, so a stale input from
+    * an older format can never be silently decoded as garbage. v2 = the
+    * align-descending AppendVec layout fix. */
+  final val FormatVersion = "v2"
+
   final case class Spec(
       seed: Long = 42L,
       slots: Int = 4,

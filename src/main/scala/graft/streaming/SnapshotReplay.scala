@@ -65,9 +65,12 @@ object SnapshotReplay {
         table.merge(toDF(u.accountUpdates(spark)), batchId, salted = salted,
           txn = Some(("snapshot-replay", u.manifest.slot)), mor = mor)
       case streamOnce =>
-        // cheap re-delivery pre-check (retained window); the authoritative
-        // txn-watermark check runs in merge() once the slot is known
-        if (table.snapshot().appliedBatches.contains(batchId)) return 0L
+        // NO filename-keyed pre-check: a path/URL can be refreshed in place
+        // with a NEWER snapshot under the same name, and the only
+        // authoritative idempotence key is the slot — which a stream-once
+        // source cannot know without reading. A re-delivered apply therefore
+        // costs one staging pass and then no-ops on the txn watermark inside
+        // merge(); correctness over the saved fetch.
         val acc = spark.sparkContext.collectionAccumulator[Long]("graft.manifest.slot")
         val onManifest = (m: graft.etl.model.SnapshotManifest) => acc.add(m.slot)
         val rows = streamOnce match {

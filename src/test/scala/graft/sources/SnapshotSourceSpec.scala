@@ -102,12 +102,13 @@ class HttpSnapshotSourceSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("http-once").toString
     val file = s"$dir/snap.tar.zst"
     SnapshotFixture.writeArchive(fx, file)
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    @volatile var served = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
     val gets = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/snap.tar.zst", (ex: com.sun.net.httpserver.HttpExchange) => {
       gets.incrementAndGet()
+      val bytes = served
       ex.sendResponseHeaders(200, bytes.length.toLong)
       try ex.getResponseBody.write(bytes) finally ex.close()
     })
@@ -121,9 +122,21 @@ class HttpSnapshotSourceSpec extends SparkTestBase {
       assert(gets.get() === 1, "replay must fetch the archive exactly once")
       // the staged merge carried the in-stream manifest slot into the ledger
       assert(table.snapshot().txns("snapshot-replay") === fx.manifest.slot)
-      // re-delivery: the batchId pre-check skips without another GET
+      // re-delivery: must re-fetch (the URL could have been refreshed in
+      // place with a newer snapshot — only the in-stream slot can decide),
+      // then no-op on the slot watermark
       assert(graft.streaming.SnapshotReplay.applySnapshot(spark, table, url) === 0L)
-      assert(gets.get() === 1)
+      assert(gets.get() === 2)
+      // the URL refreshed IN PLACE with a newer (higher-slot) incremental
+      // must still apply — this is why re-delivery re-fetches instead of
+      // skipping on the filename
+      val fx2 = SnapshotFixture.generate(SnapshotFixture.Spec(seed = 14L,
+        baseSlot = fx.manifest.slot + 10, isDelta = true))
+      val file2 = s"$dir/snap2.tar.zst"
+      SnapshotFixture.writeArchive(fx2, file2)
+      served = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file2))
+      assert(graft.streaming.SnapshotReplay.applySnapshot(spark, table, url) > 0L)
+      assert(table.snapshot().txns("snapshot-replay") === fx2.manifest.slot)
       // staging dir is cleaned up
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tableDir/t/_staging")) ||
         java.nio.file.Files.list(java.nio.file.Paths.get(s"$tableDir/t/_staging")).count() === 0)
