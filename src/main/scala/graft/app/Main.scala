@@ -62,10 +62,13 @@ object Main {
         if (mor) table.compact()
         System.err.println(s"[graft] replayed $n upserts -> $out")
       case "--csv-out" if out == "-" => // K2 stdout form: stream rows to the
-        // pipe like csv.rs:32; a closed pipe (EPIPE) exits SILENTLY with
-        // success (csv.rs:55-56 — `head` compositions are not errors)
+        // pipe like csv.rs:32; a closed pipe (EPIPE) stops the dump with no
+        // error MESSAGE and exit code 1, exactly csv.rs:55-56
+        // (std::process::exit(1) — silent in output, nonzero in status).
+        // Embedded callers (tests reuse the session) are not exited.
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
-        csvToStdout(Enrich.csvProjection(SnapshotReplay.toDF(accounts)))
+        val pipeClosed = csvToStdout(Enrich.csvProjection(SnapshotReplay.toDF(accounts)))
+        if (pipeClosed && preExisting.isEmpty) { spark.stop(); sys.exit(1) }
       case "--csv-out" => // K2: duplicates preserved, base58 keys (csv.rs)
         val accounts = graft.sources.SnapshotSource.open(spark, source).accountUpdates(spark)
         Enrich.csvProjection(SnapshotReplay.toDF(accounts))
@@ -103,8 +106,10 @@ object Main {
   /** Stream the 4-column CSV to stdout, one partition in memory at a time
     * (toLocalIterator ≙ the reference's single-threaded stdout writer,
     * csv.rs:22-62). PrintStream swallows EPIPE into checkError(), so a
-    * closed pipe stops the dump silently — exit code 0, like csv.rs:55-56. */
-  private[app] def csvToStdout(csv: org.apache.spark.sql.DataFrame): Unit = {
+    * closed pipe stops the dump without an exception; the caller turns that
+    * into exit code 1 for real CLI runs (csv.rs:55-56).
+    * @return true iff the dump stopped on a broken pipe */
+  private[app] def csvToStdout(csv: org.apache.spark.sql.DataFrame): Boolean = {
     val ps = System.out
     ps.println("pubkey,owner,data_len,lamports")
     val it = csv.toLocalIterator()
@@ -113,6 +118,7 @@ object Main {
       ps.println(s"${r.getString(0)},${r.getString(1)},${r.getLong(2)},${r.getLong(3)}")
     }
     ps.flush()
+    ps.checkError()
   }
 
   /** Spool a tar arriving on stdin to a temp file so the (splittable-less)
@@ -130,7 +136,7 @@ object Main {
       |  sink-mode: --table-out | --replay-table | --csv-out | --programs-out
       |           | --programs-tar | --opcode-stats-out | --geyser
       |  exactly one sink mode per run (reference main.rs:27-31);
-      |  --csv-out - streams CSV to stdout (silent EPIPE exit, csv.rs:55-56);
+      |  --csv-out - streams CSV to stdout (EPIPE: no message, exit 1, csv.rs:55-56);
       |  --programs-tar - streams the tar to stdout; source "-" with
       |  --opcode-stats-out reads a programs tar from stdin — together the
       |  reference's programs-tar | opcode-stats pipe""".stripMargin

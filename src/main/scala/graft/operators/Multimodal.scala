@@ -46,8 +46,79 @@ object Multimodal {
   }
 
   object MediaDecoder {
+
+    /** REAL image decode via JDK-only `javax.imageio` (PNG/JPEG/GIF/BMP ship
+      * with the JDK — no external codec needed): features are actual image
+      * statistics. Audio/video stay on [[Deterministic]] (their codecs are
+      * genuinely absent here); [[Dispatch]] composes the two by media_type.
+      *
+      * Feature vector (dim 8, all deterministic):
+      * [width, height, bands, mean luma/255, stddev luma/255, aspect ratio,
+      *  log10(payload bytes), fraction of sampled pixels brighter than mean].
+      * Undecodable payloads (truncated/foreign bytes) → status "error". */
+    final class ImageIODecoder extends MediaDecoder {
+      override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+        batch.map { case (id, mtype, payload) =>
+          if (payload == null || payload.isEmpty)
+            MediaFeatures(id, mtype, 0L, Array.fill(8)(0f), "empty")
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+            if (img == null)
+              MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val bands = img.getRaster.getNumBands
+              // bounded sampling grid: decode stats must not scale with
+              // megapixels (the batch, not the pixel count, is the unit here)
+              val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+              var n = 0; var sum = 0.0; var sumSq = 0.0
+              val lumas = new scala.collection.mutable.ArrayBuffer[Double]()
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  lumas += luma; sum += luma; sumSq += luma * luma; n += 1
+                  x += stepX
+                }
+                y += stepY
+              }
+              val mean = sum / n
+              val variance = math.max(0.0, sumSq / n - mean * mean)
+              val brightFrac = lumas.count(_ > mean).toDouble / n
+              MediaFeatures(id, mtype, payload.length.toLong,
+                Array(w.toFloat, h.toFloat, bands.toFloat,
+                  (mean / 255.0).toFloat, (math.sqrt(variance) / 255.0).toFloat,
+                  (w.toDouble / h).toFloat,
+                  math.log10(payload.length.toDouble).toFloat,
+                  brightFrac.toFloat), "ok")
+            }
+          }
+        }
+    }
+
+    /** Production shape: REAL decode where a JDK codec exists (images),
+      * deterministic stub where it doesn't (audio/video). */
+    final class Dispatch(dim: Int = 8) extends MediaDecoder {
+      private val image = new ImageIODecoder
+      private val other = new Deterministic(dim)
+      override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] = {
+        // preserve input order while decoding each modality as its own batch
+        val decoded = new scala.collection.mutable.HashMap[Long, MediaFeatures]()
+        val (imgs, rest) = batch.partition(_._2 == "image")
+        image.decodeBatch(imgs).foreach(f => decoded(f.media_id) = f)
+        other.decodeBatch(rest).foreach(f => decoded(f.media_id) = f)
+        batch.map { case (id, _, _) => decoded(id) }
+      }
+    }
+
     /** STUB: deterministic fake features derived from the payload bytes —
-      * replace with a real codec behind this trait (libs absent here). */
+      * stands in for the audio/video codecs absent in this environment.
+      * Images have a real decoder: [[ImageIODecoder]]. */
     final class Deterministic(dim: Int = 8) extends MediaDecoder {
       override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
         batch.map { case (id, mtype, payload) =>

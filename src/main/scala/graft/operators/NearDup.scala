@@ -378,11 +378,18 @@ object NearDup {
     val enc = grams.select(col("_id"), col("_len"), encodeUdf(col("_grams")).as("_bm"))
       .localCheckpoint()
     // block count: enough blocks that the B(B+1)/2 block-pair groups keep
-    // every core busy, and small enough that two blocks fit a task comfortably
+    // every core busy, and small enough that two blocks fit a task comfortably.
+    // SMALL-CORPUS SHORT-CIRCUIT: when the WHOLE corpus' bitmaps fit one
+    // task's working set, B=1 — one intra-block group, no B-fold replication,
+    // no cross-block union (the blocked structure otherwise costs more in
+    // shuffle/plan overhead than the verify loop it parallelizes)
     val nDocs = enc.count()
+    val singleTaskBytes = 64L << 20
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     val minBlocksForPar = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
-    val b = math.max(1, math.max(minBlocksForPar, math.ceil(nDocs.toDouble / blockSize).toInt))
+    val b =
+      if (nDocs * words * 8L < singleTaskBytes) 1
+      else math.max(1, math.max(minBlocksForPar, math.ceil(nDocs.toDouble / blockSize).toInt))
     val blocked = enc.withColumn("_blk", pmod(xxhash64(col("_id")), lit(b)).cast("int"))
 
     val outSchema = StructType(Seq(

@@ -92,5 +92,9 @@ object CdcPipeline {
       autoExpireKeepVersions = autoExpireKeepVersions,
       mor = mor, compactEveryBatches = compactEveryBatches)
     q.awaitTermination()
+    // an AvailableNow run can terminate between periodic compaction
+    // boundaries; a bounded run must not leave layer debt behind (callers of
+    // start() own their final compaction — a live stream has no "end")
+    if (mor) table.compact()
   }
 }

@@ -79,6 +79,13 @@ object SnapshotReplay {
           case h: graft.sources.HttpSnapshotSource =>
             graft.sources.HttpSnapshotSource.fromUrls(spark, Seq(h.url), onManifest)
         }
+        // sweep orphans first: a JVM crash mid-staging leaves its dir behind
+        // (the finally below never ran), and expire() doesn't scan _staging.
+        // LakeTable enforces a single writer, so anything already under
+        // _staging when a new apply starts is dead weight by definition.
+        val stagingRoot = new java.io.File(s"${table.root}/_staging")
+        Option(stagingRoot.listFiles()).foreach(
+          _.foreach(org.apache.commons.io.FileUtils.deleteQuietly))
         val staging = s"${table.root}/_staging/${new Path(path).getName}-${System.nanoTime()}"
         try {
           toDF(rows).write.mode("overwrite").parquet(staging) // the ONLY source read

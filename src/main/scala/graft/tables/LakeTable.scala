@@ -48,11 +48,21 @@ final case class TableSnapshot(
     lineage: Map[String, LineageEntry],
     /** rolled-up counters of expired lineage (+ "batches" count) */
     totals: Map[String, Long],
-    /** STORED rows (merge-on-read buckets count shadowed versions too) */
+    /** STORED rows (merge-on-read buckets count shadowed versions too) —
+      * use [[LakeTable.logicalRowCount]] for the post-LWW-resolve count */
     rowCount: Long,
     /** buckets holding unresolved merge-on-read layers: reads resolve them
       * with a LWW dedup until [[LakeTable.compact]] rewrites them */
-    morBuckets: Seq[Int] = Nil)
+    morBuckets: Seq[Int] = Nil,
+    /** per-bucket LAYER counts (file-list appends since the bucket's last
+      * rewrite) — the merge-on-read read-amplification bound. Absent entry =
+      * 1 layer (a clean copy-on-write bucket). */
+    bucketLayers: Map[Int, Int] = Map.empty,
+    /** auto-compaction bound: a merge-on-read merge that pushes a bucket
+      * past this many layers compacts THAT bucket immediately (hot buckets
+      * must not accumulate unbounded read debt between the stream's periodic
+      * compaction triggers) */
+    maxLayers: Int = LakeTable.DefaultMaxLayers)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -121,6 +131,55 @@ final class LakeTable private (
     if (dirty.isEmpty) clean
     else clean.unionByName(
       Dedup.latestByKey(readFiles(bucketPaths(dirty)), s.keyCols, s.orderCols))
+  }
+
+  /** LOGICAL row count (rows a full [[read]] would return). Free when no
+    * merge-on-read debt is outstanding; otherwise one small job over the
+    * dirty buckets only (their stored counts include shadowed versions).
+    * `snapshot().rowCount` stays the STORED count by contract. */
+  def logicalRowCount(): Long = {
+    val s = snapshot()
+    if (s.morBuckets.isEmpty) s.rowCount
+    else {
+      val dirty = s.morBuckets.toSet
+      val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
+      val files = s.morBuckets.sorted
+        .flatMap(b => s.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+      val schema = StructType.fromDDL(s.schemaDdl)
+      cleanRows + Dedup.latestByKey(
+        spark.read.schema(schema).parquet(files: _*), s.keyCols, s.orderCols).count()
+    }
+  }
+
+  /** Keyed POINT READ with bucket pruning (≙ the reference SQLite sink's
+    * PK lookup, sqlite.rs:218-233): evaluates the table's bucket function on
+    * the literal key driver-side, scans ONLY that bucket's files (1/numBuckets
+    * of the table), resolves merge-on-read layers iff that bucket is dirty,
+    * and filters to the key. `keyEquals` must bind every key column. */
+  def read(keyEquals: Map[String, Any]): DataFrame = {
+    val s = snapshot()
+    require(s.keyCols.forall(keyEquals.contains),
+      s"point read must bind every key column ${s.keyCols}")
+    val schema = StructType.fromDDL(s.schemaDdl)
+    // the same expression as bucketExpr, evaluated on the literal key:
+    // xxhash64(...) is XxHash64(seed=42); pmod(positive divisor) = floorMod
+    val lits = s.keyCols.map { k =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        keyEquals(k), schema(k).dataType)
+    }
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
+      .eval(null).asInstanceOf[Long]
+    val bucket = math.floorMod(h, s.numBuckets.toLong).toInt
+    val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => s"$root/$rel")
+    val scan =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    // filter BEFORE the MOR resolve: the key predicate commutes with per-key
+    // LWW, and this way it pushes down into the parquet scan
+    val hit = scan.filter(s.keyCols.map(k => col(k) === lit(keyEquals(k))).reduce(_ && _))
+    if (s.morBuckets.contains(bucket)) Dedup.latestByKey(hit, s.keyCols, s.orderCols)
+    else hit
   }
 
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
@@ -242,7 +301,7 @@ final class LakeTable private (
       val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
         b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
       }
-      val (newBucketFiles, newBucketRows, rowCount, newMorBuckets) =
+      val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
         if (mor) {
           // APPEND the new layer; a bucket becomes dirty (needs read-time
           // resolution) once it holds more than the fresh layer
@@ -254,7 +313,12 @@ final class LakeTable private (
           }
           val dirty = (snap.morBuckets ++
             touched.filter(b => snap.bucketFiles.getOrElse(b, Nil).nonEmpty)).distinct.sorted
-          (bf, br, snap.rowCount + writtenRows.values.sum, dirty)
+          val layers = snap.bucketLayers ++ written.keys.map { b =>
+            val before =
+              snap.bucketLayers.getOrElse(b, if (snap.bucketFiles.getOrElse(b, Nil).isEmpty) 0 else 1)
+            b -> (before + 1)
+          }
+          (bf, br, snap.rowCount + writtenRows.values.sum, dirty, layers)
         } else {
           // copy-on-write REPLACES touched buckets (and resolves any of
           // their MOR layers in the same pass). Old touched rows come from
@@ -266,7 +330,8 @@ final class LakeTable private (
           (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
             snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
             snap.rowCount - oldTouchedRows + writtenRows.values.sum,
-            snap.morBuckets.filterNot(touched.contains))
+            snap.morBuckets.filterNot(touched.contains),
+            snap.bucketLayers.filter { case (b, _) => !touched.contains(b) })
         }
       phase("counts")
 
@@ -296,8 +361,19 @@ final class LakeTable private (
         lineage = keptLineage,
         totals = rolledTotals,
         rowCount = rowCount,
-        morBuckets = newMorBuckets))
+        morBuckets = newMorBuckets,
+        bucketLayers = newBucketLayers,
+        maxLayers = snap.maxLayers))
       phase("commit")
+      // read-amplification bound: a hot bucket past maxLayers compacts NOW,
+      // not at the stream's next periodic trigger (its read cost is already
+      // maxLayers× a clean scan; waiting compounds it)
+      if (mor) {
+        val over = newBucketLayers.collect {
+          case (b, n) if n > snap.maxLayers => b
+        }.toSeq.sorted
+        if (over.nonEmpty) { compactBuckets(over); phase("auto-compact") }
+      }
       upserts
     } finally { if (cacheBatch) alignedBatch.unpersist(false) }
   }
@@ -307,9 +383,17 @@ final class LakeTable private (
     * rule once, and replaces their file lists. Table state is unchanged
     * (spec-proven); read cost returns to the copy-on-write fast path.
     * @return number of buckets compacted */
-  def compact(): Int = {
+  def compact(): Int = compactBuckets(snapshot().morBuckets)
+
+  /** [[compact]] restricted to a subset of the dirty buckets (the hot-bucket
+    * auto-compaction path: one bucket past `maxLayers` should not force a
+    * rewrite of every dirty bucket). Compaction is recorded in `totals` only
+    * — it is maintenance, not a batch, so it neither consumes a slot of the
+    * bounded `appliedBatches` replay-detection window nor appears in batch
+    * lineage. */
+  def compactBuckets(buckets: Seq[Int]): Int = {
     val snap = snapshot()
-    val dirty = snap.morBuckets.sorted
+    val dirty = buckets.filter(snap.morBuckets.contains).distinct.sorted
     if (dirty.isEmpty) return 0
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     val files = dirty.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
@@ -330,16 +414,17 @@ final class LakeTable private (
       b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
     }
     val oldDirtyRows = dirty.map(b => snap.bucketRows.getOrElse(b, 0L)).sum
-    val batchId = s"compact:v$newVersion"
     commit(snap.copy(
       version = newVersion,
       bucketFiles = snap.bucketFiles.filter { case (b, _) => !dirty.contains(b) } ++ written,
       bucketRows = snap.bucketRows.filter { case (b, _) => !dirty.contains(b) } ++ writtenRows,
-      appliedBatches = (snap.appliedBatches :+ batchId).takeRight(snap.retainBatches),
-      lineage = snap.lineage + (batchId -> LineageEntry(
-        Map("compacted_buckets" -> dirty.size.toLong), dirty)),
+      totals = snap.totals
+        .updated("compactions", snap.totals.getOrElse("compactions", 0L) + 1L)
+        .updated("compacted_buckets",
+          snap.totals.getOrElse("compacted_buckets", 0L) + dirty.size.toLong),
       rowCount = snap.rowCount - oldDirtyRows + writtenRows.values.sum,
-      morBuckets = Nil))
+      morBuckets = snap.morBuckets.filterNot(dirty.contains),
+      bucketLayers = snap.bucketLayers.filter { case (b, _) => !dirty.contains(b) }))
     dirty.size
   }
 
@@ -481,16 +566,24 @@ object LakeTable {
   /** Lineage/ledger retention window (batches). */
   final val DefaultRetainBatches = 128
 
+  /** Merge-on-read layer bound before a bucket auto-compacts: caps read
+    * amplification of a hot bucket at maxLayers× a clean scan. 32 keeps the
+    * common stream shape (periodic compaction every ~16 batches) off the
+    * auto path while still bounding pathological hot-bucket pileups. */
+  final val DefaultMaxLayers = 32
+
   /** Create a new empty table (version 0) or open the existing one. */
   def createOrOpen(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], orderCols: Seq[String], numBuckets: Int = 16,
-      retainBatches: Int = DefaultRetainBatches): LakeTable = {
+      retainBatches: Int = DefaultRetainBatches,
+      maxLayers: Int = DefaultMaxLayers): LakeTable = {
     val t = new LakeTable(spark, root)
     val meta = Paths.get(root, "meta")
     if (!Files.exists(meta.resolve("VERSION"))) {
       Files.createDirectories(meta)
       val s0 = TableSnapshot(0L, schema.toDDL, keyCols, orderCols, numBuckets,
-        retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L)
+        retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L,
+        morBuckets = Nil, bucketLayers = Map.empty, maxLayers = maxLayers)
       Files.write(meta.resolve("v0.json"), snapshotJson(s0),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       val tmp = meta.resolve("VERSION.tmp.0")
@@ -548,6 +641,9 @@ object LakeTable {
     s.totals.toSeq.sortBy(_._1).foreach { case (k, v) => tot.put(k, v) }
     o.put("rowCount", s.rowCount)
     val mb = o.putArray("morBuckets"); s.morBuckets.foreach(mb.add)
+    val bl = o.putObject("bucketLayers")
+    s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
+    o.put("maxLayers", s.maxLayers)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
 
@@ -587,6 +683,9 @@ object LakeTable {
       morBuckets =
         if (node.has("morBuckets"))
           node.get("morBuckets").elements().asScala.map(_.asInt()).toSeq
-        else Nil)
+        else Nil,
+      bucketLayers = longMap(node.get("bucketLayers")).map { case (k, v) => k.toInt -> v.toInt },
+      maxLayers =
+        if (node.has("maxLayers")) node.get("maxLayers").asInt() else DefaultMaxLayers)
   }
 }

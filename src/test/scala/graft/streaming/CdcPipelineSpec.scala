@@ -43,6 +43,23 @@ class SnapshotReplaySpec extends SparkTestBase {
     // lineage carries one entry per snapshot batch
     assert(table.snapshot().lineage.keySet.count(_.startsWith("snapshot:")) === fixtures.size)
   }
+
+  test("orphaned _staging dirs from a crashed run are swept by the next apply, " +
+      "and a clean apply leaves _staging empty") {
+    val (fixtures, _) = SnapshotFixture.generateStream(seed = 13L, increments = 0)
+    val dir = Files.createTempDirectory("replay-sweep").toString
+    val archive = s"$dir/snap-${fixtures.head.manifest.slot}.tar.zst"
+    SnapshotFixture.writeArchive(fixtures.head, archive)
+    val table = SnapshotReplay.createTable(spark, Files.createTempDirectory("acctbl-sw").toString, 4)
+    // simulate a JVM crash mid-staging: leftover staging parquet in the root
+    val orphan = java.nio.file.Paths.get(table.root, "_staging", "crashed-123")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-zombie.parquet"), Array[Byte](1, 2, 3))
+    assert(SnapshotReplay.applySnapshot(spark, table, archive) > 0L)
+    val staging = new java.io.File(table.root, "_staging")
+    assert(!staging.exists() || staging.list().isEmpty,
+      s"staging not swept: ${Option(staging.list()).map(_.toSeq)}")
+  }
 }
 
 class CdcPipelineSpec extends SparkTestBase {
@@ -142,6 +159,26 @@ class CdcPipelineSpec extends SparkTestBase {
       ("r1", "a.scala") -> ((3L, "v3 of a")),
       ("r1", "b.scala") -> ((1L, "v1 of b")),
       ("r2", "x.py") -> ((1L, "v1 of x"))))
+  }
+
+  test("a bounded MOR run compacts on termination even between periodic " +
+      "boundaries (no indefinite layer debt)") {
+    val changeDir = Files.createTempDirectory("changes-fc").toString
+    val cp = Files.createTempDirectory("cp-fc").toString
+    val table = mkTable()
+    // one batch, periodic compaction disabled: only the final compact runs
+    Seq(("r1", "a.scala", 1L, "scala", "v1"), ("r1", "a.scala", 2L, "scala", "v2"))
+      .toDF("repo", "path", "commitSeq", "lang", "content")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeF",
+      mor = true, compactEveryBatches = None)
+    Seq(("r1", "a.scala", 3L, "scala", "v3"))
+      .toDF("repo", "path", "commitSeq", "lang", "content")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipeF",
+      mor = true, compactEveryBatches = None)
+    assert(table.snapshot().morBuckets.isEmpty)
+    assert(table.read().select("commitSeq").as[Long].collect().toSeq === Seq(3L))
   }
 
   test("auto-expiry retires old versions as the stream advances") {

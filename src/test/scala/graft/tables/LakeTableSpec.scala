@@ -226,6 +226,82 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("merge-on-read layer debt is bounded: a hot bucket past maxLayers " +
+      "auto-compacts, and read parity holds throughout") {
+    val root = Files.createTempDirectory("laketbl-layers").toString
+    // ONE bucket → every merge lands on the same (hot) bucket
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"),
+      numBuckets = 1, maxLayers = 4)
+    val cow = newTable()
+    (1 to 50).foreach { i =>
+      val df = Seq((s"k${i % 7}", i.toLong, s"v$i")).toDF("k", "wv", "v")
+      t.merge(df, s"b$i", mor = true, txn = Some(("app", i.toLong)))
+      cow.merge(df, s"b$i")
+      val s = t.snapshot()
+      assert(s.bucketLayers.values.forall(_ <= 4),
+        s"batch $i: layers ${s.bucketLayers} exceed maxLayers")
+      assert(s.bucketFiles.values.map(_.size).sum <= 4 * 8,
+        s"batch $i: file count unbounded") // ≤ maxLayers layers × writeFactor subsplit files
+    }
+    // auto-compactions actually fired (50 single-row merges, bound 4)
+    assert(t.snapshot().totals.getOrElse("compactions", 0L) >= 10L)
+    def state(x: LakeTable) = x.read().as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(state(t) === state(cow))
+  }
+
+  test("compaction is maintenance: it consumes no appliedBatches slot and " +
+      "rolls into totals only") {
+    val root = Files.createTempDirectory("laketbl-compact-slot").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "b2", mor = true)
+    assert(t.compact() === 1)
+    val s = t.snapshot()
+    assert(s.appliedBatches === Seq("b1", "b2")) // replay window untouched
+    assert(!s.lineage.keySet.exists(_.startsWith("compact")))
+    assert(s.totals("compactions") === 1L)
+    assert(s.totals("compacted_buckets") === 1L)
+  }
+
+  test("keyed point read prunes to one bucket and equals the full-read filter") {
+    val t = newTable(buckets = 8)
+    t.merge((0 until 64).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "full")
+    val point = t.read(Map("k" -> "k7"))
+    assert(point.as[(String, Long, String)].collect().toSeq === Seq(("k7", 1L, "v7")))
+    // scans exactly one bucket's files (1/8 of the table), a strict subset
+    val all = t.snapshot().bucketFiles
+    def normalize(p: String) = p.replaceFirst("^file:/+", "/")
+    val scanned = point.inputFiles.map(normalize).toSet
+    val owning = all.filter { case (_, fs) =>
+      fs.map(rel => s"${t.root}/$rel").toSet == scanned }
+    assert(owning.size === 1, s"scanned files $scanned not exactly one bucket")
+    // MOR: a dirty target bucket resolves layers inside the point read
+    t.merge(Seq(("k7", 5L, "v7-new"), ("k9", 2L, "v9b")).toDF("k", "wv", "v"),
+      "delta", mor = true)
+    assert(t.read(Map("k" -> "k7")).as[(String, Long, String)].collect().toSeq
+      === Seq(("k7", 5L, "v7-new")))
+    // equals the unpruned read for every key
+    val full = t.read().as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    Seq("k7", "k9", "k23").foreach { k =>
+      assert(t.read(Map("k" -> k)).as[(String, Long, String)].collect().toSeq
+        === Seq(full(k)))
+    }
+    assert(t.read(Map("k" -> "missing")).count() === 0L)
+  }
+
+  test("logicalRowCount resolves merge-on-read shadowing; rowCount stays stored") {
+    val t = newTable(buckets = 2)
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2", mor = true)
+    val s = t.snapshot()
+    assert(s.rowCount === 4L)            // stored: a twice
+    assert(t.logicalRowCount() === 3L)   // logical: a resolved once
+    assert(t.logicalRowCount() === t.read().count())
+    t.compact()
+    assert(t.snapshot().rowCount === 3L)
+    assert(t.logicalRowCount() === 3L)
+  }
+
   test("merge records counters in lineage, including caller counterCols") {
     import org.apache.spark.sql.functions._
     val t = newTable()
