@@ -2,13 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: time ONE `SparkEntry.queries` entry repeatedly.
-  * Usage: runMain graft.QueryBench <queryName> [reps] — honors
-  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / GRAFT_STAGE_PROFILE. */
+/** Dev harness: time a SUBSET of `SparkEntry.queries` (iterate on one query
+  * without paying the full Bench pass). Usage:
+  *   runMain graft.QueryBench q16_snapshot_replay q30_repo_cdc [reps]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  * plus the usual GRAFT_MERGE_DEBUG / GRAFT_STAGE_PROFILE switches.
+  */
 object QueryBench {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val (names, reps) = args.partition(!_.forall(_.isDigit)) match {
+      case (ns, Array(r)) => (ns.toSeq, r.toInt)
+      case (ns, _)        => (ns.toSeq, 2)
+    }
+    require(names.nonEmpty, "pass query names")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -21,12 +27,13 @@ object QueryBench {
       .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    StageProfiler.maybeAttach(spark)
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      System.err.println(f"[qbench] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    names.foreach { n =>
+      require(SparkEntry.queries.contains(n), s"unknown query $n")
+      (1 to reps).foreach { rep =>
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[qbench] $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      }
     }
     spark.stop()
   }

@@ -44,6 +44,49 @@ class SnapshotReplaySpec extends SparkTestBase {
     assert(table.snapshot().lineage.keySet.count(_.startsWith("snapshot:")) === fixtures.size)
   }
 
+  test("archive-tail stream: archives dropped over time (out of order, with " +
+      "restart and re-delivery) reach exactly the batch-replay state") {
+    val (fixtures, _) = SnapshotFixture.generateStream(seed = 23L, increments = 2)
+    val Seq(full, inc1, inc2) = fixtures
+    val stage = Files.createTempDirectory("tail-stage").toString
+    fixtures.foreach(fx =>
+      SnapshotFixture.writeArchive(fx, s"$stage/snap-${fx.manifest.slot}.tar.zst"))
+
+    // the batch oracle: replayDir over all three archives at once
+    val oracle = SnapshotReplay.createTable(spark, Files.createTempDirectory("tail-oracle").toString, 8)
+    SnapshotReplay.replayDir(spark, oracle, stage)
+    def state(t: graft.tables.LakeTable) = t.read()
+      .selectExpr("hex(pubkey)", "writeVersion", "slot", "lamports", "sha2(data, 256)")
+      .collect().map(_.toSeq).toSet
+
+    val arrival = Files.createTempDirectory("tail-arrival").toString
+    val cp = Files.createTempDirectory("tail-cp").toString
+    val table = SnapshotReplay.createTable(spark, Files.createTempDirectory("tail-tbl").toString, 8)
+    def drop(fx: graft.sources.SnapshotFixture.Fixture): Unit =
+      SnapshotFixture.writeArchive(fx, s"$arrival/snap-${fx.manifest.slot}.tar.zst")
+
+    // wave 1: the full snapshot arrives, stream catches up, "crashes" (stops)
+    drop(full)
+    SnapshotReplay.runArchiveTailOnce(spark, table, arrival, cp)
+    assert(table.read().count() > 0)
+    // wave 2 AFTER restart from the same checkpoint, OUT OF ORDER: the later
+    // incremental arrives before the earlier one — per-archive watermarks +
+    // commutative LWW must still converge (a shared slot watermark would
+    // silently skip inc1 here)
+    drop(inc2)
+    SnapshotReplay.runArchiveTailOnce(spark, table, arrival, cp)
+    drop(inc1)
+    SnapshotReplay.runArchiveTailOnce(spark, table, arrival, cp)
+    assert(state(table) === state(oracle))
+    // restart with nothing new: no-op, version unchanged
+    val v = table.currentVersion()
+    SnapshotReplay.runArchiveTailOnce(spark, table, arrival, cp)
+    assert(table.currentVersion() === v)
+    // one bounded txn entry per archive
+    assert(table.snapshot().txns.keySet === fixtures.map(fx =>
+      s"snapshot:snap-${fx.manifest.slot}.tar.zst").toSet)
+  }
+
   test("orphaned _staging dirs from a crashed run are swept by the next apply, " +
       "and a clean apply leaves _staging empty") {
     val (fixtures, _) = SnapshotFixture.generateStream(seed = 13L, increments = 0)
