@@ -84,41 +84,55 @@ object MorBench {
 
     final case class R(fullSec: Double, replaySec: Double, compactSec: Double,
         storedRows: Long, finalRows: Long)
-    def run(mor: Boolean): R = {
-      val dir = s"$work/mor-table-$mor-${System.nanoTime()}"
+    /** modes: "cow" (classic union-through-exchange), "cow_spj" (storage-
+      * partitioned merge — existing side unshuffled), "mor" (layer appends
+      * + final compaction). */
+    def run(mode: String): R = {
+      val dir = s"$work/mor-table-$mode-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, dir, numBuckets = 32)
-      // the full load always merges COW (into an empty table both modes do
-      // identical work); MOR applies to the DELTA stream, which is where
-      // the COW-vs-MOR trade lives
-      val tFull0 = System.nanoTime()
-      SnapshotReplay.applySnapshot(spark, table, s"$work/input/${snapNames.head}")
-      val fullSec = (System.nanoTime() - tFull0) / 1e9
-      val t0 = System.nanoTime()
-      snapNames.tail.foreach { name =>
-        SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", mor = mor)
-      }
-      val replaySec = (System.nanoTime() - t0) / 1e9
-      val storedRows = table.snapshot().rowCount
-      val t1 = System.nanoTime()
-      if (mor) table.compact()
-      val compactSec = (System.nanoTime() - t1) / 1e9
-      val finalRows = table.read().count()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      System.err.println(f"[mor] mor=$mor full=$fullSec%.1fs deltas=$replaySec%.1fs " +
-        f"compact=$compactSec%.1fs stored=$storedRows final=$finalRows")
-      R(fullSec, replaySec, compactSec, storedRows, finalRows)
+      val mor = mode == "mor"
+      // pin the COW algorithm explicitly: the auto gate would route the
+      // "cow" baseline onto SPJ at this shape (buckets ≥ cores, table ≥
+      // delta), which is the production default but not what this A/B is
+      // isolating
+      sys.props("graft.cow.spj") = if (mode == "cow_spj") "1" else "0"
+      try {
+        // the full load always merges classic COW (into an empty table all
+        // modes do identical work); the DELTA stream is where the trade lives
+        val tFull0 = System.nanoTime()
+        SnapshotReplay.applySnapshot(spark, table, s"$work/input/${snapNames.head}")
+        val fullSec = (System.nanoTime() - tFull0) / 1e9
+        val t0 = System.nanoTime()
+        snapNames.tail.foreach { name =>
+          SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", mor = mor)
+        }
+        val replaySec = (System.nanoTime() - t0) / 1e9
+        val storedRows = table.snapshot().rowCount
+        val t1 = System.nanoTime()
+        if (mor) table.compact()
+        val compactSec = (System.nanoTime() - t1) / 1e9
+        val finalRows = table.read().count()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        System.err.println(f"[mor] mode=$mode full=$fullSec%.1fs deltas=$replaySec%.1fs " +
+          f"compact=$compactSec%.1fs stored=$storedRows final=$finalRows")
+        R(fullSec, replaySec, compactSec, storedRows, finalRows)
+      } finally sys.props.remove("graft.cow.spj")
     }
-    run(mor = true) // warmup
-    val runs = (1 to reps).flatMap(_ => Seq(false, true).map(m => m -> run(m)))
-    val cow = runs.filter(!_._1).map(_._2).minBy(_.replaySec)
-    val mor = runs.filter(_._1).map(_._2).minBy(r => r.replaySec + r.compactSec)
-    require(cow.finalRows == mor.finalRows,
-      s"divergent final state: ${cow.finalRows} vs ${mor.finalRows}")
+    run("mor") // warmup
+    val modes = Seq("cow", "cow_spj", "mor")
+    val runs = (1 to reps).flatMap(_ => modes.map(m => m -> run(m)))
+    val cow = runs.filter(_._1 == "cow").map(_._2).minBy(_.replaySec)
+    val spj = runs.filter(_._1 == "cow_spj").map(_._2).minBy(_.replaySec)
+    val mor = runs.filter(_._1 == "mor").map(_._2).minBy(r => r.replaySec + r.compactSec)
+    require(Set(cow.finalRows, spj.finalRows, mor.finalRows).size == 1,
+      s"divergent final state: ${runs.map(r => r._1 -> r._2.finalRows)}")
     println(
       s"""{"metric":"cow_vs_mor_delta_stream","events":$events,"delta_events":$deltaEvents,""" +
         s""""deltas":$deltas,"final_rows":${cow.finalRows},""" +
         s""""full_load_sec":${cow.fullSec},""" +
         s""""cow_delta_sec":${cow.replaySec},"cow_stored_rows":${cow.storedRows},""" +
+        s""""cow_spj_delta_sec":${spj.replaySec},""" +
+        s""""cow_spj_delta_speedup":${f"${cow.replaySec / spj.replaySec}%.2f"},""" +
         s""""mor_delta_sec":${mor.replaySec},"mor_compact_sec":${mor.compactSec},""" +
         s""""mor_total_sec":${mor.replaySec + mor.compactSec},""" +
         s""""mor_stored_rows_precompact":${mor.storedRows},""" +

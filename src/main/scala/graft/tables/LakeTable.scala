@@ -185,6 +185,47 @@ final class LakeTable private (
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Partitioning-reporting scan over `buckets` of snapshot `snap` (DSv2,
+    * `KeyGroupedPartitioning(identity(_gbucket))`) — the storage-partitioned
+    * read path. Requires [[withSpjConfs]] around plan + execution. */
+  private def bucketScanDF(snap: TableSnapshot, buckets: Seq[Int]): DataFrame =
+    spark.read.format(graft.tables.dsv2.LakeBucketSource.Name)
+      .option("root", root)
+      .option("version", snap.version.toString)
+      .option("buckets", buckets.mkString(","))
+      .load()
+
+  /** Run `f` with storage-partitioned-join planning enabled (scan-reported
+    * KeyGroupedPartitioning honored; the non-aligned side of a join shuffled
+    * INTO it). Session confs are restored afterwards — callers outside the
+    * merge see their own settings. */
+  private[graft] def withSpjConfs[A](f: => A): A = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "true"))
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Storage-partitioned COW merge: eligible when the existing side is the
+    * bigger side (that is what the plan saves: existing rows no longer ride
+    * the exchange) and the touched-bucket count sustains write parallelism
+    * (the SPJ plan writes one task per bucket — at production bucket counts,
+    * buckets ≫ cores, this is always true; tiny tables keep the subsplit
+    * path). `GRAFT_COW_SPJ=1/0` (env, or the `graft.cow.spj` system
+    * property for in-process tests) forces either way. */
+  private def spjEligible(touched: Seq[Int], oldTouchedRows: Long, rowsIn: Long): Boolean =
+    sys.props.get("graft.cow.spj").orElse(sys.env.get("GRAFT_COW_SPJ")) match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ =>
+        touched.size >= spark.sparkContext.defaultParallelism && oldTouchedRows >= rowsIn
+    }
+
   /** MERGE INTO: LWW upsert of `batch` under exactly-once semantics.
     *
     * @param batchId   human-readable replay id (lineage key)
@@ -265,11 +306,14 @@ final class LakeTable private (
       }.toMap
 
       val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
-      // MOR never reads the table: the batch alone is deduped and appended
-      val existing =
-        if (mor || touchedFiles.isEmpty)
-          align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
-        else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
+      // old touched rows from the incrementally-maintained bucketRows (no
+      // re-read); needed both for the SPJ eligibility gate and the COW
+      // rowCount delta below
+      val oldTouchedRows =
+        if (mor) 0L
+        else touched.map(b => snap.bucketRows.getOrElse(b,
+          countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+      val spj = !mor && spjEligible(touched, oldTouchedRows, rowsIn)
 
       // --- ONE-shuffle LWW MERGE: in-batch dedup and old∪new resolution are
       // one aggregation, and that aggregation rides the bucket repartition:
@@ -287,16 +331,28 @@ final class LakeTable private (
       // file counts lower
       val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "2").toInt
       val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
-      val merged = buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
 
       // --- write only touched buckets under a fresh commit dir ---
       val newVersion = snap.version + 1
       val commitRel = s"data/commit-$newVersion"
-      merged
-        .drop(SubSplitCol)
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      if (spj) withSpjConfs {
+        // storage-partitioned path: existing side unshuffled (see
+        // buildMergedSpj); plan + write must both run under the SPJ confs
+        buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      } else {
+        // classic path: union existing∪batch through ONE bucket exchange.
+        // MOR never reads the table: the batch alone is deduped and appended
+        val existing =
+          if (mor || touchedFiles.isEmpty)
+            align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
+          else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
+        buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
+          .drop(SubSplitCol)
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      }
 
-      phase("write")
+      phase(if (spj) "write(spj)" else "write")
       val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
       val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
         b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
@@ -321,12 +377,9 @@ final class LakeTable private (
           (bf, br, snap.rowCount + writtenRows.values.sum, dirty, layers)
         } else {
           // copy-on-write REPLACES touched buckets (and resolves any of
-          // their MOR layers in the same pass). Old touched rows come from
-          // the incrementally-maintained bucketRows (no re-read); new files
-          // need ONE footer pass, parallelized — the serial driver-side
-          // footer loop was a measured scaling bottleneck.
-          val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
-            countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+          // their MOR layers in the same pass). New files need ONE footer
+          // pass, parallelized — the serial driver-side footer loop was a
+          // measured scaling bottleneck.
           (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
             snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
             snap.rowCount - oldTouchedRows + writtenRows.values.sum,
@@ -396,19 +449,18 @@ final class LakeTable private (
     val dirty = buckets.filter(snap.morBuckets.contains).distinct.sorted
     if (dirty.isEmpty) return 0
     val curSchema = StructType.fromDDL(snap.schemaDdl)
-    val files = dirty.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
-    val cores = spark.sparkContext.defaultParallelism
-    val writeFactor = math.max(1, math.ceil(2.0 * cores / dirty.size).toInt)
-    val emptyBatch = align(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema),
-      curSchema)
-    val merged = buildMerged(
-      align(spark.read.schema(curSchema).parquet(files: _*), curSchema),
-      emptyBatch, snap, dirty.size, writeFactor, salted = false)
     val newVersion = snap.version + 1
     val commitRel = s"data/commit-$newVersion"
-    merged.drop(SubSplitCol)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    // ZERO-SHUFFLE compaction: the layers of each bucket are already
+    // co-located by construction, so the LWW resolution grouped on
+    // (keys…, bucket) rides the scan's KeyGroupedPartitioning — each dirty
+    // bucket is one task that reads its layers, resolves, and writes ONE
+    // defragmented file. No exchange at any scale.
+    withSpjConfs {
+      Dedup.latestByKey(bucketScanDF(snap, dirty),
+          snap.keyCols :+ BucketCol, snap.orderCols)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
     val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
     val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
       b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
@@ -455,6 +507,64 @@ final class LakeTable private (
       .withColumn(SubSplitCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
       .repartition(math.max(1, touchedCount * writeFactor), col(BucketCol), col(SubSplitCol))
     Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
+  }
+
+  /** The STORAGE-PARTITIONED merge plan (SURVEY.md §7.5, built on
+    * [[graft.tables.dsv2.LakeBucketSource]]): the existing side arrives from
+    * a scan that REPORTS KeyGroupedPartitioning over the bucket ids, so the
+    * full-outer LWW resolution join clusters on `(keys…, bucket)` WITHOUT
+    * shuffling a single existing row — only the (small) deduped batch side
+    * is exchanged into the scan's partitioning. This is the plan shape that
+    * survives 100×: a delta brushing k% of the table streams those buckets
+    * task-locally instead of pushing them through the wire.
+    *
+    *   existing(scan, KGP[bucket], MOR layers LWW-resolved in place — the
+    *                                grouping rides the scan partitioning)
+    *      ⟗ full_outer on (keys…, bucket)
+    *   batch(dedup max_by — its agg exchange + the KGP exchange carry only
+    *         batch rows)
+    *   → per-key winner by (orderCols) struct comparison, batch wins ties
+    *     (arrival-order-last, the reference's INSERT OR REPLACE; the classic
+    *     union-path max_by leaves exact-tie winners unspecified, so the two
+    *     paths agree wherever the classic path is deterministic)
+    *
+    * Write parallelism = touched buckets (one task each); eligibility is
+    * gated in [[spjEligible]]. */
+  private[graft] def buildMergedSpj(snap: TableSnapshot, evolved: StructType,
+      touched: Seq[Int], alignedBatch: DataFrame, salted: Boolean): DataFrame = {
+    val cols = evolved.fieldNames.toSeq
+    val existing0 = bucketScanDF(snap, touched)
+    // align the scan (current schema) to the evolved schema, keeping the
+    // bucket column — a Project preserves the scan's reported partitioning
+    val exAligned = existing0.select(cols.map { c =>
+      if (existing0.columns.contains(c)) col(c).cast(evolved(c).dataType).as(c)
+      else lit(null).cast(evolved(c).dataType).as(c)
+    } :+ col(BucketCol): _*)
+    // dirty MOR buckets: resolve existing layers in place; grouping includes
+    // the bucket, so this aggregation needs NO exchange over the scan
+    val exResolved =
+      if (touched.exists(snap.morBuckets.contains))
+        Dedup.latestByKey(exAligned, snap.keyCols :+ BucketCol, snap.orderCols)
+      else exAligned
+    val batchWithBucket =
+      alignedBatch.withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+    val preAgg =
+      if (salted) Dedup.saltedPreAggregate(batchWithBucket, snap.keyCols :+ BucketCol,
+        snap.orderCols, numSalts = math.max(16, spark.sparkContext.defaultParallelism))
+      else batchWithBucket
+    val batchDedup = Dedup.latestByKey(preAgg, snap.keyCols :+ BucketCol, snap.orderCols)
+    val joinCols = snap.keyCols :+ BucketCol
+    val ex = exResolved.select(joinCols.map(col) :+ struct(cols.map(col): _*).as("_ex"): _*)
+    val ba = batchDedup.select(joinCols.map(col) :+ struct(cols.map(col): _*).as("_ba"): _*)
+    val joined = ex.join(ba, joinCols, "full_outer")
+    val ordB = struct(snap.orderCols.map(o => col(s"_ba.$o")): _*)
+    val ordE = struct(snap.orderCols.map(o => col(s"_ex.$o")): _*)
+    val winner = when(col("_ex").isNull, col("_ba"))
+      .when(col("_ba").isNull, col("_ex"))
+      .when(ordB >= ordE, col("_ba"))
+      .otherwise(col("_ex"))
+    joined.withColumn("_w", winner)
+      .select(cols.map(c => col(s"_w.$c").as(c)) :+ col(BucketCol): _*)
   }
 
   /** Retire old versions: delete snapshot metadata older than the most

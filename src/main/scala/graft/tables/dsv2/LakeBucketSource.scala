@@ -1,0 +1,191 @@
+package graft.tables.dsv2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.tables.LakeTable
+
+/** DataSource-v2 scan over a [[graft.tables.LakeTable]]'s buckets that
+  * REPORTS ITS PARTITIONING (SURVEY.md §7.5, the storage-partitioned merge):
+  * one input partition per bucket, each carrying `HasPartitionKey` on the
+  * table's bucket id, surfaced to Catalyst as
+  * `KeyGroupedPartitioning(identity(_gbucket))`.
+  *
+  * This is what lets a copy-on-write MERGE leave the EXISTING side of the
+  * upsert join entirely unshuffled: with
+  * `spark.sql.sources.v2.bucketing.{enabled,shuffle.enabled}` set, Catalyst
+  * sees that the scan already satisfies the join's clustering on
+  * `(keys…, _gbucket)` and storage-partition-joins against it, shuffling
+  * ONLY the (small) batch side into the scan's partitioning — the plan-shape
+  * fix for the "existing-side rides the exchange" scale cost called out in
+  * round 3 (a delta brushing k% of a 100 TB table no longer shuffles those
+  * k% of table rows, it only streams them task-locally).
+  *
+  * Reading delegates to Spark's own vectorized parquet machinery
+  * (`ParquetPartitionReaderFactory`): the bucket id is injected as a
+  * partition column, exactly like a hive-style `bucket=<i>/` directory scan,
+  * so the per-file reader is the same whole-stage-codegen-friendly columnar
+  * path `spark.read.parquet` uses.
+  *
+  * Options: `root` (table root), `version` (snapshot version to pin),
+  * `buckets` (comma-separated bucket ids — the merge's touched set; a bucket
+  * with no files yet still contributes an EMPTY partition so the other
+  * side's shuffle always has a target partition for every bucket value).
+  */
+final class LakeBucketSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeBucketSource.scanSchema(LakeBucketSource.snapshotFor(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new LakeBucketTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LakeBucketSource {
+  val BucketCol = "_gbucket"
+
+  /** format name for spark.read.format(...) */
+  val Name: String = classOf[LakeBucketSource].getName
+
+  private[dsv2] def snapshotFor(options: CaseInsensitiveStringMap): graft.tables.TableSnapshot = {
+    val root = require(options, "root")
+    val version = require(options, "version").toLong
+    LakeTable.readSnapshot(java.nio.file.Paths.get(root), version)
+  }
+
+  private[dsv2] def require(options: CaseInsensitiveStringMap, key: String): String = {
+    val v = options.get(key)
+    if (v == null) throw new IllegalArgumentException(s"LakeBucketSource needs option '$key'")
+    v
+  }
+
+  private[dsv2] def scanSchema(snap: graft.tables.TableSnapshot): StructType =
+    StructType(StructType.fromDDL(snap.schemaDdl).fields :+
+      StructField(BucketCol, IntegerType, nullable = false))
+}
+
+final class LakeBucketTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val snap = LakeBucketSource.snapshotFor(options)
+  private val root = LakeBucketSource.require(options, "root")
+  private val buckets: Seq[Int] =
+    LakeBucketSource.require(options, "buckets").split(',').filter(_.nonEmpty).map(_.toInt).toSeq
+
+  override def name(): String = s"lake_buckets($root@v${snap.version})"
+  override def schema(): StructType = LakeBucketSource.scanSchema(snap)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LakeBucketScan(root, snap, buckets)
+    }
+}
+
+final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
+    buckets: Seq[Int]) extends Scan with Batch with SupportsReportPartitioning {
+
+  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+  private val partitionSchema =
+    StructType(Seq(StructField(LakeBucketSource.BucketCol, IntegerType, nullable = false)))
+
+  override def readSchema(): StructType = LakeBucketSource.scanSchema(snap)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LakeBucketScan(root=$root, v=${snap.version}, buckets=${buckets.mkString(",")})"
+
+  /** the whole point: identity partitioning on the bucket column */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(LakeBucketSource.BucketCol)), buckets.size)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    buckets.sorted.zipWithIndex.map { case (b, idx) =>
+      val files = snap.bucketFiles.getOrElse(b, Nil).map { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+        val len = p.getFileSystem(conf).getFileStatus(p).getLen
+        PartitionedFile(
+          partitionValues = InternalRow(b),
+          filePath = org.apache.spark.paths.SparkPath.fromPath(p),
+          start = 0L, length = len)
+      }.toArray
+      LakeBucketPartition(idx, b, files): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val sqlConf = spark.sessionState.conf
+    // mirror ParquetScan's reader configuration (schemas + the conf bits the
+    // vectorized reader consults) before shipping the conf to executors
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      dataSchema.json)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA,
+      dataSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    new LakeBucketReaderFactory(ParquetPartitionReaderFactory(
+      sqlConf, broadcasted, dataSchema, dataSchema, partitionSchema,
+      Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf)))
+  }
+}
+
+/** One bucket = one input partition; `partitionKey` is what Catalyst groups
+  * and storage-partition-joins on. */
+final case class LakeBucketPartition(index: Int, bucket: Int,
+    files: Array[PartitionedFile]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+/** Delegates each bucket partition to Spark's vectorized parquet factory by
+  * re-wrapping it as the `FilePartition` that factory expects. */
+final class LakeBucketReaderFactory(delegate: ParquetPartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  private def asFilePartition(p: InputPartition): FilePartition = p match {
+    case LakeBucketPartition(idx, _, files) => FilePartition(idx, files)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(asFilePartition(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(asFilePartition(p))
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(asFilePartition(p))
+}

@@ -73,6 +73,79 @@ class PlanSpec extends SparkTestBase {
       s"expected TWO exchanges (salt pre-agg + bucket repartition):\n${saltedPlan.take(4000)}")
   }
 
+  test("storage-partitioned COW merge: NO exchange above the table scan — " +
+      "only the batch side shuffles (SURVEY.md §7.5)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planspj").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 8)
+    t.merge((0 until 64).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "full")
+    val batch = (0 until 16).map(i => (s"k$i", 2L, s"b$i")).toDF("k", "wv", "v")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try t.withSpjConfs {
+      val merged = t.buildMergedSpj(t.snapshot(), schema, (0 until 8).toSeq,
+        batch, salted = false)
+      val p = plan(merged)
+      assert(p.contains("BatchScan"), p.take(3000))
+      // exactly TWO exchanges, both on the batch side: the dedup agg's hash
+      // exchange + the storage-partitioned shuffle into the scan's
+      // KeyGroupedPartitioning; ZERO exchanges above the table scan
+      assert(nodes(p, "Exchange") === 2,
+        s"expected TWO batch-side exchanges:\n${p.take(5000)}")
+      assert(p.contains("keygroupedpartitioning"),
+        s"batch side must shuffle into the scan's KeyGroupedPartitioning:\n${p.take(5000)}")
+      assert(nodes(p, "SortMergeJoin FullOuter") === 1, p.take(3000))
+      // structurally: no ShuffleExchange node has the scan in its subtree
+      val exec = merged.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val shuffledScan = exec.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.child.collect {
+              case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+            }.nonEmpty => s
+      }
+      assert(shuffledScan.isEmpty, s"existing side was shuffled:\n${exec.treeString}")
+      // and the merge is CORRECT through this plan
+      val out = merged.drop("_gbucket").as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out.size === 64)
+      assert(out("k3") === ((2L, "b3")) && out("k40") === ((1L, "v40")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("compaction plans ZERO exchanges (layers are bucket-local by construction)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plancompact").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 16).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge((0 until 16).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "b2", mor = true)
+    val snap = t.snapshot()
+    assert(snap.morBuckets.nonEmpty)
+    t.withSpjConfs {
+      val resolved = graft.operators.Dedup.latestByKey(
+        spark.read.format(graft.tables.dsv2.LakeBucketSource.Name)
+          .option("root", t.root).option("version", snap.version.toString)
+          .option("buckets", snap.morBuckets.mkString(",")).load(),
+        Seq("k", "_gbucket"), Seq("wv"))
+      val p = plan(resolved)
+      assert(nodes(p, "Exchange") === 0,
+        s"compaction must not shuffle:\n${p.take(4000)}")
+    }
+    // and the real compact() produces the right state
+    t.compact()
+    assert(t.snapshot().morBuckets.isEmpty)
+    val state = t.read().as[(String, Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(state.values.forall(_ == 2L))
+  }
+
   test("q22 minhash candidate generation never plans a cartesian product") {
     val p = plan(SparkEntry.queries("q22_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))

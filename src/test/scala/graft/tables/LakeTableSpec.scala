@@ -90,6 +90,41 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("property: storage-partitioned COW merges equal classic COW merges " +
+      "across random streams, MOR interleavings, and schema evolution") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    def withSpjMode[A](mode: String)(f: => A): A = {
+      sys.props("graft.cow.spj") = mode
+      try f finally sys.props.remove("graft.cow.spj")
+    }
+    val rnd = new scala.util.Random(20260818L)
+    val keys = ('a' to 'p').map(_.toString)
+    (0 until 3).foreach { round =>
+      val classic = newTable()
+      val spj = newTable()
+      var wv = 0L
+      (0 until 6).foreach { b =>
+        val rows = (0 until (1 + rnd.nextInt(12))).map { _ =>
+          wv += 1
+          (keys(rnd.nextInt(keys.size)), wv, s"v$wv")
+        }
+        val evolve = b >= 4 // later batches add a column (schema evolution under SPJ)
+        val df0 = rows.toDF("k", "wv", "v")
+        val df = if (evolve) df0.withColumn("extra", concat(lit("x"), col("wv"))) else df0
+        val mor = rnd.nextInt(4) == 0 // occasional MOR layer → SPJ must resolve dirty buckets
+        withSpjMode("0") { classic.merge(df, s"r$round-b$b", mor = mor) }
+        withSpjMode("1") { spj.merge(df, s"r$round-b$b", mor = mor) }
+      }
+      withSpjMode("0") { classic.compact() }
+      withSpjMode("1") { spj.compact() }
+      def state(t: LakeTable) = t.read()
+        .selectExpr("k", "wv", "v", "cast(extra as string)")
+        .collect().map(_.toSeq).toSet
+      assert(state(spj) === state(classic), s"round $round diverged")
+      assert(spj.snapshot().rowCount === classic.snapshot().rowCount)
+    }
+  }
+
   test("merge-on-read: exactly-once and schema evolution hold") {
     val t = newTable()
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1", mor = true,
