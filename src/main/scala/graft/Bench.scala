@@ -64,24 +64,31 @@ object Bench {
     val perVec = sys.env.getOrElse("SPARK_GRAFT_BENCH_VEC", "128000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val events = ScalingBench.ensureInput(s"$work/input", perVec)
-    val runs = (1 to reps).map { rep =>
-      val tableDir = s"$work/table-$rep-${System.nanoTime()}"
+    def replayRun(rep: Int, mor: Boolean): (Double, Long) = {
+      val tableDir = s"$work/table-$mor-$rep-${System.nanoTime()}"
       val table = graft.streaming.SnapshotReplay.createTable(spark, tableDir, 32)
       val t0 = System.nanoTime()
       Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
-        graft.streaming.SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name")
+        graft.streaming.SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", mor = mor)
       }
+      if (mor) table.compact() // same fully-resolved final state as COW
       val sec = (System.nanoTime() - t0) / 1e9
       val finalRows = table.read().count()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
-      System.err.println(f"[bench] cdc_replay rep $rep: $sec%.1fs (${(events / sec).round} ev/s)")
+      System.err.println(f"[bench] cdc_replay(mor=$mor) rep $rep: $sec%.1fs (${(events / sec).round} ev/s)")
       (sec, finalRows)
     }
-    require(runs.map(_._2).distinct.size == 1,
-      s"divergent final state across reps: ${runs.map(_._2)}")
+    // interleaved COW + MOR reps; headline stays the COW replay (round-over-
+    // round comparability), the MOR ingest path is reported alongside
+    val runs = (1 to reps).map(replayRun(_, mor = false))
+    val morRuns = (1 to reps).map(replayRun(_, mor = true))
+    require((runs ++ morRuns).map(_._2).distinct.size == 1,
+      s"divergent final state across reps: ${(runs ++ morRuns).map(_._2)}")
     val replaySec = runs.map(_._1).min
+    val morReplaySec = morRuns.map(_._1).min
     val finalRows = runs.head._2
     val replayThroughput = (events / replaySec).round
+    val morReplayThroughput = (events / morReplaySec).round
 
     // full JSON string escape incl. control chars — exception messages
     // (e.g. AnalysisException plan fragments) routinely embed newlines, and
@@ -103,6 +110,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""extra":{"cdc_replay_events":$events,"cdc_replay_sec":$replaySec,""" +
       s""""cdc_replay_events_per_sec":$replayThroughput,""" +
+      s""""cdc_replay_mor_sec":$morReplaySec,""" +
+      s""""cdc_replay_mor_events_per_sec":$morReplayThroughput,""" +
+      s""""cdc_replay_mor_rep_secs":${morRuns.map(_._1).mkString("[", ",", "]")},""" +
       s""""cdc_replay_rep_secs":$repSecs,""" +
       s""""cdc_replay_final_rows":$finalRows,"errors":$errJson},"sf":"$sfDir"}""")
     spark.stop()

@@ -94,14 +94,17 @@ object MorBench {
       // pin the COW algorithm explicitly: the auto gate would route the
       // "cow" baseline onto SPJ at this shape (buckets ≥ cores, table ≥
       // delta), which is the production default but not what this A/B is
-      // isolating
-      sys.props("graft.cow.spj") = if (mode == "cow_spj") "1" else "0"
+      // isolating. The pin starts AFTER the full load — against an empty
+      // table SPJ has nothing to save (the auto gate correctly skips it),
+      // so all modes pay the identical classic full-load cost.
+      sys.props("graft.cow.spj") = "0"
       try {
         // the full load always merges classic COW (into an empty table all
         // modes do identical work); the DELTA stream is where the trade lives
         val tFull0 = System.nanoTime()
         SnapshotReplay.applySnapshot(spark, table, s"$work/input/${snapNames.head}")
         val fullSec = (System.nanoTime() - tFull0) / 1e9
+        sys.props("graft.cow.spj") = if (mode == "cow_spj") "1" else "0"
         val t0 = System.nanoTime()
         snapNames.tail.foreach { name =>
           SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", mor = mor)

@@ -286,76 +286,114 @@ final class LakeTable private (
       tPhase = now
     }
     try {
-      // --- one stats job: touched buckets for pruning, distinct-key count
-      // (= post-dedup upsert count; dedup never changes the key set), batch
-      // row count, and any caller counters — all per bucket, summed here ---
       val counterNames = counterCols.keys.toSeq.sorted
-      val aggs = count_distinct(struct(snap.keyCols.map(col): _*)).as("_nkeys") +:
-        count(lit(1)).as("_nrows") +:
-        counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
-      val stats = alignedBatch
-        .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      phase("stats")
-      val touched = stats.map(_.getInt(0)).toSeq.sorted
-      val upserts = stats.map(_.getLong(1)).sum
-      val rowsIn = stats.map(_.getLong(2)).sum
-      val customCounters = counterNames.zipWithIndex.map { case (n, i) =>
-        n -> stats.map(_.getLong(3 + i)).sum
-      }.toMap
-
-      val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
-      // old touched rows from the incrementally-maintained bucketRows (no
-      // re-read); needed both for the SPJ eligibility gate and the COW
-      // rowCount delta below
-      val oldTouchedRows =
-        if (mor) 0L
-        else touched.map(b => snap.bucketRows.getOrElse(b,
-          countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
-      val spj = !mor && spjEligible(touched, oldTouchedRows, rowsIn)
-
-      // --- ONE-shuffle LWW MERGE: in-batch dedup and old∪new resolution are
-      // one aggregation, and that aggregation rides the bucket repartition:
-      // HashPartitioning(bucket, subsplit) satisfies ClusteredDistribution
-      // (keys ∪ bucket ∪ subsplit) because both partition exprs are in the
-      // grouping — Catalyst inserts NO second exchange, so each merge
-      // shuffles the data exactly once, already routed to its output bucket.
-      // `subsplit` (a key hash) decouples write parallelism from bucket
-      // count: a bucket's rows can span `writeFactor` tasks/files without
-      // breaking key co-location (subsplit is a function of the key). The
-      // salted path (hot keys) trades this for a two-phase agg and is off
-      // for high-cardinality keys.
       val cores = spark.sparkContext.defaultParallelism
       // sub-splits per core measured neutral between 2 and 4 waves; 2 keeps
       // file counts lower
       val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "2").toInt
-      val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
-
-      // --- write only touched buckets under a fresh commit dir ---
       val newVersion = snap.version + 1
       val commitRel = s"data/commit-$newVersion"
-      if (spj) withSpjConfs {
-        // storage-partitioned path: existing side unshuffled (see
-        // buildMergedSpj); plan + write must both run under the SPJ confs
-        buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
-          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
-      } else {
-        // classic path: union existing∪batch through ONE bucket exchange.
-        // MOR never reads the table: the batch alone is deduped and appended
-        val existing =
-          if (mor || touchedFiles.isEmpty)
-            align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
-          else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
-        buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
+
+      // =====================================================================
+      // MOR: ONE JOB, no stats pass. The table is never read and pruning is
+      // irrelevant (layers append), so the only reason the classic path
+      // scans the batch twice — touched-bucket discovery — disappears.
+      // rows_in + caller counters ride the write plan as observed metrics
+      // (CollectMetrics: zero extra scans); touched buckets and the upsert
+      // count (= post-dedup rows = distinct batch keys) come from the
+      // written files' footers. Halving the number of batch scans matters:
+      // the batch is typically an expensive mapPartitions binary decode.
+      // =====================================================================
+      val (touched, upserts, rowsIn, customCounters, written, writtenRows) = if (mor) {
+        val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt)
+        val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
+        val obsAggs = count(lit(1)).as("_nrows") +:
+          counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
+        val observed = alignedBatch.observe(obs, obsAggs.head, obsAggs.tail: _*)
+          .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
+          .withColumn(SubSplitCol,
+            pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
+        val base =
+          if (salted) Dedup.saltedPreAggregate(observed,
+            snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols,
+            numSalts = math.max(16, cores))
+          else observed
+        // dedup rides the one (bucket, subsplit) exchange exactly like the
+        // classic plan; partition count is decoupled from the touched set
+        Dedup.latestByKey(
+            base.repartition(math.max(1, waveFactor * cores), col(BucketCol), col(SubSplitCol)),
+            snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
           .drop(SubSplitCol)
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
-      }
+        phase("write(mor-1job)")
+        val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+        val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+          b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+        }
+        val m = obs.get
+        (written.keys.toSeq.sorted, writtenRows.values.sum,
+          m("_nrows").asInstanceOf[Long],
+          counterNames.map(n => n -> m(s"_c_$n").asInstanceOf[Long]).toMap,
+          written, writtenRows)
+      } else {
+        // ===================================================================
+        // COW: one stats job (touched buckets for existing-side pruning,
+        // distinct-key count = upserts, row count, caller counters), then
+        // the merge write.
+        // ===================================================================
+        val aggs = count_distinct(struct(snap.keyCols.map(col): _*)).as("_nkeys") +:
+          count(lit(1)).as("_nrows") +:
+          counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
+        val stats = alignedBatch
+          .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        phase("stats")
+        val touched = stats.map(_.getInt(0)).toSeq.sorted
+        val upserts = stats.map(_.getLong(1)).sum
+        val rowsIn = stats.map(_.getLong(2)).sum
+        val customCounters = counterNames.zipWithIndex.map { case (n, i) =>
+          n -> stats.map(_.getLong(3 + i)).sum
+        }.toMap
 
-      phase(if (spj) "write(spj)" else "write")
-      val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
-      val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-        b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+        val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+        // old touched rows from the incrementally-maintained bucketRows (no
+        // re-read); needed both for the SPJ eligibility gate and the COW
+        // rowCount delta below
+        val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
+          countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+        val spj = spjEligible(touched, oldTouchedRows, rowsIn)
+
+        // --- ONE-shuffle LWW MERGE (classic): in-batch dedup and old∪new
+        // resolution are one aggregation riding the bucket repartition:
+        // HashPartitioning(bucket, subsplit) satisfies ClusteredDistribution
+        // (keys ∪ bucket ∪ subsplit) because both partition exprs are in the
+        // grouping — Catalyst inserts NO second exchange. `subsplit` (a key
+        // hash) decouples write parallelism from bucket count. The salted
+        // path (hot keys) trades this for a two-phase agg. The SPJ path
+        // (buildMergedSpj) replaces all of this with the storage-partitioned
+        // join when the shape is right.
+        val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
+        if (spj) withSpjConfs {
+          // storage-partitioned path: existing side unshuffled (see
+          // buildMergedSpj); plan + write must both run under the SPJ confs
+          buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
+            .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        } else {
+          val existing =
+            if (touchedFiles.isEmpty)
+              align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
+            else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
+          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
+            .drop(SubSplitCol)
+            .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        }
+        phase(if (spj) "write(spj)" else "write")
+        val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+        val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+          b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+        }
+        (touched, upserts, rowsIn, customCounters, written, writtenRows)
       }
       val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
         if (mor) {
@@ -380,6 +418,8 @@ final class LakeTable private (
           // their MOR layers in the same pass). New files need ONE footer
           // pass, parallelized — the serial driver-side footer loop was a
           // measured scaling bottleneck.
+          val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
+            countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
           (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
             snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
             snap.rowCount - oldTouchedRows + writtenRows.values.sum,

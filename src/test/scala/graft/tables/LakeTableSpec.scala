@@ -348,4 +348,26 @@ class LakeTableSpec extends SparkTestBase {
     assert(e.counters("upserts") === 2L)   // a dedups in-batch
     assert(e.counters("null_values") === 1L)
   }
+
+  test("single-job MOR merge records the same lineage counters via observed " +
+      "metrics (no stats pass)") {
+    import org.apache.spark.sql.functions._
+    val t = newTable()
+    // seed one layer so the MOR merge marks its bucket dirty like a stream would
+    t.merge(Seq(("a", 1L, "a0")).toDF("k", "wv", "v"), "b0", mor = true)
+    t.merge(Seq(("a", 2L, "a1"), ("a", 3L, "a2"), ("b", 1L, null: String))
+      .toDF("k", "wv", "v"), "b1", mor = true,
+      counterCols = Map("null_values" -> count(when(col("v").isNull, 1))))
+    val e = t.snapshot().lineage("b1")
+    assert(e.counters("rows_in") === 3L)
+    assert(e.counters("upserts") === 2L)   // distinct keys in batch
+    assert(e.counters("null_values") === 1L)
+    assert(e.touchedBuckets.nonEmpty)
+    // the per-batch lineage matches the classic path exactly
+    val classic = newTable()
+    classic.merge(Seq(("a", 2L, "a1"), ("a", 3L, "a2"), ("b", 1L, null: String))
+      .toDF("k", "wv", "v"), "b1",
+      counterCols = Map("null_values" -> count(when(col("v").isNull, 1))))
+    assert(classic.snapshot().lineage("b1").counters === e.counters)
+  }
 }
