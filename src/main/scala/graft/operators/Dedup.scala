@@ -33,6 +33,23 @@ object Dedup {
       .select(cols.map(c => col("_latest." + c).as(c)): _*)
   }
 
+  /** [[latestByKey]] that additionally carries `max(flagCol)` per group —
+    * the winner row plus "did any row in this group have the flag set".
+    * Used by the lake merge to count distinct batch keys (upserts) ON the
+    * merge aggregation itself instead of in a separate count_distinct
+    * stats pass (whose Expand doubles rows through the partial agg). Same
+    * single aggregation, same exchange structure, one extra long per group.
+    */
+  def latestByKeyCarryMax(df: DataFrame, keys: Seq[String], ordering: Seq[String],
+      flagCol: String): DataFrame = {
+    val cols = df.columns.toSeq.filterNot(_ == flagCol)
+    val payload = struct(cols.map(col): _*)
+    val ord = struct(ordering.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("_latest"), max(col(flagCol)).as(flagCol))
+      .select(cols.map(c => col("_latest." + c).as(c)) :+ col(flagCol): _*)
+  }
+
   /** Two-phase salted LWW for skewed keys (north-rule requirement:
     * hot-owner skew, SURVEY.md §7.5). Phase 1 pre-aggregates on
     * (keys, salt) — the hot key's rows split across `numSalts` reducers —
@@ -61,6 +78,17 @@ object Dedup {
     val salted = df.withColumn("_salt",
       pmod(xxhash64(cols.map(col): _*), lit(numSalts)))
     latestByKey(salted, keys :+ "_salt", ordering).drop("_salt")
+  }
+
+  /** [[saltedPreAggregate]] carrying `max(flagCol)` through the salt phase
+    * (the salt hashes the NON-flag columns, so salting is bit-identical to
+    * the unflagged variant). */
+  def saltedPreAggregateCarryMax(df: DataFrame, keys: Seq[String], ordering: Seq[String],
+      flagCol: String, numSalts: Int = 16): DataFrame = {
+    val cols = df.columns.toSeq.filterNot(_ == flagCol)
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(cols.map(col): _*), lit(numSalts)))
+    latestByKeyCarryMax(salted, keys :+ "_salt", ordering, flagCol).drop("_salt")
   }
 
   /** Exact-duplicate removal over an arbitrary fingerprint expression

@@ -102,6 +102,11 @@ final class LakeTable private (
 
   val BucketCol = "_gbucket"
   val SubSplitCol = "_gsubsplit"
+  /** merge-internal marker: 1 on batch rows, max()'d per key group — its
+    * sum over the merged output = distinct batch keys = upserts, counted on
+    * the write job itself (observed metric) instead of a count_distinct
+    * stats pass */
+  val SrcFlagCol = "_ghasbatch"
 
   def currentVersion(): Long = {
     val vf = Paths.get(root, "meta", "VERSION")
@@ -337,12 +342,14 @@ final class LakeTable private (
           written, writtenRows)
       } else {
         // ===================================================================
-        // COW: one stats job (touched buckets for existing-side pruning,
-        // distinct-key count = upserts, row count, caller counters), then
-        // the merge write.
+        // COW: one CHEAP stats job (touched buckets for existing-side
+        // pruning, row count, caller counters — plain hash aggregation, no
+        // count_distinct/Expand), then the merge write. The upsert count
+        // (distinct batch keys) is observed ON the write job instead: the
+        // merge aggregation carries max(_ghasbatch) per key group, and its
+        // sum over the merged output is exactly the distinct-batch-key count.
         // ===================================================================
-        val aggs = count_distinct(struct(snap.keyCols.map(col): _*)).as("_nkeys") +:
-          count(lit(1)).as("_nrows") +:
+        val aggs = count(lit(1)).as("_nrows") +:
           counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
         val stats = alignedBatch
           .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
@@ -350,10 +357,9 @@ final class LakeTable private (
           .collect()
         phase("stats")
         val touched = stats.map(_.getInt(0)).toSeq.sorted
-        val upserts = stats.map(_.getLong(1)).sum
-        val rowsIn = stats.map(_.getLong(2)).sum
+        val rowsIn = stats.map(_.getLong(1)).sum
         val customCounters = counterNames.zipWithIndex.map { case (n, i) =>
-          n -> stats.map(_.getLong(3 + i)).sum
+          n -> stats.map(_.getLong(2 + i)).sum
         }.toMap
 
         val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
@@ -374,21 +380,28 @@ final class LakeTable private (
         // (buildMergedSpj) replaces all of this with the storage-partitioned
         // join when the shape is right.
         val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
+        val obs = org.apache.spark.sql.Observation(s"graft-upserts-$batchId-$newVersion")
+        val upsertAgg = coalesce(sum(col(SrcFlagCol)), lit(0L)).cast("long").as("_upserts")
         if (spj) withSpjConfs {
           // storage-partitioned path: existing side unshuffled (see
           // buildMergedSpj); plan + write must both run under the SPJ confs
           buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
+            .observe(obs, upsertAgg)
+            .drop(SrcFlagCol)
             .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         } else {
           val existing =
             if (touchedFiles.isEmpty)
               align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
             else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
-          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted)
-            .drop(SubSplitCol)
+          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted,
+              withSrcFlag = true)
+            .observe(obs, upsertAgg)
+            .drop(SubSplitCol, SrcFlagCol)
             .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         }
         phase(if (spj) "write(spj)" else "write")
+        val upserts = obs.get("_upserts").asInstanceOf[Long]
         val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
@@ -535,18 +548,31 @@ final class LakeTable private (
     * rows. Two shuffles instead of one — pay it only when the stream is
     * actually skewed (SkewBench measures the crossover). */
   private[graft] def buildMerged(existing: DataFrame, alignedBatch: DataFrame,
-      snap: TableSnapshot, touchedCount: Int, writeFactor: Int, salted: Boolean): DataFrame = {
+      snap: TableSnapshot, touchedCount: Int, writeFactor: Int, salted: Boolean,
+      withSrcFlag: Boolean = false): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    val base0 = existing.unionByName(alignedBatch)
+    val base0 =
+      if (withSrcFlag)
+        existing.withColumn(SrcFlagCol, lit(0))
+          .unionByName(alignedBatch.withColumn(SrcFlagCol, lit(1)))
+      else existing.unionByName(alignedBatch)
     val base =
-      if (salted) Dedup.saltedPreAggregate(base0, snap.keyCols, snap.orderCols,
-        numSalts = math.max(16, cores))
+      if (salted && withSrcFlag)
+        Dedup.saltedPreAggregateCarryMax(base0, snap.keyCols, snap.orderCols,
+          SrcFlagCol, numSalts = math.max(16, cores))
+      else if (salted)
+        Dedup.saltedPreAggregate(base0, snap.keyCols, snap.orderCols,
+          numSalts = math.max(16, cores))
       else base0
     val unioned = base
       .withColumn(BucketCol, bucketExpr(snap.keyCols, snap.numBuckets))
       .withColumn(SubSplitCol, pmod(xxhash64(snap.keyCols.map(col): _*), lit(writeFactor)).cast("int"))
       .repartition(math.max(1, touchedCount * writeFactor), col(BucketCol), col(SubSplitCol))
-    Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
+    if (withSrcFlag)
+      Dedup.latestByKeyCarryMax(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol),
+        snap.orderCols, SrcFlagCol)
+    else
+      Dedup.latestByKey(unioned, snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
   }
 
   /** The STORAGE-PARTITIONED merge plan (SURVEY.md §7.5, built on
@@ -604,7 +630,10 @@ final class LakeTable private (
       .when(ordB >= ordE, col("_ba"))
       .otherwise(col("_ex"))
     joined.withColumn("_w", winner)
-      .select(cols.map(c => col(s"_w.$c").as(c)) :+ col(BucketCol): _*)
+      .select(cols.map(c => col(s"_w.$c").as(c)) :+ col(BucketCol) :+
+        // joined rows with a batch side = distinct batch keys (the batch is
+        // deduped pre-join) — summed by the caller's observed metric
+        when(col("_ba").isNotNull, 1).otherwise(0).as(SrcFlagCol): _*)
   }
 
   /** Retire old versions: delete snapshot metadata older than the most

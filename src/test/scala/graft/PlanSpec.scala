@@ -63,6 +63,13 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1,
       s"expected ONE exchange (the bucket repartition), got $exchanges:\n${p.take(4000)}")
 
+    // the PRODUCTION variant carries the upsert flag (max per group) through
+    // the same aggregation — it must not cost a second exchange
+    val flagged = plan(t.buildMerged(existing, batch, t.snapshot(), touchedCount = 8,
+      writeFactor = 2, salted = false, withSrcFlag = true))
+    assert(nodes(flagged, "Exchange") === 1,
+      s"flag carry added an exchange:\n${flagged.take(6000)}")
+
     // the SALTED plan trades that for exactly TWO exchanges: the (keys,salt)
     // pre-aggregation shuffle BEFORE the bucket repartition — hot-key rows
     // must spread over the salt space before they are funneled to their
@@ -111,7 +118,7 @@ class PlanSpec extends SparkTestBase {
       }
       assert(shuffledScan.isEmpty, s"existing side was shuffled:\n${exec.treeString}")
       // and the merge is CORRECT through this plan
-      val out = merged.drop("_gbucket").as[(String, Long, String)].collect()
+      val out = merged.drop("_gbucket", "_ghasbatch").as[(String, Long, String)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(out.size === 64)
       assert(out("k3") === ((2L, "b3")) && out("k40") === ((1L, "v40")))
