@@ -368,6 +368,47 @@ object SparkEntry {
         col("event_type").as("last_event_type"), col("value").as("last_value"))
     }),
 
+    // K1 STORAGE-PARTITIONED COW MERGE (round-4 §7.5 build) end-to-end WITH
+    // a DuckDB oracle: three copy-on-write merges forced through the
+    // DSv2-scan SPJ path (existing side unshuffled; batch side shuffled into
+    // the scan's KeyGroupedPartitioning) must land on the identical global
+    // per-key LWW state as q01/q33.
+    "q34_lake_spj_merge" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q34")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      sys.props("graft.cow.spj") = "1"
+      try (0 until 3).foreach { k =>
+        table.merge(ev.filter(col("event_id") % 3 === k), s"spj-$k",
+          txn = Some(("q34", k.toLong)))
+      } finally sys.props.remove("graft.cow.spj")
+      table.read().select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    // K1 KEYED POINT READ (PK-lookup parity with the reference's SQLite
+    // sink): bucket-pruned single-key reads — each scans 1/16 of the table —
+    // unioned over a fixed probe set and oracled against the same LWW rule
+    // restricted to those keys. Missing keys must yield zero rows on both
+    // sides.
+    "q35_point_read" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q35")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      table.merge(ev, "full", txn = Some(("q35", 0L)))
+      val probes = Seq(1L, 7L, 13L, 42L, 99L, 123456789L) // last one likely absent
+      probes.map(id => table.read(Map("user_id" -> id)))
+        .reduce(_ unionByName _)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
     // P4/A2 — SPL mint enrichment through the REAL 82-byte decode
     // (sqlite.rs:286-303): every field incl. both COptions oracled; k%6==0
     // rows are packed uninitialized and dropped by the unpack (spl_token
@@ -537,6 +578,11 @@ object SparkEntry {
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,
+      // the storage-partitioned merge path must be equally invisible
+      "q34_lake_spj_merge" -> lwwSql,
+      // bucket-pruned point reads = the same LWW state restricted to the probes
+      "q35_point_read" -> (lwwSql +
+        " AND user_id IN (1, 7, 13, 42, 99, 123456789)"),
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty
