@@ -409,6 +409,25 @@ object SparkEntry {
           col("event_type").as("last_event_type"), col("value").as("last_value"))
     }),
 
+    // K1 CHANGELOG READ (CDC egress ≙ Iceberg incremental scan): rows new
+    // or updated between two table versions, via the zero-shuffle
+    // bucket-diff + storage-partitioned anti-join path — oracled as "final
+    // LWW state minus the rows already final at the first version".
+    "q36_changelog_read" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q36")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      table.merge(ev.filter(col("event_id") % 2 === 0), "wave1", txn = Some(("q36", 0L)))
+      val v1 = table.currentVersion()
+      table.merge(ev.filter(col("event_id") % 2 === 1), "wave2", txn = Some(("q36", 1L)))
+      table.readChanges(v1, table.currentVersion())
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
     // P4/A2 — SPL mint enrichment through the REAL 82-byte decode
     // (sqlite.rs:286-303): every field incl. both COptions oracled; k%6==0
     // rows are packed uninitialized and dropped by the unpack (spl_token
@@ -583,6 +602,23 @@ object SparkEntry {
       // bucket-pruned point reads = the same LWW state restricted to the probes
       "q35_point_read" -> (lwwSql +
         " AND user_id IN (1, 7, 13, 42, 99, 123456789)"),
+      // changelog(v1→v2) = final LWW rows whose (key, ordering) was not
+      // already the final row at v1 (the even-event_id prefix)
+      "q36_changelog_read" ->
+        """WITH s2 AS (
+          |  SELECT user_id, ts, event_id, event_type, value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1),
+          |s1 AS (
+          |  SELECT user_id, ts, event_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1)
+          |SELECT s2.user_id, s2.event_id AS last_event_id,
+          |  s2.event_type AS last_event_type, s2.value AS last_value
+          |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+          |  AND s2.ts = s1.ts AND s2.event_id = s1.event_id
+          |WHERE s1.user_id IS NULL""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -30,7 +30,12 @@ object Dedup {
     val ord = struct(ordering.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("_latest"))
-      .select(cols.map(c => col("_latest." + c).as(c)): _*)
+      // key columns project STRAIGHT from the grouping output (identical
+      // within a group), not via struct-field extraction: a direct attribute
+      // keeps the child's output partitioning alive through the aggregation,
+      // so downstream joins/aggs clustered on the same keys add no exchange
+      .select(cols.map(c =>
+        if (keys.contains(c)) col(c) else col("_latest." + c).as(c)): _*)
   }
 
   /** [[latestByKey]] that additionally carries `max(flagCol)` per group —
@@ -47,7 +52,8 @@ object Dedup {
     val ord = struct(ordering.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("_latest"), max(col(flagCol)).as(flagCol))
-      .select(cols.map(c => col("_latest." + c).as(c)) :+ col(flagCol): _*)
+      .select(cols.map(c =>
+        if (keys.contains(c)) col(c) else col("_latest." + c).as(c)) :+ col(flagCol): _*)
   }
 
   /** Two-phase salted LWW for skewed keys (north-rule requirement:

@@ -122,8 +122,19 @@ final class LakeTable private (
     * schema). Buckets carrying merge-on-read layers are resolved with the
     * table's LWW rule on the fly; clean (copy-on-write) buckets stream
     * straight from their files with no extra work. */
-  def read(): DataFrame = {
-    val s = snapshot()
+  def read(): DataFrame = readSnapshotDF(snapshot())
+
+  /** TIME TRAVEL: the table as of `version`. Any version still inside the
+    * [[expire]] retention window is readable; its snapshot pins the exact
+    * file set, so the result is stable even as newer merges land. */
+  def readAt(version: Long): DataFrame = {
+    val p = Paths.get(root, "meta", s"v$version.json")
+    require(Files.exists(p),
+      s"version $version is not retained (expired or never existed) at $root")
+    readSnapshotDF(readSnapshot(Paths.get(root), version))
+  }
+
+  private def readSnapshotDF(s: TableSnapshot): DataFrame = {
     val schema = StructType.fromDDL(s.schemaDdl)
     val dirty = s.morBuckets.toSet
     def bucketPaths(bs: Iterable[Int]): Seq[String] =
@@ -136,6 +147,59 @@ final class LakeTable private (
     if (dirty.isEmpty) clean
     else clean.unionByName(
       Dedup.latestByKey(readFiles(bucketPaths(dirty)), s.keyCols, s.orderCols))
+  }
+
+  /** CHANGELOG READ (CDC egress, ≙ Iceberg incremental scan): every row
+    * NEW OR UPDATED between two retained versions — the rows a downstream
+    * consumer must re-process. Upsert-only engine ⇒ no deletes.
+    *
+    * Scale shape (zero shuffles at any table size):
+    *  1. metadata-only bucket pruning — a bucket whose file list is
+    *     IDENTICAL in both snapshots cannot have changed; only differing
+    *     buckets are read AT ALL (a delta touching k% of buckets reads k%
+    *     of the table, twice);
+    *  2. both sides come from the partitioning-reporting scan pinned to
+    *     their version, MOR layers LWW-resolved in place (the grouping
+    *     rides the scan partitioning);
+    *  3. changed rows = new-side LEFT ANTI old-side on
+    *     (keys…, orderCols…, bucket) — a storage-partitioned join between
+    *     two scans of the SAME bucket layout: Catalyst aligns them with no
+    *     exchange on either side.
+    */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(Files.exists(Paths.get(root, "meta", s"v$v.json")),
+        s"version $v is not retained (expired or never existed) at $root")
+    }
+    val oldSnap = readSnapshot(Paths.get(root), fromVersion)
+    val newSnap = readSnapshot(Paths.get(root), toVersion)
+    val newSchema = StructType.fromDDL(newSnap.schemaDdl)
+    // 1. prune: identical file lists ⇒ bucket untouched in the range
+    val changed = newSnap.bucketFiles.keys.filter { b =>
+      newSnap.bucketFiles.getOrElse(b, Nil) != oldSnap.bucketFiles.getOrElse(b, Nil)
+    }.toSeq.sorted
+    if (changed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+    withSpjConfs {
+      def side(s: TableSnapshot): DataFrame = {
+        val scan = bucketScanDF(s, changed)
+        // align the (possibly narrower) old schema onto the new one so the
+        // anti-join columns line up; Project preserves the partitioning
+        val aligned = scan.select(newSchema.fieldNames.toSeq.map { c =>
+          if (scan.columns.contains(c)) col(c).cast(newSchema(c).dataType).as(c)
+          else lit(null).cast(newSchema(c).dataType).as(c)
+        } :+ col(BucketCol): _*)
+        if (changed.exists(s.morBuckets.contains))
+          Dedup.latestByKey(aligned, s.keyCols :+ BucketCol, s.orderCols)
+        else aligned
+      }
+      side(newSnap)
+        .join(side(oldSnap), (newSnap.keyCols ++ newSnap.orderCols) :+ BucketCol, "left_anti")
+        .drop(BucketCol)
+    }
   }
 
   /** LOGICAL row count (rows a full [[read]] would return). Free when no

@@ -337,6 +337,62 @@ class LakeTableSpec extends SparkTestBase {
     assert(t.logicalRowCount() === 3L)
   }
 
+  test("time travel: readAt pins a retained version; expired versions fail loudly") {
+    val t = newTable(buckets = 4)
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2")
+    assert(t.readAt(v1).as[(String, Long, String)].collect().sortBy(_._1).toSeq
+      === Seq(("a", 1L, "a1"), ("b", 1L, "b1")))
+    assert(t.readAt(t.currentVersion()).collect().toSet === t.read().collect().toSet)
+    t.expire(keepVersions = 1)
+    intercept[IllegalArgumentException] { t.readAt(v1) }
+  }
+
+  test("changelog read: new-or-updated rows between versions, zero-shuffle " +
+      "plan, metadata-only bucket pruning, MOR + schema evolution covered") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = newTable(buckets = 8)
+    t.merge((0 until 32).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    // second wave: updates k0 (newer), stale k1 (loses), new key x1 — via a
+    // MOR layer so the changelog must resolve layers; plus an evolved column
+    val wave2 = Seq(("k0", 5L, "v0b", "e0"), ("k1", 0L, "stale", "ez"), ("x1", 1L, "x1v", "ex"))
+      .toDF("k", "wv", "v", "extra")
+    t.merge(wave2, "b2", mor = true)
+    val v2 = t.currentVersion()
+    val changes = t.readChanges(v1, v2)
+    // only buckets whose file lists changed are read at all
+    val oldFiles = LakeTable.readSnapshot(java.nio.file.Paths.get(t.root), v1).bucketFiles
+    val newFiles = t.snapshot().bucketFiles
+    val changedBuckets = newFiles.keys.filter(b =>
+      newFiles.getOrElse(b, Nil) != oldFiles.getOrElse(b, Nil)).toSet
+    val allowed = changedBuckets.flatMap(b =>
+      (oldFiles.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil)).map(rel => s"${t.root}/$rel"))
+    val scanned = changes.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scanned.subsetOf(allowed), s"changelog read untouched buckets: ${scanned -- allowed}")
+    // content: k0 updated + x1 new; stale k1 and untouched keys absent
+    val rows = changes.select("k", "wv", "v", "extra")
+      .as[(String, Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows === Seq(("k0", 5L, "v0b", Some("e0")), ("x1", 1L, "x1v", Some("ex"))))
+    // the plan moves nothing: no exchange on either side of the anti join
+    t.withSpjConfs {
+      val exec = t.readChanges(v1, v2).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = exec.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"changelog shuffled:\n${exec.treeString}")
+    }
+    // no-op range and full-range sanity
+    assert(t.readChanges(v2, v2).count() === 0L)
+    assert(t.readChanges(0L, v2).count() === t.read().count())
+    // stale batch never surfaces as a change
+    assert(!t.readChanges(v1, v2).select("k").as[String].collect().contains("k1") ||
+      rows.map(_._1) === Seq("k0", "x1"))
+  }
+
   test("merge records counters in lineage, including caller counterCols") {
     import org.apache.spark.sql.functions._
     val t = newTable()
