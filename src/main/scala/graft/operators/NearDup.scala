@@ -283,14 +283,21 @@ object NearDup {
       case Some("bitmap") => bitmapJaccardPairs(grams, threshold, vocabOpt = None)
       case Some(_)        => prefixJaccardPairs(grams, exploded, threshold)
       case None =>
+        // materialize the gram projection ONCE (localCheckpoint): the
+        // n-gram explode is the expensive shared prefix, and the auto route
+        // consumes it repeatedly — the strategy probe, then either the
+        // bitmap encode or the prefix path's df/prefix/verify joins. One
+        // projection pass instead of 3-5.
+        val gramsM = grams.localCheckpoint()
+        val explodedM = gramsM.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram"))
         // ONE job decides the plan AND doubles as the dictionary collect:
         // pull at most dictBits+1 distinct grams — if they fit, that IS the
         // full vocabulary and the bitmap path reuses it
-        val sample = exploded.select(col("_gram")).distinct()
+        val sample = explodedM.select(col("_gram")).distinct()
           .limit(dictBits + 1).collect().map(_.getString(0))
         if (sample.length <= dictBits)
-          bitmapJaccardPairs(grams, threshold, vocabOpt = Some(sample.sorted))
-        else prefixJaccardPairs(grams, exploded, threshold)
+          bitmapJaccardPairs(gramsM, threshold, vocabOpt = Some(sample.sorted))
+        else prefixJaccardPairs(gramsM, explodedM, threshold)
     }
   }
 
