@@ -183,7 +183,7 @@ final class LakeTable private (
     if (changed.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
-    withSpjConfs {
+    withSpjConfs(Some(changed.size)) {
       def side(s: TableSnapshot): DataFrame = {
         val scan = bucketScanDF(s, changed)
         // align the (possibly narrower) old schema onto the new one so the
@@ -267,13 +267,27 @@ final class LakeTable private (
   /** Run `f` with storage-partitioned-join planning enabled (scan-reported
     * KeyGroupedPartitioning honored; the non-aligned side of a join shuffled
     * INTO it). Session confs are restored afterwards — callers outside the
-    * merge see their own settings. */
-  private[graft] def withSpjConfs[A](f: => A): A = {
+    * merge see their own settings.
+    *
+    * `scanPartitions` (the bucket count of the participating scan) caps
+    * `spark.sql.shuffle.partitions` for the duration: EnsureRequirements
+    * picks the candidate shuffle spec with the MOST partitions, so a
+    * session whose shuffle-partition count exceeds the scan's bucket count
+    * would win the contest for the hash side and silently re-shuffle the
+    * TABLE side — the exact plan this path exists to avoid (ties and
+    * smaller counts choose the scan's KeyGroupedPartitioning; probed, and
+    * pinned in PlanSpec under an oversized session setting). */
+  private[graft] def withSpjConfs[A](scanPartitions: Option[Int] = None)(f: => A): A = {
     val keys = Seq(
       "spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.shuffle.enabled")
-    val old = keys.map(k => k -> spark.conf.getOption(k))
+    val shufKey = "spark.sql.shuffle.partitions"
+    val old = (keys :+ shufKey).map(k => k -> spark.conf.getOption(k))
     keys.foreach(k => spark.conf.set(k, "true"))
+    scanPartitions.foreach { n =>
+      val cur = spark.conf.get(shufKey, "200").toInt
+      if (cur > n && n > 0) spark.conf.set(shufKey, n.toString)
+    }
     try f finally old.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
@@ -446,7 +460,7 @@ final class LakeTable private (
         val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
         val obs = org.apache.spark.sql.Observation(s"graft-upserts-$batchId-$newVersion")
         val upsertAgg = coalesce(sum(col(SrcFlagCol)), lit(0L)).cast("long").as("_upserts")
-        if (spj) withSpjConfs {
+        if (spj) withSpjConfs(Some(touched.size)) {
           // storage-partitioned path: existing side unshuffled (see
           // buildMergedSpj); plan + write must both run under the SPJ confs
           buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
@@ -573,7 +587,7 @@ final class LakeTable private (
     // (keys…, bucket) rides the scan's KeyGroupedPartitioning — each dirty
     // bucket is one task that reads its layers, resolves, and writes ONE
     // defragmented file. No exchange at any scale.
-    withSpjConfs {
+    withSpjConfs(Some(dirty.size)) {
       Dedup.latestByKey(bucketScanDF(snap, dirty),
           snap.keyCols :+ BucketCol, snap.orderCols)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")

@@ -91,8 +91,13 @@ class PlanSpec extends SparkTestBase {
     t.merge((0 until 64).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "full")
     val batch = (0 until 16).map(i => (s"k$i", 2L, s"b$i")).toDF("k", "wv", "v")
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldShuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try t.withSpjConfs {
+    // REGRESSION LOCK: with more session shuffle partitions than buckets,
+    // EnsureRequirements would prefer the hash side's spec and re-shuffle
+    // the table scan; withSpjConfs(Some(buckets)) pins the contest
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try t.withSpjConfs(Some(8)) {
       val merged = t.buildMergedSpj(t.snapshot(), schema, (0 until 8).toSeq,
         batch, salted = false)
       val p = plan(merged)
@@ -122,7 +127,10 @@ class PlanSpec extends SparkTestBase {
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(out.size === 64)
       assert(out("k3") === ((2L, "b3")) && out("k40") === ((1L, "v40")))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.shuffle.partitions", oldShuf)
+    }
   }
 
   test("compaction plans ZERO exchanges (layers are bucket-local by construction)") {
@@ -136,7 +144,7 @@ class PlanSpec extends SparkTestBase {
     t.merge((0 until 16).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "b2", mor = true)
     val snap = t.snapshot()
     assert(snap.morBuckets.nonEmpty)
-    t.withSpjConfs {
+    t.withSpjConfs() {
       val resolved = graft.operators.Dedup.latestByKey(
         spark.read.format(graft.tables.dsv2.LakeBucketSource.Name)
           .option("root", t.root).option("version", snap.version.toString)

@@ -376,7 +376,7 @@ class LakeTableSpec extends SparkTestBase {
       .as[(String, Long, String, Option[String])].collect().sortBy(_._1).toSeq
     assert(rows === Seq(("k0", 5L, "v0b", Some("e0")), ("x1", 1L, "x1v", Some("ex"))))
     // the plan moves nothing: no exchange on either side of the anti join
-    t.withSpjConfs {
+    t.withSpjConfs() {
       val exec = t.readChanges(v1, v2).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
         case p => p
