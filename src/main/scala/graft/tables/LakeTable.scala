@@ -196,9 +196,15 @@ final class LakeTable private (
           Dedup.latestByKey(aligned, s.keyCols :+ BucketCol, s.orderCols)
         else aligned
       }
-      side(newSnap)
+      val changes = side(newSnap)
         .join(side(oldSnap), (newSnap.keyCols ++ newSnap.orderCols) :+ BucketCol, "left_anti")
         .drop(BucketCol)
+      // the caller acts on this DataFrame LATER, outside this conf scope —
+      // force physical planning NOW so the storage-partitioned (no-shuffle)
+      // shape is captured while the SPJ confs are active; later actions on
+      // the same Dataset reuse the pinned queryExecution
+      changes.queryExecution.executedPlan
+      changes
     }
   }
 

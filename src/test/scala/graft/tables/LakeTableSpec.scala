@@ -375,16 +375,17 @@ class LakeTableSpec extends SparkTestBase {
     val rows = changes.select("k", "wv", "v", "extra")
       .as[(String, Long, String, Option[String])].collect().sortBy(_._1).toSeq
     assert(rows === Seq(("k0", 5L, "v0b", Some("e0")), ("x1", 1L, "x1v", Some("ex"))))
-    // the plan moves nothing: no exchange on either side of the anti join
-    t.withSpjConfs() {
-      val exec = t.readChanges(v1, v2).queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val shuffles = exec.collect {
-        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
-      assert(shuffles.isEmpty, s"changelog shuffled:\n${exec.treeString}")
+    // the plan moves nothing: no exchange on either side of the anti join —
+    // asserted on a DataFrame inspected OUTSIDE any conf scope, because
+    // readChanges pins its physical plan while the SPJ confs are active
+    // (callers act on the result lazily)
+    val exec = t.readChanges(v1, v2).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
     }
+    val shuffles = exec.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"changelog shuffled:\n${exec.treeString}")
     // no-op range and full-range sanity
     assert(t.readChanges(v2, v2).count() === 0L)
     assert(t.readChanges(0L, v2).count() === t.read().count())
