@@ -176,6 +176,21 @@ final class LakeTable private (
     val oldSnap = readSnapshot(Paths.get(root), fromVersion)
     val newSnap = readSnapshot(Paths.get(root), toVersion)
     val newSchema = StructType.fromDDL(newSnap.schemaDdl)
+    // across a rebucket boundary the bucket ids of the SAME key differ
+    // between the two layouts: bucket-diff pruning and bucket-aligned
+    // joining are both meaningless — fall back to a logical (key, ordering)
+    // anti-join over full reads (correct, one shuffle per side)
+    if (oldSnap.numBuckets != newSnap.numBuckets) {
+      val newDF = readSnapshotDF(newSnap)
+      val oldAligned = {
+        val df = readSnapshotDF(oldSnap)
+        df.select(newSchema.fieldNames.toSeq.map { c =>
+          if (df.columns.contains(c)) col(c).cast(newSchema(c).dataType).as(c)
+          else lit(null).cast(newSchema(c).dataType).as(c)
+        }: _*)
+      }
+      return newDF.join(oldAligned, newSnap.keyCols ++ newSnap.orderCols, "left_anti")
+    }
     // 1. prune: identical file lists ⇒ bucket untouched in the range
     val changed = newSnap.bucketFiles.keys.filter { b =>
       newSnap.bucketFiles.getOrElse(b, Nil) != oldSnap.bucketFiles.getOrElse(b, Nil)
@@ -718,6 +733,46 @@ final class LakeTable private (
         // joined rows with a batch side = distinct batch keys (the batch is
         // deduped pre-join) — summed by the caller's observed metric
         when(col("_ba").isNotNull, 1).otherwise(0).as(SrcFlagCol): _*)
+  }
+
+  /** LAYOUT EVOLUTION: change the bucket count. A growing table eventually
+    * outgrows its bucket count (a bucket should stay a few GB); this is the
+    * maintenance rewrite that re-hashes every row into `newNumBuckets`
+    * buckets in ONE commit — readers before/after see identical logical
+    * state (any outstanding merge-on-read debt is resolved in the same
+    * pass), point reads and merges pick the new bucket function up from the
+    * snapshot automatically. Recorded in `totals` like compaction
+    * (maintenance, not a batch). A full-table rewrite by definition — run it
+    * like compaction, between ingest batches from the single writer. */
+  def rebucket(newNumBuckets: Int): Unit = {
+    require(newNumBuckets > 0, s"bucket count must be positive, got $newNumBuckets")
+    val snap = snapshot()
+    if (snap.numBuckets == newNumBuckets) return
+    val curSchema = StructType.fromDDL(snap.schemaDdl)
+    val cores = spark.sparkContext.defaultParallelism
+    val writeFactor = math.max(1, math.ceil(2.0 * cores / newNumBuckets).toInt)
+    val reSnap = snap.copy(numBuckets = newNumBuckets)
+    val emptyBatch = align(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema),
+      curSchema)
+    val newVersion = snap.version + 1
+    val commitRel = s"data/commit-$newVersion"
+    buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
+        touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
+      .drop(SubSplitCol)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+    }
+    commit(reSnap.copy(
+      version = newVersion,
+      bucketFiles = written,
+      bucketRows = writtenRows,
+      totals = snap.totals.updated("rebuckets", snap.totals.getOrElse("rebuckets", 0L) + 1L),
+      rowCount = writtenRows.values.sum,
+      morBuckets = Nil,
+      bucketLayers = Map.empty))
   }
 
   /** Retire old versions: delete snapshot metadata older than the most

@@ -394,6 +394,36 @@ class LakeTableSpec extends SparkTestBase {
       rows.map(_._1) === Seq("k0", "x1"))
   }
 
+  test("rebucket: layout evolution preserves logical state; point reads, " +
+      "merges, and changelogs keep working across the boundary") {
+    val t = newTable(buckets = 4)
+    t.merge((0 until 32).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge(Seq(("k3", 2L, "v3b"), ("x1", 1L, "x1v")).toDF("k", "wv", "v"), "b2", mor = true)
+    val before = t.read().as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    t.rebucket(8)
+    val vAfter = t.currentVersion()
+    assert(t.snapshot().numBuckets === 8)
+    assert(t.snapshot().morBuckets.isEmpty) // debt resolved in the rewrite
+    assert(t.read().as[(String, Long, String)].collect().sortBy(_._1).toSeq === before)
+    assert(t.snapshot().totals("rebuckets") === 1L)
+    // point read picks up the NEW bucket function from the snapshot
+    assert(t.read(Map("k" -> "k3")).as[(String, Long, String)].collect().toSeq
+      === Seq(("k3", 2L, "v3b")))
+    // rebucketing is logically invisible to the changelog...
+    assert(t.readChanges(vAfter, vAfter).count() === 0L)
+    // ...and a cross-boundary range (different layouts) still reports
+    // exactly the logical changes, via the layout-agnostic fallback
+    val cross = t.readChanges(v1, vAfter).select("k", "wv", "v")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(cross === Seq(("k3", 2L, "v3b"), ("x1", 1L, "x1v")))
+    // merges continue against the new layout
+    t.merge(Seq(("k5", 9L, "v5b")).toDF("k", "wv", "v"), "b3")
+    assert(t.read(Map("k" -> "k5")).as[(String, Long, String)].collect().toSeq
+      === Seq(("k5", 9L, "v5b")))
+    assert(t.read().count() === 33L)
+  }
+
   test("merge records counters in lineage, including caller counterCols") {
     import org.apache.spark.sql.functions._
     val t = newTable()
