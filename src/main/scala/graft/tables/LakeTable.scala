@@ -399,16 +399,20 @@ final class LakeTable private (
       val commitRel = s"data/commit-$newVersion"
 
       // =====================================================================
-      // MOR: ONE JOB, no stats pass. The table is never read and pruning is
-      // irrelevant (layers append), so the only reason the classic path
-      // scans the batch twice — touched-bucket discovery — disappears.
-      // rows_in + caller counters ride the write plan as observed metrics
-      // (CollectMetrics: zero extra scans); touched buckets and the upsert
-      // count (= post-dedup rows = distinct batch keys) come from the
-      // written files' footers. Halving the number of batch scans matters:
-      // the batch is typically an expensive mapPartitions binary decode.
+      // ONE-JOB path (no stats pass): taken by MOR merges — and by ANY
+      // merge into an EMPTY table, where copy-on-write and merge-on-read
+      // are indistinguishable (nothing to read, nothing to layer; the
+      // full-snapshot load is exactly this case). The only reason the
+      // classic path scans the batch twice — touched-bucket discovery for
+      // existing-side pruning — disappears in both. rows_in + caller
+      // counters ride the write plan as observed metrics (CollectMetrics:
+      // zero extra scans); touched buckets and the upsert count (=
+      // post-dedup rows = distinct batch keys) come from the written files'
+      // footers. Halving the number of batch scans matters: the batch is
+      // typically an expensive mapPartitions binary decode.
       // =====================================================================
-      val (touched, upserts, rowsIn, customCounters, written, writtenRows) = if (mor) {
+      val emptyTable = snap.rowCount == 0L && snap.bucketFiles.values.forall(_.isEmpty)
+      val (touched, upserts, rowsIn, customCounters, written, writtenRows) = if (mor || emptyTable) {
         val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt)
         val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
         val obsAggs = count(lit(1)).as("_nrows") +:
@@ -423,9 +427,12 @@ final class LakeTable private (
             numSalts = math.max(16, cores))
           else observed
         // dedup rides the one (bucket, subsplit) exchange exactly like the
-        // classic plan; partition count is decoupled from the touched set
+        // classic plan; partition count mirrors it too (numBuckets ×
+        // writeFactor ≥ waveFactor·cores — fewer, larger sort partitions
+        // measurably hurt the narrow-parallelism levels)
         Dedup.latestByKey(
-            base.repartition(math.max(1, waveFactor * cores), col(BucketCol), col(SubSplitCol)),
+            base.repartition(math.max(1, snap.numBuckets * writeFactor),
+              col(BucketCol), col(SubSplitCol)),
             snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
           .drop(SubSplitCol)
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
