@@ -27,6 +27,7 @@ object QueryBench {
       .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageProfiler.maybeAttach(spark) // honors GRAFT_STAGE_PROFILE=1 as documented
     names.foreach { n =>
       require(SparkEntry.queries.contains(n), s"unknown query $n")
       (1 to reps).foreach { rep =>

@@ -107,12 +107,15 @@ object Multimodal {
       private val image = new ImageIODecoder
       private val other = new Deterministic(dim)
       override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] = {
-        // preserve input order while decoding each modality as its own batch
-        val decoded = new scala.collection.mutable.HashMap[Long, MediaFeatures]()
-        val (imgs, rest) = batch.partition(_._2 == "image")
-        image.decodeBatch(imgs).foreach(f => decoded(f.media_id) = f)
-        other.decodeBatch(rest).foreach(f => decoded(f.media_id) = f)
-        batch.map { case (id, _, _) => decoded(id) }
+        // reassemble POSITIONALLY (not by media_id: duplicate ids within a
+        // batch — re-delivered rows, id collisions across modalities — must
+        // each keep their own row's decode, like the per-row decoders do)
+        val indexed = batch.zipWithIndex
+        val (imgs, rest) = indexed.partition(_._1._2 == "image")
+        val out = new Array[MediaFeatures](batch.size)
+        image.decodeBatch(imgs.map(_._1)).zip(imgs).foreach { case (f, (_, i)) => out(i) = f }
+        other.decodeBatch(rest.map(_._1)).zip(rest).foreach { case (f, (_, i)) => out(i) = f }
+        out.toSeq
       }
     }
 

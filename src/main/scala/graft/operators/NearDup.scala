@@ -387,15 +387,17 @@ object NearDup {
     // block count: enough blocks that the B(B+1)/2 block-pair groups keep
     // every core busy, and small enough that two blocks fit a task comfortably.
     // SMALL-CORPUS SHORT-CIRCUIT: when the WHOLE corpus' bitmaps fit one
-    // task's working set, B=1 — one intra-block group, no B-fold replication,
-    // no cross-block union (the blocked structure otherwise costs more in
-    // shuffle/plan overhead than the verify loop it parallelizes)
+    // task's working set AND the O(n²) verify loop is one task's worth of
+    // WORK (the bytes bound alone admits ~131k docs = ~8.6e9 pair checks —
+    // hours serialized on one core), B=1 — one intra-block group, no B-fold
+    // replication, no cross-block union
     val nDocs = enc.count()
     val singleTaskBytes = 64L << 20
+    val singleTaskDocs = 10000L // ≤ ~5e7 pair checks, sub-second per core
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     val minBlocksForPar = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
     val b =
-      if (nDocs * words * 8L < singleTaskBytes) 1
+      if (nDocs <= singleTaskDocs && nDocs * words * 8L < singleTaskBytes) 1
       else math.max(1, math.max(minBlocksForPar, math.ceil(nDocs.toDouble / blockSize).toInt))
     val blocked = enc.withColumn("_blk", pmod(xxhash64(col("_id")), lit(b)).cast("int"))
 

@@ -100,6 +100,17 @@ final class LakeTable private (
 
   import LakeTable._
 
+  // Storage-partitioned planning is enabled SESSION-WIDE the moment a lake
+  // table is opened: these confs only change plans for scans that REPORT
+  // KeyGroupedPartitioning (ours do, built-in file scans don't), and the
+  // DataFrames this class returns are LAZY — a caller's .select/.count
+  // builds a fresh physical plan outside any scoped conf window, which
+  // would silently drop the zero-shuffle shapes (changelog reads, merge
+  // joins) the engine promises. withSpjConfs still scopes the
+  // shuffle-partition cap per operation.
+  spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+
   val BucketCol = "_gbucket"
   val SubSplitCol = "_gsubsplit"
   /** merge-internal marker: 1 on batch rows, max()'d per key group — its
@@ -180,16 +191,24 @@ final class LakeTable private (
     // between the two layouts: bucket-diff pruning and bucket-aligned
     // joining are both meaningless — fall back to a logical (key, ordering)
     // anti-join over full reads (correct, one shuffle per side)
+    // null-SAFE equality throughout: a NULL key/ordering value must match
+    // its old-side self, or unchanged rows with nulls would reappear as
+    // "changed" on every call (left_anti emits left columns only)
+    def antiCond(left: String, right: String, cols: Seq[String],
+        plainEq: Seq[String] = Nil) =
+      (cols.map(c => col(s"$left.$c") <=> col(s"$right.$c")) ++
+        plainEq.map(c => col(s"$left.$c") === col(s"$right.$c"))).reduce(_ && _)
     if (oldSnap.numBuckets != newSnap.numBuckets) {
       val newDF = readSnapshotDF(newSnap)
       val oldAligned = {
         val df = readSnapshotDF(oldSnap)
-        df.select(newSchema.fieldNames.toSeq.map { c =>
+        df.select((newSnap.keyCols ++ newSnap.orderCols).map { c =>
           if (df.columns.contains(c)) col(c).cast(newSchema(c).dataType).as(c)
           else lit(null).cast(newSchema(c).dataType).as(c)
         }: _*)
       }
-      return newDF.join(oldAligned, newSnap.keyCols ++ newSnap.orderCols, "left_anti")
+      return newDF.alias("n").join(oldAligned.alias("o"),
+        antiCond("n", "o", newSnap.keyCols ++ newSnap.orderCols), "left_anti")
     }
     // 1. prune: identical file lists ⇒ bucket untouched in the range
     val changed = newSnap.bucketFiles.keys.filter { b =>
@@ -211,15 +230,16 @@ final class LakeTable private (
           Dedup.latestByKey(aligned, s.keyCols :+ BucketCol, s.orderCols)
         else aligned
       }
-      val changes = side(newSnap)
-        .join(side(oldSnap), (newSnap.keyCols ++ newSnap.orderCols) :+ BucketCol, "left_anti")
+      // the bucket column joins with plain equality (non-null by
+      // construction, and it must stay a direct key so the scans'
+      // KeyGroupedPartitioning aligns); data columns null-safely. The
+      // session-wide SPJ confs (set at table construction) keep this shape
+      // however the caller derives or re-plans the lazy result.
+      side(newSnap).alias("n")
+        .join(side(oldSnap).alias("o"),
+          antiCond("n", "o", newSnap.keyCols ++ newSnap.orderCols, plainEq = Seq(BucketCol)),
+          "left_anti")
         .drop(BucketCol)
-      // the caller acts on this DataFrame LATER, outside this conf scope —
-      // force physical planning NOW so the storage-partitioned (no-shuffle)
-      // shape is captured while the SPJ confs are active; later actions on
-      // the same Dataset reuse the pinned queryExecution
-      changes.queryExecution.executedPlan
-      changes
     }
   }
 
@@ -323,12 +343,15 @@ final class LakeTable private (
     * path). `GRAFT_COW_SPJ=1/0` (env, or the `graft.cow.spj` system
     * property for in-process tests) forces either way. */
   private def spjEligible(touched: Seq[Int], oldTouchedRows: Long, rowsIn: Long): Boolean =
-    sys.props.get("graft.cow.spj").orElse(sys.env.get("GRAFT_COW_SPJ")) match {
-      case Some("1") => true
-      case Some("0") => false
-      case _ =>
-        touched.size >= spark.sparkContext.defaultParallelism && oldTouchedRows >= rowsIn
-    }
+    // an empty batch has no buckets to scan — a zero-partition SPJ plan is a
+    // degenerate shape nothing should build, force flag or not
+    touched.nonEmpty &&
+      (sys.props.get("graft.cow.spj").orElse(sys.env.get("GRAFT_COW_SPJ")) match {
+        case Some("1") => true
+        case Some("0") => false
+        case _ =>
+          touched.size >= spark.sparkContext.defaultParallelism && oldTouchedRows >= rowsIn
+      })
 
   /** MERGE INTO: LWW upsert of `batch` under exactly-once semantics.
     *
@@ -412,7 +435,8 @@ final class LakeTable private (
       // typically an expensive mapPartitions binary decode.
       // =====================================================================
       val emptyTable = snap.rowCount == 0L && snap.bucketFiles.values.forall(_.isEmpty)
-      val (touched, upserts, rowsIn, customCounters, written, writtenRows) = if (mor || emptyTable) {
+      val (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows) =
+        if (mor || emptyTable) {
         val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt)
         val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
         val obsAggs = count(lit(1)).as("_nrows") +:
@@ -445,7 +469,7 @@ final class LakeTable private (
         (written.keys.toSeq.sorted, writtenRows.values.sum,
           m("_nrows").asInstanceOf[Long],
           counterNames.map(n => n -> m(s"_c_$n").asInstanceOf[Long]).toMap,
-          written, writtenRows)
+          written, writtenRows, 0L)
       } else {
         // ===================================================================
         // COW: one CHEAP stats job (touched buckets for existing-side
@@ -512,7 +536,7 @@ final class LakeTable private (
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
         }
-        (touched, upserts, rowsIn, customCounters, written, writtenRows)
+        (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows)
       }
       val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
         if (mor) {
@@ -536,9 +560,8 @@ final class LakeTable private (
           // copy-on-write REPLACES touched buckets (and resolves any of
           // their MOR layers in the same pass). New files need ONE footer
           // pass, parallelized — the serial driver-side footer loop was a
-          // measured scaling bottleneck.
-          val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
-            countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+          // measured scaling bottleneck. oldTouchedRows threads through from
+          // the stats fork (computed once for the SPJ gate).
           (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
             snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
             snap.rowCount - oldTouchedRows + writtenRows.values.sum,

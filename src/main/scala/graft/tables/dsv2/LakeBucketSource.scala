@@ -119,14 +119,36 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // stat all file lengths in BOUNDED PARALLEL: a serial driver-side
+    // getFileStatus loop over every layered file would re-run on every
+    // (re)planning of the scan — the same driver-serial pattern the
+    // parallel footer pass removed from the merge
+    val allRel = buckets.sorted.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).distinct
+    val lens: Map[String, Long] =
+      if (allRel.size <= 1)
+        allRel.map { rel =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+          rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+        }.toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, allRel.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(Future.sequence(allRel.map { rel =>
+          Future {
+            val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+            rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+          }
+        }), Duration.Inf).toMap
+        finally pool.shutdown()
+      }
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
       val files = snap.bucketFiles.getOrElse(b, Nil).map { rel =>
-        val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
-        val len = p.getFileSystem(conf).getFileStatus(p).getLen
         PartitionedFile(
           partitionValues = InternalRow(b),
-          filePath = org.apache.spark.paths.SparkPath.fromPath(p),
-          start = 0L, length = len)
+          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+          start = 0L, length = lens(rel))
       }.toArray
       LakeBucketPartition(idx, b, files): InputPartition
     }.toArray

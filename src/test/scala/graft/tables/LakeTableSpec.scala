@@ -394,6 +394,32 @@ class LakeTableSpec extends SparkTestBase {
       rows.map(_._1) === Seq("k0", "x1"))
   }
 
+  test("changelog read matches null values null-safely: an unchanged row " +
+      "with a NULL column never reappears as a change") {
+    // null in a NON-key grouping column of the anti-join (v is part of
+    // neither keys nor ordering; use a null ordering value via a second
+    // order column): schema (k, wv, v) orders by wv only — make v null and
+    // key the row normally; the anti-join includes orderCols, so add a row
+    // whose ORDER col can't be null (wv BIGINT from tuples). Exercise the
+    // null path through a null KEY instead: LakeTable hashes null keys
+    // deterministically and LWW groups them.
+    val t = newTable(buckets = 2)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val schema2 = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema2)
+    t.merge(df(Seq(Row(null, 1L, "null-key"), Row("a", 1L, "a1"), Row("b", 1L, "b1"))), "b1")
+    val v1 = t.currentVersion()
+    // touch every bucket so NO bucket-diff pruning saves the null row
+    t.merge(df(Seq(Row("a", 2L, "a2"), Row("b", 2L, "b2"), Row("c", 1L, "c1"))), "b2")
+    val changes = t.readChanges(v1, t.currentVersion())
+      .collect().map(r => Option(r.getString(0)))
+    // the untouched null-key row must NOT surface as a change
+    assert(!changes.contains(None), s"null-key row spuriously changed: ${changes.toSeq}")
+    assert(changes.toSet === Set(Some("a"), Some("b"), Some("c")))
+  }
+
   test("rebucket: layout evolution preserves logical state; point reads, " +
       "merges, and changelogs keep working across the boundary") {
     val t = newTable(buckets = 4)
