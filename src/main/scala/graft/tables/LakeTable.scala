@@ -750,8 +750,18 @@ final class LakeTable private (
     val batchDedup = Dedup.latestByKey(preAgg, snap.keyCols :+ BucketCol, snap.orderCols)
     val joinCols = snap.keyCols :+ BucketCol
     val ex = exResolved.select(joinCols.map(col) :+ struct(cols.map(col): _*).as("_ex"): _*)
-    val ba = batchDedup.select(joinCols.map(col) :+ struct(cols.map(col): _*).as("_ba"): _*)
-    val joined = ex.join(ba, joinCols, "full_outer")
+    val ba = batchDedup.select(
+      joinCols.map(c => col(c).as(s"_gb_$c")) :+ struct(cols.map(col): _*).as("_ba"): _*)
+    // NULL-SAFE key equality: the classic path groups null keys into one LWW
+    // group, so the SPJ join must match them too — plain === would emit both
+    // the existing and the batch row for a null-keyed pair. The bucket column
+    // is non-null (hash of the keys) and keeps ===; both forms extract as
+    // equi-join keys, so the storage-partitioned clustering is unaffected.
+    val cond = snap.keyCols
+      .map(k => col(k) <=> col(s"_gb_$k"))
+      .foldLeft(col(BucketCol) === col(s"_gb_$BucketCol"))(_ && _)
+    val joined = ex.join(ba, cond, "full_outer")
+      .withColumn(BucketCol, coalesce(col(BucketCol), col(s"_gb_$BucketCol")))
     val ordB = struct(snap.orderCols.map(o => col(s"_ba.$o")): _*)
     val ordE = struct(snap.orderCols.map(o => col(s"_ex.$o")): _*)
     val winner = when(col("_ex").isNull, col("_ba"))

@@ -98,7 +98,9 @@ class LakeTableSpec extends SparkTestBase {
       try f finally sys.props.remove("graft.cow.spj")
     }
     val rnd = new scala.util.Random(20260818L)
-    val keys = ('a' to 'p').map(_.toString)
+    // include a NULL key: the classic path LWW-groups null keys, so the SPJ
+    // full-outer join must match them null-safely (<=>) or it duplicates
+    val keys = ('a' to 'p').map(_.toString) :+ (null: String)
     (0 until 3).foreach { round =>
       val classic = newTable()
       val spj = newTable()
