@@ -156,9 +156,21 @@ final class LakeTable private (
       else spark.read.schema(schema).parquet(files: _*)
     val clean = readFiles(bucketPaths(s.bucketFiles.keys.filterNot(dirty)))
     if (dirty.isEmpty) clean
-    else clean.unionByName(
-      Dedup.latestByKey(readFiles(bucketPaths(dirty)), s.keyCols, s.orderCols))
+    else clean.unionByName(morResolvedDF(s, s.morBuckets.sorted))
   }
+
+  /** ZERO-SHUFFLE resolve of dirty (merge-on-read) buckets: the layers of a
+    * bucket are co-located by construction, so LWW resolution grouped on
+    * `(keys…, bucket)` over the partitioning-reporting scan plans NO
+    * exchange — each dirty bucket is one task that reads its layers and
+    * resolves in place (the same shape as [[compactBuckets]]). The previous
+    * form (plain parquet read + keys-only dedup) hashed EVERY dirty-bucket
+    * row through an exchange on every read — at a MOR-heavy 100 TB stream
+    * with maxLayers of debt, that re-shuffles the whole dirty region per
+    * read. */
+  private def morResolvedDF(s: TableSnapshot, dirtySorted: Seq[Int]): DataFrame =
+    Dedup.latestByKey(bucketScanDF(s, dirtySorted), s.keyCols :+ BucketCol, s.orderCols)
+      .drop(BucketCol)
 
   /** CHANGELOG READ (CDC egress, ≙ Iceberg incremental scan): every row
     * NEW OR UPDATED between two retained versions — the rows a downstream
@@ -253,11 +265,13 @@ final class LakeTable private (
     else {
       val dirty = s.morBuckets.toSet
       val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
-      val files = s.morBuckets.sorted
-        .flatMap(b => s.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
-      val schema = StructType.fromDDL(s.schemaDdl)
-      cleanRows + Dedup.latestByKey(
-        spark.read.schema(schema).parquet(files: _*), s.keyCols, s.orderCols).count()
+      // logical rows in a dirty bucket = its distinct key groups; the
+      // distinct's grouping includes the bucket so it rides the scan's
+      // partitioning (zero exchange), and column pruning shrinks the
+      // parquet read to the key columns alone — no payload bytes touched
+      cleanRows + bucketScanDF(s, s.morBuckets.sorted)
+        .select((s.keyCols :+ BucketCol).map(col): _*)
+        .distinct().count()
     }
   }
 

@@ -8,12 +8,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -95,22 +96,63 @@ final class LakeBucketTable(options: CaseInsensitiveStringMap)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LakeBucketScan(root, snap, buckets)
-    }
+    new LakeBucketScanBuilder(root, snap, buckets)
+}
+
+/** COLUMN PRUNING + FILTER PUSHDOWN for the bucket scan: a projected
+  * changelog / maintenance read (`readChanges(...).select(keys)`) reads only
+  * the requested data columns from parquet instead of the whole payload, and
+  * pushed predicates reach parquet's row-group/page statistics pruning (the
+  * point-read shape: an equality on the key skips every row group whose
+  * min/max excludes it).
+  *
+  * Two invariants keep this safe at any scale:
+  *  - the bucket column is ALWAYS kept in the read schema — the scan's
+  *    reported `KeyGroupedPartitioning(identity(_gbucket))` references it,
+  *    and it costs nothing (a per-partition constant, not file bytes);
+  *  - every filter is returned as RESIDUAL (Spark re-evaluates it above the
+  *    scan), so parquet stats pruning can only skip non-matching row groups,
+  *    never change results — exactly `ParquetScan`'s own contract. */
+final class LakeBucketScanBuilder(root: String, snap: graft.tables.TableSnapshot,
+    buckets: Seq[Int]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+  private var requiredData: StructType = dataSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    requiredData = StructType(dataSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val dataCols = dataSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(dataCols.contains))
+    filters // all residual: the pushed copies only drive stats pruning
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new LakeBucketScan(root, snap, buckets, requiredData, pushed)
 }
 
 final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
-    buckets: Seq[Int]) extends Scan with Batch with SupportsReportPartitioning {
+    buckets: Seq[Int], readDataSchema: StructType, pushedFilters: Array[sources.Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
 
   private val dataSchema = StructType.fromDDL(snap.schemaDdl)
   private val partitionSchema =
     StructType(Seq(StructField(LakeBucketSource.BucketCol, IntegerType, nullable = false)))
 
-  override def readSchema(): StructType = LakeBucketSource.scanSchema(snap)
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields :+
+      StructField(LakeBucketSource.BucketCol, IntegerType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
-    s"LakeBucketScan(root=$root, v=${snap.version}, buckets=${buckets.mkString(",")})"
+    s"LakeBucketScan(root=$root, v=${snap.version}, buckets=${buckets.mkString(",")}, " +
+      s"ReadSchema=${readDataSchema.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushedFilters.mkString(", ")}])"
 
   /** the whole point: identity partitioning on the bucket column */
   override def outputPartitioning(): Partitioning =
@@ -131,16 +173,29 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
           rel -> p.getFileSystem(conf).getFileStatus(p).getLen
         }.toMap
       else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, allRel.size))
+        import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+        import scala.concurrent.duration._
+        // daemon threads + a bounded wait: a hung filesystem must fail query
+        // planning with a diagnostic, not wedge the driver forever
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, allRel.size),
+          (r: Runnable) => {
+            val t = new Thread(r, "lake-bucket-stat")
+            t.setDaemon(true)
+            t
+          })
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try Await.result(Future.sequence(allRel.map { rel =>
           Future {
             val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
             rel -> p.getFileSystem(conf).getFileStatus(p).getLen
           }
-        }), Duration.Inf).toMap
+        }), 5.minutes).toMap
+        catch {
+          case _: TimeoutException => throw new java.io.IOException(
+            s"timed out (5 min) statting ${allRel.size} data files under $root — " +
+              "filesystem unreachable or pathologically slow")
+        }
         finally pool.shutdown()
       }
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
@@ -165,10 +220,10 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
     hadoopConf.set(
       org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-      dataSchema.json)
+      readDataSchema.json)
     hadoopConf.set(
       org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA,
-      dataSchema.json)
+      readDataSchema.json)
     hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
     hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
@@ -179,8 +234,8 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
       sqlConf.legacyParquetNanosAsLong)
     val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     new LakeBucketReaderFactory(ParquetPartitionReaderFactory(
-      sqlConf, broadcasted, dataSchema, dataSchema, partitionSchema,
-      Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf)))
+      sqlConf, broadcasted, dataSchema, readDataSchema, partitionSchema,
+      pushedFilters, None, new ParquetOptions(Map.empty[String, String], sqlConf)))
   }
 }
 

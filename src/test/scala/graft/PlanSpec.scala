@@ -161,6 +161,59 @@ class PlanSpec extends SparkTestBase {
     assert(state.values.forall(_ == 2L))
   }
 
+  test("MOR-dirty read() plans ZERO exchanges: dirty buckets resolve riding " +
+      "the bucket scan's partitioning, like compaction") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planmorread").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 16).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge((0 until 16).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "b2", mor = true)
+    assert(t.snapshot().morBuckets.nonEmpty)
+    t.withSpjConfs() {
+      val df = t.read()
+      val p = plan(df)
+      assert(nodes(p, "Exchange") === 0,
+        s"MOR-dirty read must not shuffle:\n${p.take(4000)}")
+      // and the state through this plan is the resolved one
+      val state = df.as[(String, Long, String)].collect().map(r => r._1 -> r._2).toMap
+      assert(state.size === 16 && state.values.forall(_ == 2L))
+    }
+    assert(t.logicalRowCount() === 16L)
+  }
+
+  test("projected changelog read prunes unread payload columns at the DSv2 " +
+      "bucket scan (SupportsPushDownRequiredColumns)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planprune").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 16).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge((0 until 4).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "b2")
+    val projected = t.readChanges(v1, t.currentVersion()).select("k")
+    val exec = projected.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, exec.treeString)
+    scans.foreach { b =>
+      val cols = b.output.map(_.name)
+      assert(!cols.contains("v"),
+        s"payload column not pruned from bucket scan: $cols\n${exec.treeString}")
+      assert(cols.contains("k") && cols.contains("_gbucket"), cols.mkString(","))
+    }
+    assert(projected.as[String].collect().sorted.toSeq ===
+      (0 until 4).map(i => s"k$i").sorted)
+  }
+
   test("q22 minhash candidate generation never plans a cartesian product") {
     val p = plan(SparkEntry.queries("q22_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
