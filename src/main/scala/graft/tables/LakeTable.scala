@@ -552,73 +552,87 @@ final class LakeTable private (
         }
         (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows)
       }
-      val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
-        if (mor) {
-          // APPEND the new layer; a bucket becomes dirty (needs read-time
-          // resolution) once it holds more than the fresh layer
-          val bf = snap.bucketFiles ++ written.map { case (b, fs) =>
-            b -> (snap.bucketFiles.getOrElse(b, Nil) ++ fs)
+      // --- commit, with OCC rebase over maintenance-only interleavings:
+      // the merge's data files were computed against `snap`, but an
+      // interleaved COMPACTION changes no logical state, so the same files
+      // commit cleanly on top of it — only per-bucket metadata is rebuilt
+      // against the current snapshot `s`. Anything non-maintenance
+      // (another merge, a rebucket) still fails loudly: single ingest
+      // writer by contract. ---
+      def buildCommit(s: TableSnapshot): Option[TableSnapshot] = {
+        val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
+          if (mor) {
+            // APPEND the new layer; a bucket becomes dirty (needs read-time
+            // resolution) once it holds more than the fresh layer
+            val bf = s.bucketFiles ++ written.map { case (b, fs) =>
+              b -> (s.bucketFiles.getOrElse(b, Nil) ++ fs)
+            }
+            val br = s.bucketRows ++ writtenRows.map { case (b, n) =>
+              b -> (s.bucketRows.getOrElse(b, 0L) + n)
+            }
+            val dirty = (s.morBuckets ++
+              touched.filter(b => s.bucketFiles.getOrElse(b, Nil).nonEmpty)).distinct.sorted
+            val layers = s.bucketLayers ++ written.keys.map { b =>
+              val before =
+                s.bucketLayers.getOrElse(b, if (s.bucketFiles.getOrElse(b, Nil).isEmpty) 0 else 1)
+              b -> (before + 1)
+            }
+            (bf, br, s.rowCount + writtenRows.values.sum, dirty, layers)
+          } else {
+            // copy-on-write REPLACES touched buckets (and resolves any of
+            // their MOR layers in the same pass). New files need ONE footer
+            // pass, parallelized — the serial driver-side footer loop was a
+            // measured scaling bottleneck. The removed-row count comes from
+            // the stored bucket counts of the snapshot being committed
+            // AGAINST (equal to the stats fork's oldTouchedRows when s is
+            // the original snap).
+            val removed = touched.map(b => s.bucketRows.getOrElse(b, 0L)).sum
+            (s.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
+              s.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
+              s.rowCount - removed + writtenRows.values.sum,
+              s.morBuckets.filterNot(touched.contains),
+              s.bucketLayers.filter { case (b, _) => !touched.contains(b) })
           }
-          val br = snap.bucketRows ++ writtenRows.map { case (b, n) =>
-            b -> (snap.bucketRows.getOrElse(b, 0L) + n)
-          }
-          val dirty = (snap.morBuckets ++
-            touched.filter(b => snap.bucketFiles.getOrElse(b, Nil).nonEmpty)).distinct.sorted
-          val layers = snap.bucketLayers ++ written.keys.map { b =>
-            val before =
-              snap.bucketLayers.getOrElse(b, if (snap.bucketFiles.getOrElse(b, Nil).isEmpty) 0 else 1)
-            b -> (before + 1)
-          }
-          (bf, br, snap.rowCount + writtenRows.values.sum, dirty, layers)
-        } else {
-          // copy-on-write REPLACES touched buckets (and resolves any of
-          // their MOR layers in the same pass). New files need ONE footer
-          // pass, parallelized — the serial driver-side footer loop was a
-          // measured scaling bottleneck. oldTouchedRows threads through from
-          // the stats fork (computed once for the SPJ gate).
-          (snap.bucketFiles.filter { case (b, _) => !touched.contains(b) } ++ written,
-            snap.bucketRows.filter { case (b, _) => !touched.contains(b) } ++ writtenRows,
-            snap.rowCount - oldTouchedRows + writtenRows.values.sum,
-            snap.morBuckets.filterNot(touched.contains),
-            snap.bucketLayers.filter { case (b, _) => !touched.contains(b) })
+
+        // --- bounded bookkeeping: retention + rollup ---
+        val entry = LineageEntry(
+          Map("rows_in" -> rowsIn, "upserts" -> upserts) ++ customCounters,
+          touched)
+        val keptIds = (s.appliedBatches :+ batchId).takeRight(s.retainBatches)
+        val lineageAll = s.lineage + (batchId -> entry)
+        val (keptLineage, expired) = lineageAll.partition { case (id, _) => keptIds.contains(id) }
+        val rolledTotals = expired.values.foldLeft(
+          s.totals.updated("batches", s.totals.getOrElse("batches", 0L))) {
+          case (tot, e) =>
+            val withBatch = tot.updated("batches", tot.getOrElse("batches", 0L) + 1L)
+            e.counters.foldLeft(withBatch) { case (t, (k, v)) => t.updated(k, t.getOrElse(k, 0L) + v) }
         }
-      phase("counts")
 
-      // --- bounded bookkeeping: retention + rollup ---
-      val entry = LineageEntry(
-        Map("rows_in" -> rowsIn, "upserts" -> upserts) ++ customCounters,
-        touched)
-      val keptIds = (snap.appliedBatches :+ batchId).takeRight(snap.retainBatches)
-      val lineageAll = snap.lineage + (batchId -> entry)
-      val (keptLineage, expired) = lineageAll.partition { case (id, _) => keptIds.contains(id) }
-      val rolledTotals = expired.values.foldLeft(
-        snap.totals.updated("batches", snap.totals.getOrElse("batches", 0L))) {
-        case (tot, e) =>
-          val withBatch = tot.updated("batches", tot.getOrElse("batches", 0L) + 1L)
-          e.counters.foldLeft(withBatch) { case (t, (k, v)) => t.updated(k, t.getOrElse(k, 0L) + v) }
+        Some(TableSnapshot(
+          version = s.version + 1,
+          schemaDdl = evolved.toDDL,
+          keyCols = s.keyCols, orderCols = s.orderCols,
+          numBuckets = s.numBuckets, retainBatches = s.retainBatches,
+          bucketFiles = newBucketFiles,
+          bucketRows = newBucketRows,
+          txns = txn.fold(s.txns) { case (app, seq) => s.txns.updated(app, seq) },
+          appliedBatches = keptIds,
+          lineage = keptLineage,
+          totals = rolledTotals,
+          rowCount = rowCount,
+          morBuckets = newMorBuckets,
+          bucketLayers = newBucketLayers,
+          maxLayers = s.maxLayers))
       }
-
-      commit(TableSnapshot(
-        version = newVersion,
-        schemaDdl = evolved.toDDL,
-        keyCols = snap.keyCols, orderCols = snap.orderCols,
-        numBuckets = snap.numBuckets, retainBatches = snap.retainBatches,
-        bucketFiles = newBucketFiles,
-        bucketRows = newBucketRows,
-        txns = txn.fold(snap.txns) { case (app, seq) => snap.txns.updated(app, seq) },
-        appliedBatches = keptIds,
-        lineage = keptLineage,
-        totals = rolledTotals,
-        rowCount = rowCount,
-        morBuckets = newMorBuckets,
-        bucketLayers = newBucketLayers,
-        maxLayers = snap.maxLayers))
+      phase("counts")
+      val committed = occCommit(snap)(maintenanceOnlyBetween(snap, _))(buildCommit)
+        .getOrElse(throw new IllegalStateException("merge commit built nothing"))
       phase("commit")
       // read-amplification bound: a hot bucket past maxLayers compacts NOW,
       // not at the stream's next periodic trigger (its read cost is already
       // maxLayers× a clean scan; waiting compounds it)
       if (mor) {
-        val over = newBucketLayers.collect {
+        val over = committed.bucketLayers.collect {
           case (b, n) if n > snap.maxLayers => b
         }.toSeq.sorted
         if (over.nonEmpty) { compactBuckets(over); phase("auto-compact") }
@@ -645,8 +659,10 @@ final class LakeTable private (
     val dirty = buckets.filter(snap.morBuckets.contains).distinct.sorted
     if (dirty.isEmpty) return 0
     val curSchema = StructType.fromDDL(snap.schemaDdl)
-    val newVersion = snap.version + 1
-    val commitRel = s"data/commit-$newVersion"
+    // a UNIQUE staging dir (never `commit-<v>`): a racing ingest merge may be
+    // writing data/commit-<v+1> at this very moment — maintenance must never
+    // share a data directory with it
+    val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     // ZERO-SHUFFLE compaction: the layers of each bucket are already
     // co-located by construction, so the LWW resolution grouped on
     // (keys…, bucket) rides the scan's KeyGroupedPartitioning — each dirty
@@ -657,23 +673,45 @@ final class LakeTable private (
           snap.keyCols :+ BucketCol, snap.orderCols)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
-    val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+    val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
     val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
       b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
     }
-    val oldDirtyRows = dirty.map(b => snap.bucketRows.getOrElse(b, 0L)).sum
-    commit(snap.copy(
-      version = newVersion,
-      bucketFiles = snap.bucketFiles.filter { case (b, _) => !dirty.contains(b) } ++ written,
-      bucketRows = snap.bucketRows.filter { case (b, _) => !dirty.contains(b) } ++ writtenRows,
-      totals = snap.totals
-        .updated("compactions", snap.totals.getOrElse("compactions", 0L) + 1L)
-        .updated("compacted_buckets",
-          snap.totals.getOrElse("compacted_buckets", 0L) + dirty.size.toLong),
-      rowCount = snap.rowCount - oldDirtyRows + writtenRows.values.sum,
-      morBuckets = snap.morBuckets.filterNot(dirty.contains),
-      bucketLayers = snap.bucketLayers.filter { case (b, _) => !dirty.contains(b) }))
-    dirty.size
+    // OCC: compaction is a logical no-op, so it rebases over ANY interleaved
+    // commit with the same layout — a bucket the interleaved writer touched
+    // (file list changed since we read it) is simply dropped from this
+    // compaction (its resolved output is stale; it stays dirty and the next
+    // pass picks it up). A rebucket interleaving (bucket count changed)
+    // invalidates everything and still fails loudly.
+    var valid: Seq[Int] = dirty
+    val committed = occCommit(snap)(cur => cur.numBuckets == snap.numBuckets) { s =>
+      valid = dirty.filter(b =>
+        s.bucketFiles.getOrElse(b, Nil) == snap.bucketFiles.getOrElse(b, Nil))
+      if (valid.isEmpty) None
+      else {
+        val w = written.filter { case (b, _) => valid.contains(b) }
+        val wr = writtenRows.filter { case (b, _) => valid.contains(b) }
+        val oldDirtyRows = valid.map(b => s.bucketRows.getOrElse(b, 0L)).sum
+        Some(s.copy(
+          version = s.version + 1,
+          bucketFiles = s.bucketFiles.filter { case (b, _) => !valid.contains(b) } ++ w,
+          bucketRows = s.bucketRows.filter { case (b, _) => !valid.contains(b) } ++ wr,
+          totals = s.totals
+            .updated("compactions", s.totals.getOrElse("compactions", 0L) + 1L)
+            .updated("compacted_buckets",
+              s.totals.getOrElse("compacted_buckets", 0L) + valid.size.toLong),
+          rowCount = s.rowCount - oldDirtyRows + wr.values.sum,
+          morBuckets = s.morBuckets.filterNot(valid.contains),
+          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) }))
+      }
+    }
+    // sweep staging output that lost the race (stale buckets, or everything)
+    val kept: Set[Int] = if (committed.isDefined) valid.toSet else Set.empty
+    written.foreach { case (b, fs) =>
+      if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
+    }
+    if (kept.isEmpty) deleteRecursively(Paths.get(root).resolve(commitRel))
+    if (committed.isDefined) valid.size else 0
   }
 
   /** The ONE-shuffle LWW merge plan (exposed for plan tests): in-batch
@@ -800,33 +838,49 @@ final class LakeTable private (
     * like compaction, between ingest batches from the single writer. */
   def rebucket(newNumBuckets: Int): Unit = {
     require(newNumBuckets > 0, s"bucket count must be positive, got $newNumBuckets")
-    val snap = snapshot()
-    if (snap.numBuckets == newNumBuckets) return
-    val curSchema = StructType.fromDDL(snap.schemaDdl)
-    val cores = spark.sparkContext.defaultParallelism
-    val writeFactor = math.max(1, math.ceil(2.0 * cores / newNumBuckets).toInt)
-    val reSnap = snap.copy(numBuckets = newNumBuckets)
-    val emptyBatch = align(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema),
-      curSchema)
-    val newVersion = snap.version + 1
-    val commitRel = s"data/commit-$newVersion"
-    buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
-        touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
-      .drop(SubSplitCol)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
-    val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
-    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+    // OCC: a full-table rewrite cannot rebase incrementally (an interleaved
+    // merge adds rows the rewrite never saw) — on a lost race it RE-RUNS
+    // from the fresh snapshot, bounded; a persistently busy stream should
+    // schedule rebucket between batches instead
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val snap = snapshot()
+      if (snap.numBuckets == newNumBuckets) return
+      val curSchema = StructType.fromDDL(snap.schemaDdl)
+      val cores = spark.sparkContext.defaultParallelism
+      val writeFactor = math.max(1, math.ceil(2.0 * cores / newNumBuckets).toInt)
+      val reSnap = snap.copy(numBuckets = newNumBuckets)
+      val emptyBatch = align(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema),
+        curSchema)
+      val newVersion = snap.version + 1
+      // unique staging dir — never share data/commit-<v> with a racing merge
+      val commitRel = s"data/maint-$newVersion-${java.lang.Long.toHexString(System.nanoTime())}"
+      buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
+          touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
+        .drop(SubSplitCol)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
+      val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+        b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+      }
+      try {
+        commit(reSnap.copy(
+          version = newVersion,
+          bucketFiles = written,
+          bucketRows = writtenRows,
+          totals = snap.totals.updated("rebuckets", snap.totals.getOrElse("rebuckets", 0L) + 1L),
+          rowCount = writtenRows.values.sum,
+          morBuckets = Nil,
+          bucketLayers = Map.empty))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteRecursively(Paths.get(root).resolve(commitRel)) // stale rewrite
+          if (attempts >= 3) throw e
+      }
     }
-    commit(reSnap.copy(
-      version = newVersion,
-      bucketFiles = written,
-      bucketRows = writtenRows,
-      totals = snap.totals.updated("rebuckets", snap.totals.getOrElse("rebuckets", 0L) + 1L),
-      rowCount = writtenRows.values.sum,
-      morBuckets = Nil,
-      bucketLayers = Map.empty))
   }
 
   /** Retire old versions: delete snapshot metadata older than the most
@@ -858,8 +912,11 @@ final class LakeTable private (
     val dataDir = Paths.get(root, "data")
     if (Files.isDirectory(dataDir)) {
       Files.list(dataDir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("commit-") &&
-          !referenced.contains(s"data/${p.getFileName}"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith("commit-") || n.startsWith("maint-")) &&
+            !referenced.contains(s"data/$n")
+        }
         .toSeq.foreach { p => deleteRecursively(p); commitsRemoved += 1 }
     }
     (metaRemoved, commitsRemoved)
@@ -908,10 +965,67 @@ final class LakeTable private (
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
+  /** Test seam: runs immediately before every commit attempt from THIS
+    * handle (default no-op). Lets specs interleave a competing commit at the
+    * exact race window deterministically instead of spinning threads. */
+  private[tables] var onBeforeCommit: () => Unit = () => ()
+
+  /** OPTIMISTIC-CONCURRENCY commit loop: build the next snapshot against
+    * `base` and try to commit it; when another writer claimed the version
+    * first, re-read the table and — if `rebase` accepts the interleaved
+    * state — rebuild against it and retry. `build` returning None means the
+    * rebased commit has nothing left to do (everything it would publish was
+    * invalidated by the interleaved writer).
+    *
+    * This is what lets table MAINTENANCE (compaction, rebucket) race a live
+    * ingest stream instead of killing one of the two: maintenance commits
+    * change no logical state, so rebasing them is a metadata rebuild; and a
+    * merge can conversely rebase over maintenance-only interleavings
+    * ([[maintenanceOnlyBetween]]). Anything else still fails loudly — the
+    * table remains single-INGEST-writer by contract. */
+  private def occCommit(base0: TableSnapshot, maxAttempts: Int = 20)(
+      rebase: TableSnapshot => Boolean)(
+      build: TableSnapshot => Option[TableSnapshot]): Option[TableSnapshot] = {
+    var base = base0
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      build(base) match {
+        case None => return None
+        case Some(next) =>
+          try { commit(next); return Some(next) }
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              val cur = snapshot()
+              if (attempts >= maxAttempts || cur.version <= base.version || !rebase(cur))
+                throw e
+              base = cur
+          }
+      }
+    }
+    throw new IllegalStateException("occCommit: exhausted attempts without commit")
+  }
+
+  /** True iff every commit between `base` and `cur` was MAINTENANCE
+    * (compaction — logical no-ops): no batch was applied (appliedBatches,
+    * txns, and the lineage window are untouched and nothing rolled into
+    * totals), no layout change (numBuckets, schema). Under this predicate a
+    * merge computed against `base` is still logically correct against `cur`
+    * — only per-bucket file lists moved. */
+  private def maintenanceOnlyBetween(base: TableSnapshot, cur: TableSnapshot): Boolean =
+    cur.numBuckets == base.numBuckets &&
+      cur.schemaDdl == base.schemaDdl &&
+      cur.appliedBatches == base.appliedBatches &&
+      cur.txns == base.txns &&
+      cur.lineage.keySet == base.lineage.keySet &&
+      cur.totals.getOrElse("batches", 0L) == base.totals.getOrElse("batches", 0L) &&
+      cur.totals.getOrElse("rebuckets", 0L) == base.totals.getOrElse("rebuckets", 0L)
+
   /** Write v<N>.json (CREATE_NEW — the concurrent-writer guard), then
     * atomically swap the VERSION pointer (write-audit-publish ≙
     * TempFileGuard::promote, sqlite.rs:446-451). */
   private def commit(s: TableSnapshot): Unit = {
+    onBeforeCommit()
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     try

@@ -263,6 +263,93 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("OCC: a compaction racing an ingest merge rebases — both land, " +
+      "invalidated buckets stay dirty, fold equality holds") {
+    val root = Files.createTempDirectory("laketbl-occ-compact").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    val t2 = LakeTable.open(spark, root)
+    val keys = ('a' to 'h').map(_.toString)
+    t.merge(keys.map(k => (k, 1L, s"$k@1")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge(keys.map(k => (k, 2L, s"$k@2")).toDF("k", "wv", "v"), "b2", mor = true)
+    val dirtyBefore = t.snapshot().morBuckets.toSet
+    assert(dirtyBefore.size >= 2, s"want ≥2 dirty buckets, got $dirtyBefore")
+    // just before the compaction commits, an ingest merge lands from a
+    // second handle: the compaction must rebase, dropping only the buckets
+    // the merge touched
+    var fired = false
+    t.onBeforeCommit = () => if (!fired) {
+      fired = true
+      t2.merge(Seq(("a", 3L, "a@3")).toDF("k", "wv", "v"), "race")
+    }
+    val compacted = try t.compact() finally t.onBeforeCommit = () => ()
+    assert(fired)
+    val s = t.snapshot()
+    assert(s.appliedBatches.contains("race"), "racing merge must have landed")
+    // the COW race-merge resolved + rewrote a's bucket itself; compaction
+    // rebased onto the rest — nothing is dirty anymore and both committed
+    assert(compacted === dirtyBefore.size - 1, s"compacted=$compacted dirty=$dirtyBefore")
+    assert(s.morBuckets.isEmpty, s"morBuckets=${s.morBuckets}")
+    val state = t.read().as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state("a") === ((3L, "a@3")))
+    keys.filterNot(_ == "a").foreach(k => assert(state(k) === ((2L, s"$k@2")), k))
+    assert(s.rowCount === keys.size.toLong && t.logicalRowCount() === keys.size.toLong)
+  }
+
+  test("OCC: an ingest merge racing a compaction rebases over the " +
+      "maintenance commit; a racing INGEST commit still fails loudly") {
+    val root = Files.createTempDirectory("laketbl-occ-merge").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    val t2 = LakeTable.open(spark, root)
+    val keys = ('a' to 'h').map(_.toString)
+    t.merge(keys.map(k => (k, 1L, s"$k@1")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge(keys.map(k => (k, 2L, s"$k@2")).toDF("k", "wv", "v"), "b2", mor = true)
+    var fired = false
+    t.onBeforeCommit = () => if (!fired) { fired = true; t2.compact() }
+    val ups = try t.merge(Seq(("a", 9L, "a@9")).toDF("k", "wv", "v"), "b3")
+      finally t.onBeforeCommit = () => ()
+    assert(fired && ups === 1L)
+    val s = t.snapshot()
+    assert(s.appliedBatches.contains("b3"))
+    assert(s.totals.getOrElse("compactions", 0L) === 1L)
+    val state = t.read().as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state("a") === ((9L, "a@9")))
+    keys.filterNot(_ == "a").foreach(k => assert(state(k) === ((2L, s"$k@2")), k))
+    assert(s.rowCount === keys.size.toLong)
+    // exactly-once still holds after the rebase
+    assert(t.merge(Seq(("a", 99L, "never")).toDF("k", "wv", "v"), "b3") === 0L)
+    // two INGEST writers racing is still a hard error (no rebase)
+    var fired2 = false
+    t.onBeforeCommit = () => if (!fired2) {
+      fired2 = true
+      t2.merge(Seq(("z", 1L, "z@1")).toDF("k", "wv", "v"), "race2")
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("y", 1L, "y@1")).toDF("k", "wv", "v"), "b4")
+    } finally t.onBeforeCommit = () => ()
+    assert(fired2)
+  }
+
+  test("OCC: rebucket re-runs from the fresh snapshot when an ingest " +
+      "commit interleaves") {
+    val root = Files.createTempDirectory("laketbl-occ-rebucket").toString
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 2)
+    val t2 = LakeTable.open(spark, root)
+    t.merge(('a' to 'f').map(k => (k.toString, 1L, s"$k@1")).toDF("k", "wv", "v"), "b1")
+    var fired = false
+    t.onBeforeCommit = () => if (!fired) {
+      fired = true
+      t2.merge(Seq(("new", 5L, "n@5")).toDF("k", "wv", "v"), "race")
+    }
+    try t.rebucket(8) finally t.onBeforeCommit = () => ()
+    assert(fired)
+    val s = t.snapshot()
+    assert(s.numBuckets === 8)
+    // the re-run saw the raced row — nothing lost by the full retry
+    val state = t.read().as[(String, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(state("new") === "n@5" && state.size === 7)
+    assert(s.rowCount === 7L)
+  }
+
   test("merge-on-read layer debt is bounded: a hot bucket past maxLayers " +
       "auto-compacts, and read parity holds throughout") {
     val root = Files.createTempDirectory("laketbl-layers").toString
