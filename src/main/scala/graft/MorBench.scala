@@ -99,8 +99,8 @@ object MorBench {
       // so all modes pay the identical classic full-load cost.
       sys.props("graft.cow.spj") = "0"
       try {
-        // the full load always merges classic COW (into an empty table all
-        // modes do identical work); the DELTA stream is where the trade lives
+        // the full load takes the one-job empty-table path identically in
+        // all modes; the DELTA stream is where the trade lives
         val tFull0 = System.nanoTime()
         SnapshotReplay.applySnapshot(spark, table, s"$work/input/${snapNames.head}")
         val fullSec = (System.nanoTime() - tFull0) / 1e9

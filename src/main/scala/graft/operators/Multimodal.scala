@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * them — batched `mapPartitions` with a pluggable decoder.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, null
-  * handling) is REAL and tested. The decode itself is a STUB: the image /
-  * audio libraries are intentionally absent from this environment, so
-  * [[MediaDecoder.Deterministic]] produces seeded fake features from the
-  * bytes; swap in a real decoder (JNI/JavaCV/etc.) behind the same trait for
-  * production. This mirrors a Python `mapInPandas` pandas-UDF stage: the
-  * decoder receives a BATCH of payloads (amortizing per-call model/codec
-  * setup), not one row at a time.
+  * handling) is REAL and tested, and so are two of the three decoders:
+  * images decode through JDK ImageIO ([[MediaDecoder.ImageIODecoder]]) and
+  * audio through JDK javax.sound.sampled ([[MediaDecoder.AudioDecoder]]) —
+  * no external codec jars. Only VIDEO remains a stub
+  * ([[MediaDecoder.Deterministic]], seeded fake features — video codecs are
+  * genuinely absent from the JDK); swap in a real decoder (JNI/JavaCV/etc.)
+  * behind the same trait for production. This mirrors a Python `mapInPandas`
+  * pandas-UDF stage: the decoder receives a BATCH of payloads (amortizing
+  * per-call model/codec setup), not one row at a time.
   */
 object Multimodal {
 
@@ -101,20 +103,88 @@ object Multimodal {
         }
     }
 
-    /** Production shape: REAL decode where a JDK codec exists (images),
-      * deterministic stub where it doesn't (audio/video). */
+    /** REAL audio decode via JDK-only `javax.sound.sampled` (WAV/AIFF/AU
+      * ship with the JDK — no external codec needed): features are actual
+      * signal statistics. Non-PCM-16 payloads are converted through the
+      * JDK's own format-conversion chain first.
+      *
+      * Feature vector (dim 8, all deterministic):
+      * [sample rate, channels, duration seconds, RMS (0..1), peak (0..1),
+      *  zero-crossing rate, bits/sample, log10(payload bytes)].
+      * Undecodable payloads (truncated/foreign bytes) → status "error". */
+    final class AudioDecoder extends MediaDecoder {
+      override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+        batch.map { case (id, mtype, payload) =>
+          if (payload == null || payload.isEmpty)
+            MediaFeatures(id, mtype, 0L, Array.fill(8)(0f), "empty")
+          else {
+            try {
+              val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val srcFmt = raw.getFormat
+              val bits = srcFmt.getSampleSizeInBits
+              // normalize to 16-bit signed PCM, preserving rate/channels —
+              // one sample-parsing path whatever the container encoding
+              val fmt = new javax.sound.sampled.AudioFormat(
+                srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
+              val ais =
+                if (srcFmt.matches(fmt)) raw
+                else javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, raw)
+              try {
+                val bytes = ais.readAllBytes()
+                val frameSize = fmt.getFrameSize // channels * 2
+                val nFrames = bytes.length / frameSize
+                val durationSec =
+                  if (fmt.getSampleRate > 0) nFrames / fmt.getSampleRate else 0f
+                // bounded stride over channel 0: decode stats must not scale
+                // with track length (the batch is the unit of work here)
+                val step = math.max(1, nFrames / 65536)
+                var i = 0; var n = 0
+                var sumSq = 0.0; var peak = 0.0; var crossings = 0
+                var prevNeg = false
+                while (i < nFrames) {
+                  val off = i * frameSize
+                  val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort / 32768.0
+                  sumSq += s * s
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  val neg = s < 0
+                  if (n > 0 && neg != prevNeg) crossings += 1
+                  prevNeg = neg
+                  n += 1; i += step
+                }
+                val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+                val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+                MediaFeatures(id, mtype, payload.length.toLong,
+                  Array(fmt.getSampleRate, fmt.getChannels.toFloat, durationSec,
+                    rms.toFloat, peak.toFloat, zcr.toFloat, bits.toFloat,
+                    math.log10(payload.length.toDouble).toFloat), "ok")
+              } finally ais.close()
+            } catch {
+              case _: Exception =>
+                MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
+            }
+          }
+        }
+    }
+
+    /** Production shape: REAL decode where a JDK codec exists (images via
+      * ImageIO, audio via javax.sound.sampled), deterministic stub where it
+      * doesn't (video only). */
     final class Dispatch(dim: Int = 8) extends MediaDecoder {
       private val image = new ImageIODecoder
+      private val audio = new AudioDecoder
       private val other = new Deterministic(dim)
       override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] = {
         // reassemble POSITIONALLY (not by media_id: duplicate ids within a
         // batch — re-delivered rows, id collisions across modalities — must
         // each keep their own row's decode, like the per-row decoders do)
         val indexed = batch.zipWithIndex
-        val (imgs, rest) = indexed.partition(_._1._2 == "image")
         val out = new Array[MediaFeatures](batch.size)
-        image.decodeBatch(imgs.map(_._1)).zip(imgs).foreach { case (f, (_, i)) => out(i) = f }
-        other.decodeBatch(rest.map(_._1)).zip(rest).foreach { case (f, (_, i)) => out(i) = f }
+        def run(dec: MediaDecoder, part: Seq[((Long, String, Array[Byte]), Int)]): Unit =
+          dec.decodeBatch(part.map(_._1)).zip(part).foreach { case (f, (_, i)) => out(i) = f }
+        run(image, indexed.filter(_._1._2 == "image"))
+        run(audio, indexed.filter(_._1._2 == "audio"))
+        run(other, indexed.filterNot(e => e._1._2 == "image" || e._1._2 == "audio"))
         out.toSeq
       }
     }

@@ -280,7 +280,19 @@ object NearDup {
       .withColumn("_len", size(col("_grams")))
     val exploded = grams.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram"))
     forceStrategy match {
-      case Some("bitmap") => bitmapJaccardPairs(grams, threshold, vocabOpt = None)
+      case Some("bitmap") =>
+        // BOUNDED dictionary probe even when forced: past dictBits distinct
+        // grams the bitmap strategy is wrong for the corpus (the auto route
+        // would pick prefix) and an unbounded driver-side vocabulary collect
+        // is an OOM at scale — fail fast with the fix in the message
+        val sample = exploded.select(col("_gram")).distinct()
+          .limit(dictBits + 1).collect().map(_.getString(0))
+        if (sample.length > dictBits)
+          throw new IllegalArgumentException(
+            s"forceStrategy=bitmap on a corpus with > $dictBits distinct grams — " +
+              "the driver-side dictionary would not fit; use the auto route or " +
+              "forceStrategy=prefix")
+        bitmapJaccardPairs(grams, threshold, vocabOpt = Some(sample.sorted))
       case Some(_)        => prefixJaccardPairs(grams, exploded, threshold)
       case None =>
         // materialize the gram projection ONCE (localCheckpoint): the

@@ -176,6 +176,13 @@ final class LakeTable private (
     * NEW OR UPDATED between two retained versions — the rows a downstream
     * consumer must re-process. Upsert-only engine ⇒ no deletes.
     *
+    * CONTRACT: change detection is keyed on the (keys…, orderCols…) tuple —
+    * the LWW ordering. A writer must bump the ordering columns for an
+    * update to be observable here (a rewrite carrying an identical ordering
+    * tuple but a different payload does not surface), which is the same
+    * contract the merge itself applies: such a rewrite may or may not win
+    * the LWW resolution, so its payload was never durably promised.
+    *
     * Scale shape (zero shuffles at any table size):
     *  1. metadata-only bucket pruning — a bucket whose file list is
     *     IDENTICAL in both snapshots cannot have changed; only differing

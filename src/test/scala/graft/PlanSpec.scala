@@ -214,6 +214,29 @@ class PlanSpec extends SparkTestBase {
       (0 until 4).map(i => s"k$i").sorted)
   }
 
+  test("session-wide SPJ confs are inert for non-reporting scans: a foreign " +
+      "parquet join plans identically with and without a LakeTable open") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey")
+    def shape(): Seq[String] = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .queryExecution.executedPlan.collect { case n => n.nodeName }
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(k => spark.conf.set(k, "false"))
+      val off = shape()
+      // what opening any LakeTable does to the session
+      keys.foreach(k => spark.conf.set(k, "true"))
+      val on = shape()
+      assert(on === off,
+        s"foreign join plan changed under the lake confs:\noff=$off\non=$on")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q22 minhash candidate generation never plans a cartesian product") {
     val p = plan(SparkEntry.queries("q22_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -43,17 +43,66 @@ class MultimodalImageIOSpec extends SparkTestBase {
     assert(fg.payload_bytes > 0L)
   }
 
-  test("Dispatch routes images to ImageIO and other modalities to the stub, " +
-      "preserving input order") {
+  /** 16-bit PCM WAV of a sine at `freq` Hz (what a real pipeline's audio
+    * column holds), generated through the same JDK API the decoder uses. */
+  private def wav(freq: Double, rate: Float = 8000f, seconds: Double = 0.5,
+      amplitude: Double = 0.5, channels: Int = 1): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2 * channels)
+    (0 until n).foreach { i =>
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amplitude * 32767).toInt.toShort
+      (0 until channels).foreach { c =>
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioDecoder decodes real WAV bytes: rate, channels, duration, " +
+      "RMS, peak, zero-crossing rate") {
+    val dec = new Multimodal.MediaDecoder.AudioDecoder
+    val Seq(sine, silence, stereo, junk, empty) = dec.decodeBatch(Seq(
+      (1L, "audio", wav(440.0)),
+      (2L, "audio", wav(440.0, amplitude = 0.0)),
+      (3L, "audio", wav(220.0, channels = 2)),
+      (4L, "audio", Array.tabulate[Byte](64)(_.toByte)),
+      (5L, "audio", Array.empty[Byte])))
+    assert(sine.status === "ok")
+    assert(sine.features(0) === 8000f && sine.features(1) === 1f)
+    assert(math.abs(sine.features(2) - 0.5f) < 0.01f, "duration")
+    // RMS of a sine = A/√2; peak ≈ A
+    assert(math.abs(sine.features(3) - 0.5 / math.sqrt(2)) < 0.01, "rms")
+    assert(math.abs(sine.features(4) - 0.5) < 0.01, "peak")
+    assert(sine.features(5) > 0.05f, "a sine crosses zero regularly")
+    assert(sine.features(6) === 16f)
+    assert(silence.status === "ok" && silence.features(3) === 0f && silence.features(4) === 0f)
+    assert(stereo.status === "ok" && stereo.features(1) === 2f)
+    assert(junk.status === "error" && junk.payload_bytes === 64L)
+    assert(empty.status === "empty")
+  }
+
+  test("Dispatch routes images to ImageIO, audio to javax.sound, video to " +
+      "the stub, preserving input order") {
     val dec = new Multimodal.MediaDecoder.Dispatch
     val stub = new Multimodal.MediaDecoder.Deterministic()
     val img = png(4, 4, 0x808080)
-    val audio = Array.tabulate[Byte](64)(_.toByte)
+    val audioBytes = wav(440.0)
+    val videoBytes = Array.tabulate[Byte](64)(_.toByte)
     val out = dec.decodeBatch(Seq(
-      (10L, "audio", audio), (11L, "image", img), (12L, "video", audio)))
+      (10L, "audio", audioBytes), (11L, "image", img), (12L, "video", videoBytes)))
     assert(out.map(_.media_id) === Seq(10L, 11L, 12L))
-    assert(out(1).features(0) === 4f) // real decode
-    assert(out(0).features.toSeq === stub.decodeBatch(Seq((10L, "audio", audio))).head.features.toSeq)
+    assert(out(1).features(0) === 4f)    // real image decode
+    assert(out(0).features(0) === 8000f) // real audio decode
+    assert(out(2).features.toSeq ===
+      stub.decodeBatch(Seq((12L, "video", videoBytes))).head.features.toSeq)
   }
 
   test("extractFeatures runs the ImageIO decoder distributed over a DataFrame") {

@@ -102,6 +102,15 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("forceStrategy=bitmap fails fast past the dictionary bound instead " +
+      "of collecting the whole vocabulary to the driver") {
+    val e = intercept[IllegalArgumentException] {
+      NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 4,
+        threshold = 0.5, dictBits = 8, forceStrategy = Some("bitmap")).collect()
+    }
+    assert(e.getMessage.contains("forceStrategy=bitmap"), e.getMessage)
+  }
+
   test("bitmap path survives tiny vocab × 100k docs: distributed block " +
       "nested loop, nothing collected to the driver") {
     // 5-char alphabet → ≤625 distinct 4-grams, so the bitmap strategy is
