@@ -79,30 +79,40 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     StageProfiler.maybeAttach(spark)
 
-    // warmup (JIT both plan shapes), then interleaved reps, min per arm
-    def replay(salted: Boolean): (Double, Long) = {
-      val tableDir = s"$work/table-$salted-${System.nanoTime()}"
+    // warmup (JIT both plan shapes), then interleaved reps, min per arm.
+    // "unsalted"/"salted" pin the explicit modes (auto gate disabled) —
+    // that is the A/B the crossover numbers come from; "auto" is the
+    // production default deciding per merge from the stats rows.
+    def replay(mode: String): (Double, Long) = {
+      val tableDir = s"$work/table-$mode-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, tableDir, numBuckets = 32)
+      sys.props("graft.merge.autosalt") = if (mode == "auto") "1" else "0"
       val t0 = System.nanoTime()
-      Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
-        SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name", salted = salted)
-      }
+      try Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
+        SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name",
+          salted = mode == "salted")
+      } finally sys.props.remove("graft.merge.autosalt")
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = table.read().count()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
-      System.err.println(f"[skew] salted=$salted sec=$sec%.1f")
+      System.err.println(f"[skew] mode=$mode sec=$sec%.1f")
       (sec, rows)
     }
-    replay(salted = true) // warmup
-    val runs = (1 to reps).flatMap(_ => Seq(false, true).map(s => s -> replay(s)))
-    val (unsaltedSec, rowsU) = runs.filter(!_._1).map(_._2).minBy(_._1)
-    val (saltedSec, rowsS) = runs.filter(_._1).map(_._2).minBy(_._1)
-    require(rowsU == rowsS, s"divergent final state: $rowsU vs $rowsS")
+    val modes = Seq("unsalted", "salted", "auto")
+    replay("salted") // warmup
+    val runs = (1 to reps).flatMap(_ => modes.map(m => m -> replay(m)))
+    val best = modes.map(m => m -> runs.filter(_._1 == m).map(_._2).minBy(_._1)).toMap
+    require(best.values.map(_._2).toSet.size == 1,
+      s"divergent final state: ${best.view.mapValues(_._2).toMap}")
+    val (unsaltedSec, rowsU) = best("unsalted")
+    val saltedSec = best("salted")._1
+    val autoSec = best("auto")._1
     println(
       s"""{"metric":"skew_replay","events":$events,"hot_fraction":$hotFraction,""" +
         s""""hot_keys":$hotKeys,"cpus":$cpus,"final_rows":$rowsU,""" +
-        s""""unsalted_sec":$unsaltedSec,"salted_sec":$saltedSec,""" +
-        s""""salted_speedup":${f"${unsaltedSec / saltedSec}%.2f"}}""")
+        s""""unsalted_sec":$unsaltedSec,"salted_sec":$saltedSec,"auto_sec":$autoSec,""" +
+        s""""salted_speedup":${f"${unsaltedSec / saltedSec}%.2f"},""" +
+        s""""auto_vs_best":${f"${math.min(unsaltedSec, saltedSec) / autoSec}%.2f"}}""")
     spark.stop()
   }
 }

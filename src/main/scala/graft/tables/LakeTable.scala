@@ -119,6 +119,16 @@ final class LakeTable private (
     * stats pass */
   val SrcFlagCol = "_ghasbatch"
 
+  /** Effective salting decision of the last merge from this handle (specs +
+    * observability; the auto gate rides the COW stats pass). */
+  private[tables] var lastMergeSalted: Boolean = false
+
+  /** Auto-salting is ON by default; disable with -Dgraft.merge.autosalt=0
+    * or GRAFT_AUTOSALT=0 (e.g. for A/B harnesses pinning a mode). */
+  private def autoSaltEnabled: Boolean =
+    sys.props.get("graft.merge.autosalt").orElse(sys.env.get("GRAFT_AUTOSALT"))
+      .forall(_ != "0")
+
   def currentVersion(): Long = {
     val vf = Paths.get(root, "meta", "VERSION")
     if (Files.exists(vf)) new String(Files.readAllBytes(vf), StandardCharsets.UTF_8).trim.toLong
@@ -458,6 +468,9 @@ final class LakeTable private (
       val emptyTable = snap.rowCount == 0L && snap.bucketFiles.values.forall(_.isEmpty)
       val (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows) =
         if (mor || emptyTable) {
+        // one-job path: no stats rows to feed the auto-salt estimate —
+        // salting stays the caller's explicit choice here
+        lastMergeSalted = salted
         val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt)
         val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
         val obsAggs = count(lit(1)).as("_nrows") +:
@@ -513,6 +526,26 @@ final class LakeTable private (
           n -> stats.map(_.getLong(2 + i)).sum
         }.toMap
 
+        // --- AUTO-SALT from the same stats rows (zero extra cost): the
+        // measured crossover (SKEW.json) puts salting ahead only when ONE
+        // key carries most of the stream (1.93× at 90%-on-1) and behind at
+        // moderate skew (0.79× at 50%-on-4). A key that hot makes its
+        // BUCKET that hot — the hash balances distinct keys, so the
+        // hottest bucket's EXCESS over the median bucket is a faithful,
+        // already-computed estimate of the top key's share. Threshold 0.6
+        // sits between the borderline 50%-on-1 point (salted 0.9×) and the
+        // 90% win; tiny batches never salt (straggler < one task's work).
+        val saltedEff = salted || (autoSaltEnabled && {
+          val counts = Array.fill(snap.numBuckets)(0L)
+          stats.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+          java.util.Arrays.sort(counts)
+          val excess = counts.last - counts(snap.numBuckets / 2)
+          rowsIn >= AutoSaltMinRows &&
+            excess.toDouble / math.max(1L, rowsIn) >= AutoSaltTopShare
+        })
+        lastMergeSalted = saltedEff
+        if (saltedEff && !salted) phase("auto-salt")
+
         val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
         // old touched rows from the incrementally-maintained bucketRows (no
         // re-read); needed both for the SPJ eligibility gate and the COW
@@ -536,7 +569,7 @@ final class LakeTable private (
         if (spj) withSpjConfs(Some(touched.size)) {
           // storage-partitioned path: existing side unshuffled (see
           // buildMergedSpj); plan + write must both run under the SPJ confs
-          buildMergedSpj(snap, evolved, touched, alignedBatch, salted)
+          buildMergedSpj(snap, evolved, touched, alignedBatch, saltedEff)
             .observe(obs, upsertAgg)
             .drop(SrcFlagCol)
             .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
@@ -545,7 +578,7 @@ final class LakeTable private (
             if (touchedFiles.isEmpty)
               align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
             else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
-          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, salted,
+          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, saltedEff,
               withSrcFlag = true)
             .observe(obs, upsertAgg)
             .drop(SubSplitCol, SrcFlagCol)
@@ -1058,6 +1091,16 @@ object LakeTable {
 
   /** Lineage/ledger retention window (batches). */
   final val DefaultRetainBatches = 128
+
+  /** Auto-salt floor: below this many batch rows the hot-key straggler is
+    * smaller than the extra exchange the salt pass costs, whatever the
+    * skew (SKEW.json's crossover was measured at millions of events). */
+  final val AutoSaltMinRows = 65536L
+
+  /** Auto-salt trigger: hottest-bucket excess share of the batch. 0.6 sits
+    * between the measured borderline (50%-on-1-key: salted 0.9×) and the
+    * measured win (90%-on-1-key: salted 1.93×) — SKEW.json. */
+  final val AutoSaltTopShare = 0.6
 
   /** Merge-on-read layer bound before a bucket auto-compacts: caps read
     * amplification of a hot bucket at maxLayers× a clean scan. 32 keeps the

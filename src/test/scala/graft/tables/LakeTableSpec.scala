@@ -263,6 +263,42 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("auto-salt: a one-key-dominated large batch salts itself from the " +
+      "stats rows; moderate skew and small batches stay unsalted; state " +
+      "matches the gate-off twin") {
+    import org.apache.spark.sql.functions._
+    def batches(s: org.apache.spark.sql.SparkSession) = Seq(
+      // seed: empty-table one-job path (no stats → no auto decision)
+      "seed" -> Seq(("seed", 0L, "s0")).toDF("k", "wv", "v"),
+      // 90% of 100k rows on ONE key → auto-salt must fire
+      "hot" -> s.range(100000).select(
+        when(col("id") % 10 < 9, "hotkey").otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("wv"), concat(lit("v"), col("id")).as("v")),
+      // uniform 100k → stays unsalted
+      "uniform" -> s.range(100000).select(
+        concat(lit("u"), col("id") % 20000).as("k"),
+        col("id").as("wv"), concat(lit("v"), col("id")).as("v")),
+      // skewed but tiny (< AutoSaltMinRows) → stays unsalted
+      "tiny" -> s.range(1000).select(
+        when(col("id") % 10 < 9, "hotkey").otherwise(concat(lit("t"), col("id"))).as("k"),
+        (col("id") + 200000).as("wv"), concat(lit("w"), col("id")).as("v")))
+    val auto = newTable()
+    val expected = Seq(false, true, false, false)
+    batches(spark).zip(expected).foreach { case ((id, df), wantSalted) =>
+      auto.merge(df, id)
+      assert(auto.lastMergeSalted === wantSalted, s"batch $id")
+    }
+    val off = newTable()
+    sys.props("graft.merge.autosalt") = "0"
+    try batches(spark).foreach { case (id, df) =>
+      off.merge(df, id)
+      assert(!off.lastMergeSalted, s"batch $id")
+    } finally sys.props.remove("graft.merge.autosalt")
+    def state(t: LakeTable) =
+      t.read().as[(String, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(state(auto) === state(off))
+  }
+
   test("OCC: a compaction racing an ingest merge rebases — both land, " +
       "invalidated buckets stay dirty, fold equality holds") {
     val root = Files.createTempDirectory("laketbl-occ-compact").toString
