@@ -192,6 +192,47 @@ object SnapshotReplay {
     if (mor) table.compact()
   }
 
+  /** BOOTSTRAP replay: decode EVERY archive in `dir` in PARALLEL (one input
+    * partition per archive) and apply them as ONE LWW merge. Correct because
+    * the per-key last-writer-wins fold COMMUTES — `maxBy(writeVersion)` over
+    * the union of archives equals the sequential per-archive fold (spec:
+    * batched == sequential) — and this is the shape that survives scale: a
+    * cold start over a full snapshot plus N incrementals decodes with
+    * parallelism N+1 and merges once, instead of N+1 serial decode+merge
+    * rounds. Into an EMPTY table this is additionally the one-job path: a
+    * single decode pass over every archive, total.
+    *
+    * Exactly-once here is the DIRECTORY-level watermark (`snapshot-replay` →
+    * max manifest slot): re-running the same directory no-ops; a directory
+    * refreshed with newer incrementals re-applies as one batch (old rows
+    * lose the LWW resolve — cost, never correctness). Use [[replayDir]] /
+    * [[startArchiveTail]] when per-archive ledger entries matter (live
+    * tailing). */
+  def replayDirBatched(spark: SparkSession, table: LakeTable, dir: String,
+      salted: Boolean = false, mor: Boolean = false): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archives = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".tar.zst"))
+      .map(_.getPath.toString).toSeq.sorted
+    if (archives.isEmpty) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    // manifest sniffs in parallel (the watermark needs the max slot up front)
+    val maxSlot = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(archives.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(archives.map(a => Future {
+        ArchiveSnapshotSource.readManifest(a, conf).slot
+      })), 5.minutes).max
+      finally pool.shutdown()
+    }
+    table.merge(toDF(ArchiveSnapshotSource.fromArchives(spark, archives)),
+      s"snapshot-dir:$maxSlot:${archives.size}", salted = salted,
+      txn = Some(("snapshot-replay", maxSlot)), mor = mor)
+  }
+
   /** Replay every `.tar.zst` archive in `dir`, ordered by manifest slot
     * (full snapshot first, then incrementals). Already-applied archives are
     * skipped via the exactly-once ledger. @return total rows upserted. */

@@ -44,6 +44,34 @@ class SnapshotReplaySpec extends SparkTestBase {
     assert(table.snapshot().lineage.keySet.count(_.startsWith("snapshot:")) === fixtures.size)
   }
 
+  test("batched bootstrap replay equals the sequential per-archive fold; " +
+      "rerun no-ops; a later incremental still applies") {
+    val (fixtures, _) = SnapshotFixture.generateStream(seed = 11L, increments = 2)
+    val dir = Files.createTempDirectory("replayb").toString
+    // hold the LAST incremental back — it arrives after the bootstrap
+    fixtures.dropRight(1).foreach(fx =>
+      SnapshotFixture.writeArchive(fx, s"$dir/snap-${fx.manifest.slot}.tar.zst"))
+
+    val batched = SnapshotReplay.createTable(spark, Files.createTempDirectory("acctblB").toString, 8)
+    val seqT = SnapshotReplay.createTable(spark, Files.createTempDirectory("acctblS").toString, 8)
+    assert(SnapshotReplay.replayDirBatched(spark, batched, dir) > 0L)
+    SnapshotReplay.replayDir(spark, seqT, dir)
+    def state(t: LakeTable) = t.read()
+      .selectExpr("hex(pubkey)", "writeVersion", "slot", "lamports", "sha2(data, 256)")
+      .collect().map(_.toSeq).toSet
+    assert(state(batched) === state(seqT))
+    // re-running the same directory is a no-op (directory-level watermark)
+    val v = batched.currentVersion()
+    assert(SnapshotReplay.replayDirBatched(spark, batched, dir) === 0L)
+    assert(batched.currentVersion() === v)
+    // the late incremental lands: its slot advances the directory watermark
+    val late = fixtures.last
+    SnapshotFixture.writeArchive(late, s"$dir/snap-${late.manifest.slot}.tar.zst")
+    assert(SnapshotReplay.replayDirBatched(spark, batched, dir) > 0L)
+    SnapshotReplay.replayDir(spark, seqT, dir)
+    assert(state(batched) === state(seqT))
+  }
+
   test("archive-tail stream: archives dropped over time (out of order, with " +
       "restart and re-delivery) reach exactly the batch-replay state") {
     val (fixtures, _) = SnapshotFixture.generateStream(seed = 23L, increments = 2)
