@@ -79,38 +79,57 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     StageProfiler.maybeAttach(spark)
 
-    // warmup (JIT both plan shapes), then interleaved reps, min per arm.
-    // "unsalted"/"salted" pin the explicit modes (auto gate disabled) —
-    // that is the A/B the crossover numbers come from; "auto" is the
-    // production default deciding per merge from the stats rows.
-    def replay(mode: String): (Double, Long) = {
+    // warmup (JIT both plan shapes), then interleaved reps with the arm
+    // ORDER ROTATED per rep (a fixed order biases the late arms with the
+    // previous arm's GC/page-cache residue), min per arm.
+    //
+    // The A/B times ONLY the two incremental merges: the full load is
+    // identical work in every mode (empty-table one-job path, salting
+    // never applies) and its wall is the largest noise term — excluding it
+    // is what makes the per-arm deltas attributable to the salt decision.
+    //
+    // "unsalted"/"salted" pin the explicit modes (auto gate disabled);
+    // "auto" is the production default deciding per merge from the stats
+    // rows (the number of incrementals it chose to salt is reported).
+    def replay(mode: String): (Double, Long, Int) = {
       val tableDir = s"$work/table-$mode-${System.nanoTime()}"
       val table = SnapshotReplay.createTable(spark, tableDir, numBuckets = 32)
       sys.props("graft.merge.autosalt") = if (mode == "auto") "1" else "0"
-      val t0 = System.nanoTime()
-      try Seq("snap-full", "snap-inc1", "snap-inc2").foreach { name =>
-        SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name",
-          salted = mode == "salted")
-      } finally sys.props.remove("graft.merge.autosalt")
-      val sec = (System.nanoTime() - t0) / 1e9
+      var salts = 0
+      val incSec =
+        try {
+          SnapshotReplay.applySnapshot(spark, table, s"$work/input/snap-full")
+          val t0 = System.nanoTime()
+          Seq("snap-inc1", "snap-inc2").foreach { name =>
+            SnapshotReplay.applySnapshot(spark, table, s"$work/input/$name",
+              salted = mode == "salted")
+            if (table.lastMergeSalted) salts += 1
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally sys.props.remove("graft.merge.autosalt")
       val rows = table.read().count()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
-      System.err.println(f"[skew] mode=$mode sec=$sec%.1f")
-      (sec, rows)
+      System.err.println(f"[skew] mode=$mode incSec=$incSec%.1f salted=$salts/2")
+      (incSec, rows, salts)
     }
     val modes = Seq("unsalted", "salted", "auto")
     replay("salted") // warmup
-    val runs = (1 to reps).flatMap(_ => modes.map(m => m -> replay(m)))
+    val runs = (0 until reps).flatMap { r =>
+      val order = modes.drop(r % modes.size) ++ modes.take(r % modes.size)
+      order.map(m => m -> replay(m))
+    }
     val best = modes.map(m => m -> runs.filter(_._1 == m).map(_._2).minBy(_._1)).toMap
     require(best.values.map(_._2).toSet.size == 1,
       s"divergent final state: ${best.view.mapValues(_._2).toMap}")
-    val (unsaltedSec, rowsU) = best("unsalted")
+    val (unsaltedSec, rowsU, _) = best("unsalted")
     val saltedSec = best("salted")._1
     val autoSec = best("auto")._1
+    val autoSalts = best("auto")._3
     println(
-      s"""{"metric":"skew_replay","events":$events,"hot_fraction":$hotFraction,""" +
+      s"""{"metric":"skew_replay_incrementals","events":$events,"hot_fraction":$hotFraction,""" +
         s""""hot_keys":$hotKeys,"cpus":$cpus,"final_rows":$rowsU,""" +
-        s""""unsalted_sec":$unsaltedSec,"salted_sec":$saltedSec,"auto_sec":$autoSec,""" +
+        s""""unsalted_sec":${f"$unsaltedSec%.2f"},"salted_sec":${f"$saltedSec%.2f"},""" +
+        s""""auto_sec":${f"$autoSec%.2f"},"auto_salted_incs":$autoSalts,""" +
         s""""salted_speedup":${f"${unsaltedSec / saltedSec}%.2f"},""" +
         s""""auto_vs_best":${f"${math.min(unsaltedSec, saltedSec) / autoSec}%.2f"}}""")
     spark.stop()

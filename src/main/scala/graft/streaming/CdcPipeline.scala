@@ -83,12 +83,14 @@ object CdcPipeline {
       checkpointDir: String,
       pipelineId: String,
       salted: Boolean = false,
+      maxFilesPerTrigger: Int = 64,
       counterCols: Map[String, org.apache.spark.sql.Column] = Map.empty,
       autoExpireKeepVersions: Option[Int] = Some(8),
       mor: Boolean = false,
       compactEveryBatches: Option[Int] = Some(16)): Unit = {
     val q = start(spark, table, changeDir, changeSchema, checkpointDir, pipelineId,
-      salted = salted, counterCols = counterCols,
+      salted = salted, maxFilesPerTrigger = maxFilesPerTrigger,
+      counterCols = counterCols,
       autoExpireKeepVersions = autoExpireKeepVersions,
       mor = mor, compactEveryBatches = compactEveryBatches)
     q.awaitTermination()

@@ -119,9 +119,9 @@ final class LakeTable private (
     * stats pass */
   val SrcFlagCol = "_ghasbatch"
 
-  /** Effective salting decision of the last merge from this handle (specs +
-    * observability; the auto gate rides the COW stats pass). */
-  private[tables] var lastMergeSalted: Boolean = false
+  /** Effective salting decision of the last merge from this handle (specs,
+    * benches + observability; the auto gate rides the COW stats pass). */
+  private[graft] var lastMergeSalted: Boolean = false
 
   /** Auto-salting is ON by default; disable with -Dgraft.merge.autosalt=0
     * or GRAFT_AUTOSALT=0 (e.g. for A/B harnesses pinning a mode). */
@@ -431,7 +431,8 @@ final class LakeTable private (
     // binary parse) and is scanned twice (stats pass + merge write). Caching
     // trades memory for the second decode; measured ~neutral at bench scale
     // (columnar cache encode ≈ decode cost), so it's opt-in.
-    val cacheBatch = sys.env.get("GRAFT_MERGE_CACHE").contains("1")
+    val cacheBatch = sys.props.get("graft.merge.cache")
+      .orElse(sys.env.get("GRAFT_MERGE_CACHE")).contains("1")
     val alignedBatch0 = align(batch, evolved)
     val alignedBatch =
       if (cacheBatch) alignedBatch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

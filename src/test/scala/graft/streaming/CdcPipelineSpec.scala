@@ -200,6 +200,51 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(table.snapshot().txns.keySet === Set("pipe1"))
   }
 
+  test("a live MOR ingest stream and a concurrent maintenance loop from a " +
+      "second handle both survive (OCC) and reach the fold state") {
+    val changeDir = Files.createTempDirectory("changes-occ").toString
+    val cp = Files.createTempDirectory("cp-occ").toString
+    val table = mkTable()
+    val maint = LakeTable.open(spark, table.root)
+    // 24 micro-batches (one file each), every key rewritten repeatedly
+    val nBatches = 24
+    (1 to nBatches).foreach { b =>
+      (0 until 6).map(i => (s"r${i % 3}", s"f$i.scala", b.toLong, "scala", s"v$b of f$i"))
+        .toDF("repo", "path", "commitSeq", "lang", "content")
+        .coalesce(1).write.mode("append").parquet(changeDir)
+    }
+    // operator-issued maintenance racing the stream: compact in a tight
+    // loop from a SECOND handle until the stream drains
+    @volatile var streaming = true
+    @volatile var maintFailure: Option[Throwable] = None
+    var compactions = 0
+    val maintThread = new Thread(() => {
+      try while (streaming) { compactions += maint.compactBuckets(maint.snapshot().morBuckets); Thread.sleep(20) }
+      catch { case t: Throwable => maintFailure = Some(t) }
+    }, "maintenance-loop")
+    maintThread.start()
+    val oldShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try
+      CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipe-occ",
+        maxFilesPerTrigger = 1, mor = true, compactEveryBatches = None,
+        autoExpireKeepVersions = Some(64))
+    finally {
+      streaming = false; maintThread.join(30000)
+      // the maintenance loop's scoped shuffle-partition cap can race the
+      // stream's own restore; re-pin the session conf for later suites
+      spark.conf.set("spark.sql.shuffle.partitions", oldShuf)
+    }
+    assert(maintFailure.isEmpty, s"maintenance loop died: $maintFailure")
+    table.compact()
+    val state = table.read().select("repo", "path", "commitSeq", "content")
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(state === (0 until 6).map(i =>
+      (s"r${i % 3}", s"f$i.scala") -> ((nBatches.toLong, s"v$nBatches of f$i"))).toMap)
+    assert(table.snapshot().txns("pipe-occ") === (nBatches - 1).toLong)
+    assert(table.logicalRowCount() === 6L)
+  }
+
   test("merge-on-read streaming ingest reaches the same state; periodic " +
       "compaction clears the layer debt mid-stream") {
     val changeDir = Files.createTempDirectory("changes-mor").toString
