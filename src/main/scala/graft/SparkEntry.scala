@@ -440,6 +440,30 @@ object SparkEntry {
           col("event_type").as("last_event_type"), col("value").as("last_value"))
     }),
 
+    // K1 DELETE/TOMBSTONE CDC e2e WITH a DuckDB oracle: the change stream
+    // carries deletes (event_type='error' rows tombstone their key), split
+    // over three merges (mixed COW/MOR), compacted, then PURGED — the final
+    // visible state must equal SQL's "latest row per key, hidden when the
+    // latest row is a delete", and the purge must not change it.
+    "q37_lake_deletes" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q37")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"),
+          (col("event_type") === "error").as("deleted"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16,
+        tombstoneCol = Some("deleted"))
+      (0 until 3).foreach { k =>
+        table.merge(ev.filter(col("event_id") % 3 === k), s"del-$k",
+          txn = Some(("q37", k.toLong)), mor = k == 1)
+      }
+      table.compact()
+      table.purgeTombstones()
+      table.read().select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
     // P4/A2 — SPL mint enrichment through the REAL 82-byte decode
     // (sqlite.rs:286-303): every field incl. both COptions oracled; k%6==0
     // rows are packed uninitialized and dropped by the unpack (spl_token
@@ -631,6 +655,14 @@ object SparkEntry {
           |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
           |  AND s2.ts = s1.ts AND s2.event_id = s1.event_id
           |WHERE s1.user_id IS NULL""".stripMargin,
+      // tombstone semantics: latest row per key, hidden when that latest
+      // row is a delete (event_type='error' marks deletes in this stream)
+      "q37_lake_deletes" ->
+        """SELECT user_id, event_id AS last_event_id,
+          | event_type AS last_event_type, value AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -62,7 +62,17 @@ final case class TableSnapshot(
       * past this many layers compacts THAT bucket immediately (hot buckets
       * must not accumulate unbounded read debt between the stream's periodic
       * compaction triggers) */
-    maxLayers: Int = LakeTable.DefaultMaxLayers)
+    maxLayers: Int = LakeTable.DefaultMaxLayers,
+    /** DELETE support (CDC tombstones): name of a BOOLEAN schema column
+      * marking a row as a delete. Tombstones ride the normal LWW fold (a
+      * newer delete shadows older data, a newer upsert shadows the delete —
+      * out-of-order arrivals stay commutative), are RETAINED in stored
+      * state so stale rows can never resurrect a deleted key, are hidden
+      * from [[LakeTable.read]], and SURFACE in [[LakeTable.readChanges]]
+      * (the CDC egress contract). [[LakeTable.purgeTombstones]] reclaims
+      * them once the out-of-order horizon has passed. None = upsert-only
+      * table (zero overhead). */
+    tombstoneCol: Option[String] = None)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -142,8 +152,13 @@ final class LakeTable private (
   /** Current table state as a DataFrame (all committed files, evolved
     * schema). Buckets carrying merge-on-read layers are resolved with the
     * table's LWW rule on the fly; clean (copy-on-write) buckets stream
-    * straight from their files with no extra work. */
-  def read(): DataFrame = readSnapshotDF(snapshot())
+    * straight from their files with no extra work. On a table with a
+    * tombstone column, deleted keys are hidden (their tombstones stay in
+    * stored state so out-of-order stale rows cannot resurrect them). */
+  def read(): DataFrame = {
+    val s = snapshot()
+    visible(s, readSnapshotDF(s))
+  }
 
   /** TIME TRAVEL: the table as of `version`. Any version still inside the
     * [[expire]] retention window is readable; its snapshot pins the exact
@@ -152,8 +167,15 @@ final class LakeTable private (
     val p = Paths.get(root, "meta", s"v$version.json")
     require(Files.exists(p),
       s"version $version is not retained (expired or never existed) at $root")
-    readSnapshotDF(readSnapshot(Paths.get(root), version))
+    val s = readSnapshot(Paths.get(root), version)
+    visible(s, readSnapshotDF(s))
   }
+
+  /** Hide tombstone winners from a RESOLVED row set (must run after LWW
+    * resolution — filtering layers first would let an older live row win).
+    * No-op on upsert-only tables. */
+  private def visible(s: TableSnapshot, resolved: DataFrame): DataFrame =
+    s.tombstoneCol.fold(resolved)(c => resolved.filter(!coalesce(col(c), lit(false))))
 
   private def readSnapshotDF(s: TableSnapshot): DataFrame = {
     val schema = StructType.fromDDL(s.schemaDdl)
@@ -184,7 +206,11 @@ final class LakeTable private (
 
   /** CHANGELOG READ (CDC egress, ≙ Iceberg incremental scan): every row
     * NEW OR UPDATED between two retained versions — the rows a downstream
-    * consumer must re-process. Upsert-only engine ⇒ no deletes.
+    * consumer must re-process. On a table with a tombstone column, DELETES
+    * SURFACE here as rows with the tombstone flag set (they are hidden from
+    * [[read]] but are changes a consumer must apply); a later
+    * [[purgeTombstones]] is storage reclamation, not a logical change, and
+    * emits nothing.
     *
     * CONTRACT: change detection is keyed on the (keys…, orderCols…) tuple —
     * the LWW ordering. A writer must bump the ordering columns for an
@@ -278,7 +304,12 @@ final class LakeTable private (
     * `snapshot().rowCount` stays the STORED count by contract. */
   def logicalRowCount(): Long = {
     val s = snapshot()
-    if (s.morBuckets.isEmpty) s.rowCount
+    if (s.tombstoneCol.isDefined)
+      // tombstone winners are stored but not visible — resolve + filter
+      // (Catalyst prunes the count to keys/ordering/tombstone columns; the
+      // dirty-bucket resolve still rides the scan partitioning)
+      visible(s, readSnapshotDF(s)).count()
+    else if (s.morBuckets.isEmpty) s.rowCount
     else {
       val dirty = s.morBuckets.toSet
       val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
@@ -319,8 +350,9 @@ final class LakeTable private (
     // filter BEFORE the MOR resolve: the key predicate commutes with per-key
     // LWW, and this way it pushes down into the parquet scan
     val hit = scan.filter(s.keyCols.map(k => col(k) === lit(keyEquals(k))).reduce(_ && _))
-    if (s.morBuckets.contains(bucket)) Dedup.latestByKey(hit, s.keyCols, s.orderCols)
-    else hit
+    visible(s,
+      if (s.morBuckets.contains(bucket)) Dedup.latestByKey(hit, s.keyCols, s.orderCols)
+      else hit)
   }
 
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
@@ -663,7 +695,8 @@ final class LakeTable private (
           rowCount = rowCount,
           morBuckets = newMorBuckets,
           bucketLayers = newBucketLayers,
-          maxLayers = s.maxLayers))
+          maxLayers = s.maxLayers,
+          tombstoneCol = s.tombstoneCol))
       }
       phase("counts")
       val committed = occCommit(snap)(maintenanceOnlyBetween(snap, _))(buildCommit)
@@ -747,6 +780,71 @@ final class LakeTable private (
       }
     }
     // sweep staging output that lost the race (stale buckets, or everything)
+    val kept: Set[Int] = if (committed.isDefined) valid.toSet else Set.empty
+    written.foreach { case (b, fs) =>
+      if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
+    }
+    if (kept.isEmpty) deleteRecursively(Paths.get(root).resolve(commitRel))
+    if (committed.isDefined) valid.size else 0
+  }
+
+  /** Reclaim DELETE tombstones: rewrite every bucket holding tombstone
+    * rows, dropping tombstone WINNERS (and resolving any merge-on-read
+    * layers in the same pass — both rides of the scan's partitioning, zero
+    * exchanges). Run only once the stream's out-of-order horizon has passed
+    * for the deleted keys: after a purge, a stale live row OLDER than the
+    * purged delete would win a future merge (the gc-grace trade every
+    * tombstone design makes). Candidate discovery is a column-pruned scan
+    * of the tombstone flag alone. OCC like compaction: buckets touched by a
+    * racing ingest merge drop out of this purge and are picked up by the
+    * next one.
+    * @return buckets rewritten */
+  def purgeTombstones(): Int = {
+    val snap = snapshot()
+    if (snap.tombstoneCol.isEmpty) return 0
+    val tc = snap.tombstoneCol.get
+    val all = snap.bucketFiles.collect { case (b, fs) if fs.nonEmpty => b }.toSeq.sorted
+    if (all.isEmpty) return 0
+    val candidates = withSpjConfs(Some(all.size)) {
+      bucketScanDF(snap, all).filter(coalesce(col(tc), lit(false)))
+        .select(col(BucketCol)).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    }
+    if (candidates.isEmpty) return 0
+    val curSchema = StructType.fromDDL(snap.schemaDdl)
+    val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
+    withSpjConfs(Some(candidates.size)) {
+      visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
+          snap.keyCols :+ BucketCol, snap.orderCols))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
+    // a bucket whose every key was tombstoned writes NO file — its list
+    // becomes empty, not carried forward
+    val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
+    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
+      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
+    }
+    var valid: Seq[Int] = candidates
+    val committed = occCommit(snap)(cur => cur.numBuckets == snap.numBuckets) { s =>
+      valid = candidates.filter(b =>
+        s.bucketFiles.getOrElse(b, Nil) == snap.bucketFiles.getOrElse(b, Nil))
+      if (valid.isEmpty) None
+      else {
+        val w = valid.map(b => b -> written.getOrElse(b, Nil)).toMap
+        val wr = valid.map(b => b -> writtenRows.getOrElse(b, 0L)).toMap
+        val oldRows = valid.map(b => s.bucketRows.getOrElse(b, 0L)).sum
+        Some(s.copy(
+          version = s.version + 1,
+          bucketFiles = s.bucketFiles.filter { case (b, _) => !valid.contains(b) } ++ w,
+          bucketRows = s.bucketRows.filter { case (b, _) => !valid.contains(b) } ++ wr,
+          totals = s.totals
+            .updated("tombstone_purges", s.totals.getOrElse("tombstone_purges", 0L) + 1L)
+            .updated("purged_rows",
+              s.totals.getOrElse("purged_rows", 0L) + (oldRows - wr.values.sum)),
+          rowCount = s.rowCount - oldRows + wr.values.sum,
+          morBuckets = s.morBuckets.filterNot(valid.contains),
+          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) }))
+      }
+    }
     val kept: Set[Int] = if (committed.isDefined) valid.toSet else Set.empty
     written.foreach { case (b, fs) =>
       if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
@@ -1113,14 +1211,24 @@ object LakeTable {
   def createOrOpen(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], orderCols: Seq[String], numBuckets: Int = 16,
       retainBatches: Int = DefaultRetainBatches,
-      maxLayers: Int = DefaultMaxLayers): LakeTable = {
+      maxLayers: Int = DefaultMaxLayers,
+      tombstoneCol: Option[String] = None): LakeTable = {
+    tombstoneCol.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"tombstone column '$c' must be part of the table schema")
+      require(schema(c).dataType == org.apache.spark.sql.types.BooleanType,
+        s"tombstone column '$c' must be BOOLEAN, got ${schema(c).dataType}")
+      require(!keyCols.contains(c) && !orderCols.contains(c),
+        s"tombstone column '$c' cannot be a key or ordering column")
+    }
     val t = new LakeTable(spark, root)
     val meta = Paths.get(root, "meta")
     if (!Files.exists(meta.resolve("VERSION"))) {
       Files.createDirectories(meta)
       val s0 = TableSnapshot(0L, schema.toDDL, keyCols, orderCols, numBuckets,
         retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L,
-        morBuckets = Nil, bucketLayers = Map.empty, maxLayers = maxLayers)
+        morBuckets = Nil, bucketLayers = Map.empty, maxLayers = maxLayers,
+        tombstoneCol = tombstoneCol)
       Files.write(meta.resolve("v0.json"), snapshotJson(s0),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       val tmp = meta.resolve("VERSION.tmp.0")
@@ -1181,6 +1289,7 @@ object LakeTable {
     val bl = o.putObject("bucketLayers")
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
     o.put("maxLayers", s.maxLayers)
+    s.tombstoneCol.foreach(c => o.put("tombstoneCol", c))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
 
@@ -1223,6 +1332,8 @@ object LakeTable {
         else Nil,
       bucketLayers = longMap(node.get("bucketLayers")).map { case (k, v) => k.toInt -> v.toInt },
       maxLayers =
-        if (node.has("maxLayers")) node.get("maxLayers").asInt() else DefaultMaxLayers)
+        if (node.has("maxLayers")) node.get("maxLayers").asInt() else DefaultMaxLayers,
+      tombstoneCol =
+        if (node.has("tombstoneCol")) Some(node.get("tombstoneCol").asText()) else None)
   }
 }

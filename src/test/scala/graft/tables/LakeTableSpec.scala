@@ -263,6 +263,66 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone deletes: LWW delete/upsert interleavings, out-of-order " +
+      "resurrection guard, point reads, changelog egress, purge") {
+    import org.apache.spark.sql.functions.col
+    val delSchema = StructType.fromDDL("k STRING, wv BIGINT, v STRING, deleted BOOLEAN")
+    def newDelTable(mor: Boolean = false): LakeTable =
+      LakeTable.createOrOpen(spark, Files.createTempDirectory("laketbl-del").toString,
+        delSchema, Seq("k"), Seq("wv"), 4, tombstoneCol = Some("deleted"))
+    val cow = newDelTable()
+    val morT = newDelTable()
+    val batches = Seq(
+      "b1" -> Seq(("a", 1L, "a1", false), ("b", 1L, "b1", false), ("c", 1L, "c1", false)),
+      // delete b, upsert d in the same batch
+      "b2" -> Seq(("b", 2L, null: String, true), ("d", 2L, "d2", false)),
+      // OUT-OF-ORDER stale live row for b (wv 1 < tombstone's 2): must NOT resurrect
+      "b3" -> Seq(("b", 1L, "stale", false)),
+      // re-create b after the delete (newer wv wins over the tombstone)
+      "b4" -> Seq(("b", 5L, "b5", false)),
+      // delete b again, delete never-seen key z (tombstone lands, hides nothing)
+      "b5" -> Seq(("b", 6L, null: String, true), ("z", 6L, null: String, true)))
+    def df(rows: Seq[(String, Long, String, Boolean)]) = rows.toDF("k", "wv", "v", "deleted")
+    batches.take(2).foreach { case (id, rows) =>
+      cow.merge(df(rows), id); morT.merge(df(rows), id, mor = true)
+    }
+    val v2 = cow.currentVersion()
+    // visible state after the delete
+    def state(t: LakeTable) =
+      t.read().select("k", "wv", "v").as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(state(cow) === Seq(("a", 1L, "a1"), ("c", 1L, "c1"), ("d", 2L, "d2")))
+    assert(cow.logicalRowCount() === 3L)
+    // the tombstone is STORED (resurrection guard) even though hidden
+    assert(cow.snapshot().rowCount === 4L)
+    // deletes SURFACE in the changelog (CDC egress), hidden from read()
+    val changes = cow.readChanges(v2 - 1, v2)
+      .select("k", "deleted").as[(String, Boolean)].collect().toMap
+    assert(changes === Map("b" -> true, "d" -> false))
+    // point read of a deleted key is empty; of a live key returns the row
+    assert(cow.read(Map("k" -> "b")).count() === 0L)
+    assert(cow.read(Map("k" -> "a")).count() === 1L)
+    batches.drop(2).foreach { case (id, rows) =>
+      cow.merge(df(rows), id); morT.merge(df(rows), id, mor = true)
+    }
+    // stale b3 never resurrected; b4 re-created; b5 re-deleted (+ z hidden)
+    assert(state(cow) === Seq(("a", 1L, "a1"), ("c", 1L, "c1"), ("d", 2L, "d2")))
+    assert(cow.logicalRowCount() === 3L)
+    // MOR fold equality incl. compaction (tombstones survive compaction)
+    morT.compact()
+    assert(state(morT) === state(cow))
+    assert(morT.logicalRowCount() === 3L)
+    // purge reclaims the tombstones without changing the visible state
+    val purged = cow.purgeTombstones()
+    assert(purged >= 1)
+    assert(state(cow) === Seq(("a", 1L, "a1"), ("c", 1L, "c1"), ("d", 2L, "d2")))
+    assert(cow.snapshot().rowCount === 3L) // b + z tombstones gone from storage
+    assert(cow.snapshot().totals("tombstone_purges") === 1L)
+    assert(cow.purgeTombstones() === 0) // nothing left to purge
+    // a batch WITHOUT the tombstone column merges as live rows (null→false)
+    cow.merge(Seq(("e", 9L, "e9")).toDF("k", "wv", "v"), "b6")
+    assert(cow.read(Map("k" -> "e")).select("v").as[String].collect().toSeq === Seq("e9"))
+  }
+
   test("auto-salt: a one-key-dominated large batch salts itself from the " +
       "stats rows; moderate skew and small batches stay unsalted; state " +
       "matches the gate-off twin") {
