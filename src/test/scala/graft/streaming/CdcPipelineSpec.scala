@@ -200,6 +200,38 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(table.snapshot().txns.keySet === Set("pipe1"))
   }
 
+  test("a change stream carrying deletes tombstones keys through the " +
+      "pipeline; a later re-add revives them") {
+    val changeDir = Files.createTempDirectory("changes-del").toString
+    val cp = Files.createTempDirectory("cp-del").toString
+    val delSchema = StructType.fromDDL(
+      "repo STRING, path STRING, commitSeq BIGINT, lang STRING, content STRING, deleted BOOLEAN")
+    val table = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("repotbl-del").toString, delSchema,
+      keyCols = Seq("repo", "path"), orderCols = Seq("commitSeq"), numBuckets = 8,
+      tombstoneCol = Some("deleted"))
+    Seq(
+      ("r1", "a.scala", 1L, "scala", "v1 of a", false),
+      ("r1", "b.scala", 1L, "scala", "v1 of b", false),
+      ("r1", "b.scala", 2L, "scala", null: String, true), // file deleted at commit 2
+      ("r2", "x.py", 1L, "python", "v1 of x", false))
+      .toDF("repo", "path", "commitSeq", "lang", "content", "deleted")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, delSchema, cp, "pipe-del")
+    assert(table.read().select("path").as[String].collect().toSet === Set("a.scala", "x.py"))
+    // the delete reached the changelog (CDC egress) even though read() hides it
+    val changes = table.readChanges(0L, table.currentVersion())
+      .select("path", "deleted").as[(String, Boolean)].collect().toMap
+    assert(changes("b.scala") === true)
+    // re-add after delete: newer commitSeq revives the key
+    Seq(("r1", "b.scala", 3L, "scala", "v3 of b", false))
+      .toDF("repo", "path", "commitSeq", "lang", "content", "deleted")
+      .write.mode("append").parquet(changeDir)
+    CdcPipeline.runOnce(spark, table, changeDir, delSchema, cp, "pipe-del")
+    val state = table.read().select("path", "content").as[(String, String)].collect().toMap
+    assert(state("b.scala") === "v3 of b" && state.size === 3)
+  }
+
   test("a live MOR ingest stream and a concurrent maintenance loop from a " +
       "second handle both survive (OCC) and reach the fold state") {
     val changeDir = Files.createTempDirectory("changes-occ").toString
