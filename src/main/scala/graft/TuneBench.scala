@@ -44,6 +44,8 @@ object TuneBench {
       ("merge-cache", Map.empty, Map("graft.merge.cache" -> "1")))
     val subset = sys.env.get("SPARK_GRAFT_TUNE_ARMS").map(_.split(',').toSet)
     val arms = allArms.filter(a => subset.forall(_.contains(a._1)))
+    require(arms.nonEmpty,
+      s"SPARK_GRAFT_TUNE_ARMS matched no arm; valid: ${allArms.map(_._1).mkString(",")}")
 
     def run(name: String, confs: Map[String, String],
         props: Map[String, String]): Double = {

@@ -131,27 +131,49 @@ object Multimodal {
                 if (srcFmt.matches(fmt)) raw
                 else javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, raw)
               try {
-                val bytes = ais.readAllBytes()
                 val frameSize = fmt.getFrameSize // channels * 2
-                val nFrames = bytes.length / frameSize
-                val durationSec =
-                  if (fmt.getSampleRate > 0) nFrames / fmt.getSampleRate else 0f
-                // bounded stride over channel 0: decode stats must not scale
-                // with track length (the batch is the unit of work here)
-                val step = math.max(1, nFrames / 65536)
-                var i = 0; var n = 0
+                // STREAMING stats in O(1) memory: a fixed frame-aligned
+                // buffer, sampling every `step`-th frame of channel 0 — an
+                // hour-long stereo track must not materialize as one
+                // in-memory PCM array. `step` comes from the container's
+                // frame count when known (WAV/AIFF headers carry it; the
+                // PCM conversion preserves frame count); unknown-length
+                // streams sample every frame up to a hard cap.
+                val declaredFrames = raw.getFrameLength
+                val step = if (declaredFrames > 0) math.max(1L, declaredFrames / 65536) else 1L
+                val maxSamples = 1 << 20
+                val buf = new Array[Byte](frameSize * 4096)
+                var carry = 0 // bytes of a split frame carried between reads
+                var frameIdx = 0L; var n = 0
                 var sumSq = 0.0; var peak = 0.0; var crossings = 0
                 var prevNeg = false
-                while (i < nFrames) {
-                  val off = i * frameSize
-                  val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort / 32768.0
-                  sumSq += s * s
-                  if (math.abs(s) > peak) peak = math.abs(s)
-                  val neg = s < 0
-                  if (n > 0 && neg != prevNeg) crossings += 1
-                  prevNeg = neg
-                  n += 1; i += step
+                var eof = false
+                while (!eof) {
+                  val read = ais.read(buf, carry, buf.length - carry)
+                  if (read < 0) eof = true
+                  else {
+                    val avail = carry + read
+                    val whole = (avail / frameSize) * frameSize
+                    var off = 0
+                    while (off < whole) {
+                      if (frameIdx % step == 0 && n < maxSamples) {
+                        val s = ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort / 32768.0
+                        sumSq += s * s
+                        if (math.abs(s) > peak) peak = math.abs(s)
+                        val neg = s < 0
+                        if (n > 0 && neg != prevNeg) crossings += 1
+                        prevNeg = neg
+                        n += 1
+                      }
+                      frameIdx += 1
+                      off += frameSize
+                    }
+                    carry = avail - whole
+                    if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+                  }
                 }
+                val durationSec =
+                  if (fmt.getSampleRate > 0) frameIdx / fmt.getSampleRate else 0f
                 val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
                 val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
                 MediaFeatures(id, mtype, payload.length.toLong,

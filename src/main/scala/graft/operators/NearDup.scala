@@ -279,20 +279,27 @@ object NearDup {
       .select(col(idCol).as("_id"), charNgramStrings(textCol, n).as("_grams"))
       .withColumn("_len", size(col("_grams")))
     val exploded = grams.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram"))
+    // BOUNDED dictionary probe (shared by the auto route and the forced
+    // bitmap route): at most dictBits+1 distinct grams ever reach the driver
+    def dictProbe(ex: DataFrame): Array[String] =
+      ex.select(col("_gram")).distinct()
+        .limit(dictBits + 1).collect().map(_.getString(0))
     forceStrategy match {
       case Some("bitmap") =>
-        // BOUNDED dictionary probe even when forced: past dictBits distinct
-        // grams the bitmap strategy is wrong for the corpus (the auto route
-        // would pick prefix) and an unbounded driver-side vocabulary collect
-        // is an OOM at scale — fail fast with the fix in the message
-        val sample = exploded.select(col("_gram")).distinct()
-          .limit(dictBits + 1).collect().map(_.getString(0))
+        // materialize the gram projection ONCE (the probe and the bitmap
+        // encode would otherwise each re-run the n-gram explode), then fail
+        // fast past the dictionary bound — the strategy is wrong for such a
+        // corpus (the auto route would pick prefix) and an unbounded
+        // driver-side vocabulary collect is an OOM at scale
+        val gramsM = grams.localCheckpoint()
+        val sample = dictProbe(
+          gramsM.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram")))
         if (sample.length > dictBits)
           throw new IllegalArgumentException(
             s"forceStrategy=bitmap on a corpus with > $dictBits distinct grams — " +
               "the driver-side dictionary would not fit; use the auto route or " +
               "forceStrategy=prefix")
-        bitmapJaccardPairs(grams, threshold, vocabOpt = Some(sample.sorted))
+        bitmapJaccardPairs(gramsM, threshold, vocabOpt = Some(sample.sorted))
       case Some(_)        => prefixJaccardPairs(grams, exploded, threshold)
       case None =>
         // materialize the gram projection ONCE (localCheckpoint): the
@@ -302,11 +309,9 @@ object NearDup {
         // projection pass instead of 3-5.
         val gramsM = grams.localCheckpoint()
         val explodedM = gramsM.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram"))
-        // ONE job decides the plan AND doubles as the dictionary collect:
-        // pull at most dictBits+1 distinct grams — if they fit, that IS the
-        // full vocabulary and the bitmap path reuses it
-        val sample = explodedM.select(col("_gram")).distinct()
-          .limit(dictBits + 1).collect().map(_.getString(0))
+        // the probe doubles as the dictionary collect: if the sample fits,
+        // that IS the full vocabulary and the bitmap path reuses it
+        val sample = dictProbe(explodedM)
         if (sample.length <= dictBits)
           bitmapJaccardPairs(gramsM, threshold, vocabOpt = Some(sample.sorted))
         else prefixJaccardPairs(gramsM, explodedM, threshold)

@@ -219,14 +219,22 @@ object SnapshotReplay {
     val conf = spark.sparkContext.hadoopConfiguration
     // manifest sniffs in parallel (the watermark needs the max slot up front)
     val maxSlot = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
       import scala.concurrent.duration._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(archives.size)
+      // bounded + daemon: a thousand-archive bootstrap must not spawn a
+      // thousand driver threads, and a hung filesystem must not pin the JVM
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, archives.size),
+        (r: Runnable) => { val t = new Thread(r, "replay-manifest-sniff"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(archives.map(a => Future {
         ArchiveSnapshotSource.readManifest(a, conf).slot
       })), 5.minutes).max
-      finally pool.shutdown()
+      catch {
+        case _: TimeoutException => throw new java.io.IOException(
+          s"timed out (5 min) reading manifests of ${archives.size} archives under $dir")
+      }
+      finally pool.shutdownNow()
     }
     table.merge(toDF(ArchiveSnapshotSource.fromArchives(spark, archives)),
       s"snapshot-dir:$maxSlot:${archives.size}", salted = salted,

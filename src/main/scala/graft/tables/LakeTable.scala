@@ -130,8 +130,11 @@ final class LakeTable private (
   val SrcFlagCol = "_ghasbatch"
 
   /** Effective salting decision of the last merge from this handle (specs,
-    * benches + observability; the auto gate rides the COW stats pass). */
-  private[graft] var lastMergeSalted: Boolean = false
+    * benches + observability; the auto gate rides the COW stats pass).
+    * Volatile: the supported stream+maintenance pattern reads table state
+    * from more than one thread. Reset at merge entry, so a replayed
+    * (exactly-once no-op) merge reads as not-salted. */
+  @volatile private[graft] var lastMergeSalted: Boolean = false
 
   /** Auto-salting is ON by default; disable with -Dgraft.merge.autosalt=0
     * or GRAFT_AUTOSALT=0 (e.g. for A/B harnesses pinning a mode). */
@@ -232,7 +235,8 @@ final class LakeTable private (
     *     two scans of the SAME bucket layout: Catalyst aligns them with no
     *     exchange on either side.
     */
-  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+  def readChanges(fromVersion: Long, toVersion: Long,
+      allowPurgedWindow: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     Seq(fromVersion, toVersion).foreach { v =>
@@ -241,6 +245,18 @@ final class LakeTable private (
     }
     val oldSnap = readSnapshot(Paths.get(root), fromVersion)
     val newSnap = readSnapshot(Paths.get(root), toVersion)
+    // a tombstone PURGE inside the window removed delete markers a lagging
+    // consumer has not seen — its deletes can no longer surface here, so a
+    // window spanning a purge silently loses them. Fail loudly unless the
+    // caller asserts every consumer of this window passed the purge point.
+    require(allowPurgedWindow ||
+      newSnap.totals.getOrElse("tombstone_purges", 0L) ==
+        oldSnap.totals.getOrElse("tombstone_purges", 0L),
+      s"changelog window [$fromVersion, $toVersion] spans a tombstone purge: " +
+        "deletes purged inside the window cannot surface to this consumer. " +
+        "Read up to the pre-purge version first, or purge only after every " +
+        "changelog consumer has passed the deletes' versions " +
+        "(readChanges(from, to, allowPurgedWindow = true) overrides)")
     val newSchema = StructType.fromDDL(newSnap.schemaDdl)
     // across a rebucket boundary the bucket ids of the SAME key differ
     // between the two layouts: bucket-diff pruning and bucket-aligned
@@ -304,12 +320,26 @@ final class LakeTable private (
     * `snapshot().rowCount` stays the STORED count by contract. */
   def logicalRowCount(): Long = {
     val s = snapshot()
-    if (s.tombstoneCol.isDefined)
-      // tombstone winners are stored but not visible — resolve + filter
-      // (Catalyst prunes the count to keys/ordering/tombstone columns; the
-      // dirty-bucket resolve still rides the scan partitioning)
-      visible(s, readSnapshotDF(s)).count()
-    else if (s.morBuckets.isEmpty) s.rowCount
+    if (s.tombstoneCol.isDefined) {
+      // tombstone winners are stored but not visible. Clean buckets hold
+      // RESOLVED winners, so their visible count is the stored count minus
+      // a flag-column-only scan (pruned — no payload bytes, no resolve);
+      // only dirty buckets pay the (zero-shuffle) LWW resolve.
+      val tc = s.tombstoneCol.get
+      val dirty = s.morBuckets.toSet
+      val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
+      val cleanFiles = s.bucketFiles.collect { case (b, fs) if !dirty.contains(b) => fs }
+        .flatten.map(rel => s"$root/$rel").toSeq
+      val schema = StructType.fromDDL(s.schemaDdl)
+      val cleanTombs =
+        if (cleanFiles.isEmpty) 0L
+        else spark.read.schema(schema).parquet(cleanFiles: _*)
+          .filter(coalesce(col(tc), lit(false))).count()
+      val dirtyVisible =
+        if (s.morBuckets.isEmpty) 0L
+        else visible(s, morResolvedDF(s, s.morBuckets.sorted)).count()
+      cleanRows - cleanTombs + dirtyVisible
+    } else if (s.morBuckets.isEmpty) s.rowCount
     else {
       val dirty = s.morBuckets.toSet
       val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
@@ -382,19 +412,35 @@ final class LakeTable private (
     * smaller counts choose the scan's KeyGroupedPartitioning; probed, and
     * pinned in PlanSpec under an oversized session setting). */
   private[graft] def withSpjConfs[A](scanPartitions: Option[Int] = None)(f: => A): A = {
-    val keys = Seq(
-      "spark.sql.sources.v2.bucketing.enabled",
+    // the enable confs are session-wide already (set at construction and
+    // left on — see the class header); re-assert, never restore
+    Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      .foreach(k => spark.conf.set(k, "true"))
     val shufKey = "spark.sql.shuffle.partitions"
-    val old = (keys :+ shufKey).map(k => k -> spark.conf.getOption(k))
-    keys.foreach(k => spark.conf.set(k, "true"))
-    scanPartitions.foreach { n =>
-      val cur = spark.conf.get(shufKey, "200").toInt
-      if (cur > n && n > 0) spark.conf.set(shufKey, n.toString)
+    // THREAD-SAFE restore: the supported stream+maintenance pattern runs
+    // two of these windows concurrently in one session. A naive save/
+    // restore pair can interleave so the second thread "restores" the
+    // first thread's temporary cap, permanently shrinking the session's
+    // shuffle parallelism. Instead every exit restores to a BASELINE
+    // captured when no window is active — a race can still briefly cap a
+    // concurrent plan (bounded perf blip), but never outlives the windows.
+    val lock = LakeTable.spjConfLock
+    lock.synchronized {
+      if (LakeTable.spjConfDepth == 0)
+        LakeTable.spjConfBaseline = spark.conf.getOption(shufKey)
+      LakeTable.spjConfDepth += 1
+      scanPartitions.foreach { n =>
+        val cur = spark.conf.get(shufKey, "200").toInt
+        if (cur > n && n > 0) spark.conf.set(shufKey, n.toString)
+      }
     }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    try f finally lock.synchronized {
+      LakeTable.spjConfDepth -= 1
+      if (LakeTable.spjConfDepth == 0) LakeTable.spjConfBaseline match {
+        case Some(v) => spark.conf.set(shufKey, v)
+        case None    => spark.conf.unset(shufKey)
+      }
     }
   }
 
@@ -445,6 +491,7 @@ final class LakeTable private (
       txn: Option[(String, Long)] = None,
       counterCols: Map[String, Column] = Map.empty,
       mor: Boolean = false): Long = {
+    lastMergeSalted = false
     val snap = snapshot()
     val replayed = txn match {
       case Some((app, seq)) => snap.txns.get(app).exists(_ >= seq)
@@ -470,6 +517,7 @@ final class LakeTable private (
       if (cacheBatch) alignedBatch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else alignedBatch0
     val dbg = sys.env.get("GRAFT_MERGE_DEBUG").contains("1")
+    var inflightMarker: JPath = null
     var tPhase = System.nanoTime()
     def phase(name: String): Unit = if (dbg) {
       val now = System.nanoTime()
@@ -483,7 +531,17 @@ final class LakeTable private (
       // file counts lower
       val waveFactor = sys.env.getOrElse("GRAFT_WRITE_WAVES", "2").toInt
       val newVersion = snap.version + 1
-      val commitRel = s"data/commit-$newVersion"
+      // UNIQUE staging dir: two ingest writers racing is a hard error at
+      // commit time, but the error must stay a METADATA conflict — sharing
+      // a version-named dir would let the loser's overwrite-write clobber
+      // the winner's already-committed files before the guard fires. The
+      // inflight marker shields the dir from a concurrent expire() until
+      // the commit lands (see withInflightMarker/expire).
+      val commitRel =
+        s"data/commit-$newVersion-${java.lang.Long.toHexString(System.nanoTime())}"
+      inflightMarker = Paths.get(root, "meta", s"inflight-${commitRel.stripPrefix("data/")}")
+      Files.createDirectories(Paths.get(root, "meta"))
+      Files.write(inflightMarker, Array.emptyByteArray)
 
       // =====================================================================
       // ONE-JOB path (no stats pass): taken by MOR merges — and by ANY
@@ -528,7 +586,7 @@ final class LakeTable private (
           .drop(SubSplitCol)
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         phase("write(mor-1job)")
-        val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+        val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
         }
@@ -619,7 +677,7 @@ final class LakeTable private (
         }
         phase(if (spj) "write(spj)" else "write")
         val upserts = obs.get("_upserts").asInstanceOf[Long]
-        val written = listBucketFiles(Paths.get(root, "data", s"commit-$newVersion"), commitRel, BucketCol)
+        val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
         }
@@ -712,7 +770,10 @@ final class LakeTable private (
         if (over.nonEmpty) { compactBuckets(over); phase("auto-compact") }
       }
       upserts
-    } finally { if (cacheBatch) alignedBatch.unpersist(false) }
+    } finally {
+      if (inflightMarker != null) Files.deleteIfExists(inflightMarker)
+      if (cacheBatch) alignedBatch.unpersist(false)
+    }
   }
 
   /** Rewrite every merge-on-read bucket into a single resolved layer (the
@@ -742,6 +803,7 @@ final class LakeTable private (
     // (keys…, bucket) rides the scan's KeyGroupedPartitioning — each dirty
     // bucket is one task that reads its layers, resolves, and writes ONE
     // defragmented file. No exchange at any scale.
+    withInflightMarker(commitRel) {
     withSpjConfs(Some(dirty.size)) {
       Dedup.latestByKey(bucketScanDF(snap, dirty),
           snap.keyCols :+ BucketCol, snap.orderCols)
@@ -784,17 +846,22 @@ final class LakeTable private (
     written.foreach { case (b, fs) =>
       if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
     }
-    if (kept.isEmpty) deleteRecursively(Paths.get(root).resolve(commitRel))
+    if (kept.isEmpty && Files.exists(Paths.get(root).resolve(commitRel)))
+      deleteRecursively(Paths.get(root).resolve(commitRel))
     if (committed.isDefined) valid.size else 0
+    }
   }
 
   /** Reclaim DELETE tombstones: rewrite every bucket holding tombstone
     * rows, dropping tombstone WINNERS (and resolving any merge-on-read
     * layers in the same pass — both rides of the scan's partitioning, zero
-    * exchanges). Run only once the stream's out-of-order horizon has passed
-    * for the deleted keys: after a purge, a stale live row OLDER than the
-    * purged delete would win a future merge (the gc-grace trade every
-    * tombstone design makes). Candidate discovery is a column-pruned scan
+    * exchanges). Run only once (a) the stream's out-of-order horizon has
+    * passed for the deleted keys — after a purge, a stale live row OLDER
+    * than the purged delete would win a future merge (the gc-grace trade
+    * every tombstone design makes) — and (b) every changelog consumer has
+    * read past the deletes' versions: a purged tombstone can no longer
+    * surface in [[readChanges]], which fails loudly on windows spanning a
+    * purge for exactly this reason. Candidate discovery is a column-pruned scan
     * of the tombstone flag alone. OCC like compaction: buckets touched by a
     * racing ingest merge drop out of this purge and are picked up by the
     * next one.
@@ -812,6 +879,7 @@ final class LakeTable private (
     if (candidates.isEmpty) return 0
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
+    withInflightMarker(commitRel) {
     withSpjConfs(Some(candidates.size)) {
       visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
           snap.keyCols :+ BucketCol, snap.orderCols))
@@ -849,8 +917,10 @@ final class LakeTable private (
     written.foreach { case (b, fs) =>
       if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
     }
-    if (kept.isEmpty) deleteRecursively(Paths.get(root).resolve(commitRel))
+    if (kept.isEmpty && Files.exists(Paths.get(root).resolve(commitRel)))
+      deleteRecursively(Paths.get(root).resolve(commitRel))
     if (committed.isDefined) valid.size else 0
+    }
   }
 
   /** The ONE-shuffle LWW merge plan (exposed for plan tests): in-batch
@@ -996,6 +1066,7 @@ final class LakeTable private (
       val newVersion = snap.version + 1
       // unique staging dir — never share data/commit-<v> with a racing merge
       val commitRel = s"data/maint-$newVersion-${java.lang.Long.toHexString(System.nanoTime())}"
+      val done = withInflightMarker(commitRel) {
       buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
           touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
         .drop(SubSplitCol)
@@ -1013,12 +1084,15 @@ final class LakeTable private (
           rowCount = writtenRows.values.sum,
           morBuckets = Nil,
           bucketLayers = Map.empty))
-        return
+        true
       } catch {
         case e: java.util.ConcurrentModificationException =>
           deleteRecursively(Paths.get(root).resolve(commitRel)) // stale rewrite
           if (attempts >= 3) throw e
+          false
       }
+      }
+      if (done) return
     }
   }
 
@@ -1032,13 +1106,11 @@ final class LakeTable private (
     val current = currentVersion()
     val minKept = math.max(0L, current - keepVersions + 1)
     val meta = Paths.get(root, "meta")
-    val referenced: Set[String] = (minKept to current).flatMap { v =>
-      val p = meta.resolve(s"v$v.json")
-      if (Files.exists(p))
-        readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
-          .map(rel => rel.split('/').take(2).mkString("/")) // data/commit-<k>
-      else Nil
-    }.toSet
+    // 1. retire out-of-window snapshot metadata FIRST, so the data sweep
+    //    below can treat "referenced by ANY remaining v*.json" as the
+    //    keep-set — including versions committed by a concurrent writer
+    //    AFTER our currentVersion() read (their metadata is ≥ current and
+    //    therefore never deleted here)
     var metaRemoved = 0
     Files.list(meta).iterator().asScala
       .filter { p =>
@@ -1047,18 +1119,62 @@ final class LakeTable private (
           n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < minKept)
       }
       .toSeq.foreach { p => Files.delete(p); metaRemoved += 1 }
-    var commitsRemoved = 0
+    // 2. sweep data dirs no retained snapshot references. Two concurrent-
+    //    maintenance guards (a maintenance op from a SECOND handle is
+    //    supported, and its staging dir is unreferenced until it commits):
+    //    - every writer drops an `inflight-<dir>` marker in meta/ for the
+    //      write→commit window; marked dirs are skipped (stale markers from
+    //      crashed runs age out after [[InflightMarkerTtlMs]]);
+    //    - the referenced set is re-read AFTER listing the candidates, so a
+    //      commit landing mid-sweep protects its files.
     val dataDir = Paths.get(root, "data")
+    var commitsRemoved = 0
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala
+      def referencedNow(): Set[String] = Files.list(meta).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
+        .flatMap { v =>
+          try readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
+            .map(rel => rel.split('/').take(2).mkString("/")) // data/<dir>
+          catch { case _: java.nio.file.NoSuchFileException => Nil } // raced a later expire
+        }.toSet
+      def inflight(n: String): Boolean = {
+        val m = meta.resolve(s"inflight-$n")
+        Files.exists(m) && {
+          val fresh = try
+            System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
+              InflightMarkerTtlMs
+          catch { case _: java.io.IOException => true }
+          if (!fresh) Files.deleteIfExists(m) // crashed writer: reclaim
+          fresh
+        }
+      }
+      val candidates = Files.list(dataDir).iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          (n.startsWith("commit-") || n.startsWith("maint-")) &&
-            !referenced.contains(s"data/$n")
+          n.startsWith("commit-") || n.startsWith("maint-")
+        }.toSeq
+      val referenced = referencedNow() // AFTER candidate listing
+      candidates.foreach { p =>
+        val n = p.getFileName.toString
+        if (!referenced.contains(s"data/$n") && !inflight(n)) {
+          deleteRecursively(p); commitsRemoved += 1
         }
-        .toSeq.foreach { p => deleteRecursively(p); commitsRemoved += 1 }
+      }
     }
     (metaRemoved, commitsRemoved)
+  }
+
+  /** Run `f` with an `inflight-<dir>` marker protecting `commitRel`'s data
+    * directory from a concurrent [[expire]] between first write and commit
+    * (the dir is unreferenced by any snapshot during that window). */
+  private def withInflightMarker[A](commitRel: String)(f: => A): A = {
+    val meta = Paths.get(root, "meta")
+    Files.createDirectories(meta)
+    val marker = meta.resolve(s"inflight-${commitRel.stripPrefix("data/")}")
+    Files.write(marker, Array.emptyByteArray)
+    try f finally Files.deleteIfExists(marker)
   }
 
   private def deleteRecursively(p: JPath): Unit = {
@@ -1190,6 +1306,18 @@ object LakeTable {
 
   /** Lineage/ledger retention window (batches). */
   final val DefaultRetainBatches = 128
+
+  /** [[LakeTable.withSpjConfs]] shuffle-partition-cap coordination across
+    * the threads of one JVM (stream + maintenance share the session). */
+  private[tables] val spjConfLock = new Object
+  private[tables] var spjConfDepth: Int = 0
+  private[tables] var spjConfBaseline: Option[String] = None
+
+  /** Age after which an `inflight-<dir>` staging marker from a crashed
+    * writer stops protecting its data dir from [[LakeTable.expire]] (no
+    * live write→commit window is anywhere near this long; a crashed one
+    * must not pin garbage forever). */
+  final val InflightMarkerTtlMs: Long = 60L * 60 * 1000
 
   /** Auto-salt floor: below this many batch rows the hot-key straggler is
     * smaller than the extra exchange the salt pass costs, whatever the

@@ -257,15 +257,15 @@ class CdcPipelineSpec extends SparkTestBase {
     maintThread.start()
     val oldShuf = spark.conf.get("spark.sql.shuffle.partitions")
     try
+      // default auto-expiry stays ON: the inflight staging markers protect
+      // the concurrent maintenance writes from the stream's expire sweeps
       CdcPipeline.runOnce(spark, table, changeDir, changeSchema, cp, "pipe-occ",
-        maxFilesPerTrigger = 1, mor = true, compactEveryBatches = None,
-        autoExpireKeepVersions = Some(64))
-    finally {
-      streaming = false; maintThread.join(30000)
-      // the maintenance loop's scoped shuffle-partition cap can race the
-      // stream's own restore; re-pin the session conf for later suites
-      spark.conf.set("spark.sql.shuffle.partitions", oldShuf)
-    }
+        maxFilesPerTrigger = 1, mor = true, compactEveryBatches = None)
+    finally { streaming = false; maintThread.join(30000) }
+    // the racing scoped shuffle-partition caps must restore to the baseline
+    // (depth-tracked restore, not save/restore pairs that can interleave)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === oldShuf,
+      "concurrent withSpjConfs windows clobbered the session shuffle partitions")
     assert(maintFailure.isEmpty, s"maintenance loop died: $maintFailure")
     table.compact()
     val state = table.read().select("repo", "path", "commitSeq", "content")

@@ -311,9 +311,24 @@ class LakeTableSpec extends SparkTestBase {
     morT.compact()
     assert(state(morT) === state(cow))
     assert(morT.logicalRowCount() === 3L)
+    // storage-partitioned COW twin: tombstones are payload to the SPJ
+    // winner logic, so the forced-SPJ fold must land identically
+    val spjT = newDelTable()
+    sys.props("graft.cow.spj") = "1"
+    try batches.foreach { case (id, rows) => spjT.merge(df(rows), id) }
+    finally sys.props.remove("graft.cow.spj")
+    assert(state(spjT) === state(cow))
     // purge reclaims the tombstones without changing the visible state
+    val vBeforePurge = cow.currentVersion()
     val purged = cow.purgeTombstones()
     assert(purged >= 1)
+    // a changelog window spanning the purge fails loudly — its deletes can
+    // no longer surface to a lagging consumer; the override acknowledges it
+    val eGuard = intercept[IllegalArgumentException] {
+      cow.readChanges(vBeforePurge - 1, cow.currentVersion())
+    }
+    assert(eGuard.getMessage.contains("tombstone purge"), eGuard.getMessage)
+    cow.readChanges(vBeforePurge - 1, cow.currentVersion(), allowPurgedWindow = true).collect()
     assert(state(cow) === Seq(("a", 1L, "a1"), ("c", 1L, "c1"), ("d", 2L, "d2")))
     assert(cow.snapshot().rowCount === 3L) // b + z tombstones gone from storage
     assert(cow.snapshot().totals("tombstone_purges") === 1L)
