@@ -294,11 +294,13 @@ object NearDup {
         val gramsM = grams.localCheckpoint()
         val sample = dictProbe(
           gramsM.select(col("_id"), col("_len"), explode(col("_grams")).as("_gram")))
-        if (sample.length > dictBits)
+        if (sample.length > dictBits) {
+          gramsM.unpersist(false) // fail-fast must not pin the projection
           throw new IllegalArgumentException(
             s"forceStrategy=bitmap on a corpus with > $dictBits distinct grams — " +
               "the driver-side dictionary would not fit; use the auto route or " +
               "forceStrategy=prefix")
+        }
         bitmapJaccardPairs(gramsM, threshold, vocabOpt = Some(sample.sorted))
       case Some(_)        => prefixJaccardPairs(grams, exploded, threshold)
       case None =>

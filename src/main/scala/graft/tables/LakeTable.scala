@@ -427,19 +427,24 @@ final class LakeTable private (
     // concurrent plan (bounded perf blip), but never outlives the windows.
     val lock = LakeTable.spjConfLock
     lock.synchronized {
-      if (LakeTable.spjConfDepth == 0)
-        LakeTable.spjConfBaseline = spark.conf.getOption(shufKey)
-      LakeTable.spjConfDepth += 1
+      var st = LakeTable.spjConfState.get(spark)
+      if (st == null) { st = Array[Any](0, None); LakeTable.spjConfState.put(spark, st) }
+      if (st(0).asInstanceOf[Int] == 0) st(1) = spark.conf.getOption(shufKey)
+      st(0) = st(0).asInstanceOf[Int] + 1
       scanPartitions.foreach { n =>
         val cur = spark.conf.get(shufKey, "200").toInt
         if (cur > n && n > 0) spark.conf.set(shufKey, n.toString)
       }
     }
     try f finally lock.synchronized {
-      LakeTable.spjConfDepth -= 1
-      if (LakeTable.spjConfDepth == 0) LakeTable.spjConfBaseline match {
-        case Some(v) => spark.conf.set(shufKey, v)
-        case None    => spark.conf.unset(shufKey)
+      val st = LakeTable.spjConfState.get(spark)
+      st(0) = st(0).asInstanceOf[Int] - 1
+      if (st(0).asInstanceOf[Int] == 0) {
+        st(1).asInstanceOf[Option[String]] match {
+          case Some(v) => spark.conf.set(shufKey, v)
+          case None    => spark.conf.unset(shufKey)
+        }
+        LakeTable.spjConfState.remove(spark) // don't pin stopped sessions
       }
     }
   }
@@ -586,11 +591,16 @@ final class LakeTable private (
           .drop(SubSplitCol)
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         phase("write(mor-1job)")
+        touchInflight(commitRel)
         val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
         }
         val m = obs.get
+        if (m("_nrows").asInstanceOf[Long] > 0 && written.isEmpty)
+          throw new IllegalStateException(
+            s"staging dir $commitRel produced no files for a non-empty batch — " +
+              "was it swept by a concurrent expire()?")
         (written.keys.toSeq.sorted, writtenRows.values.sum,
           m("_nrows").asInstanceOf[Long],
           counterNames.map(n => n -> m(s"_c_$n").asInstanceOf[Long]).toMap,
@@ -676,8 +686,13 @@ final class LakeTable private (
             .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         }
         phase(if (spj) "write(spj)" else "write")
+        touchInflight(commitRel)
         val upserts = obs.get("_upserts").asInstanceOf[Long]
         val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
+        if ((rowsIn > 0 || oldTouchedRows > 0) && written.isEmpty)
+          throw new IllegalStateException(
+            s"staging dir $commitRel produced no files for a non-empty merge — " +
+              "was it swept by a concurrent expire()?")
         val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
           b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
         }
@@ -691,6 +706,19 @@ final class LakeTable private (
       // (another merge, a rebucket) still fails loudly: single ingest
       // writer by contract. ---
       def buildCommit(s: TableSnapshot): Option[TableSnapshot] = {
+        // a COMPACTION interleaving is logically inert for this merge's
+        // output, but a tombstone PURGE is not: our files were computed
+        // from pre-purge data, and republishing them over a bucket the
+        // purge rewrote would resurrect the reclaimed tombstones (undoing
+        // the purge and re-emitting its deletes into the changelog). Rare
+        // cross-fire — fail loudly and let the caller rerun the merge.
+        if (s.totals.getOrElse("tombstone_purges", 0L) !=
+              snap.totals.getOrElse("tombstone_purges", 0L) &&
+            touched.exists(b =>
+              s.bucketFiles.getOrElse(b, Nil) != snap.bucketFiles.getOrElse(b, Nil)))
+          throw new java.util.ConcurrentModificationException(
+            s"a tombstone purge rewrote buckets merge '$batchId' touched while it " +
+              "was in flight; rerun the merge against the purged table")
         val (newBucketFiles, newBucketRows, rowCount, newMorBuckets, newBucketLayers) =
           if (mor) {
             // APPEND the new layer; a bucket becomes dirty (needs read-time
@@ -809,10 +837,15 @@ final class LakeTable private (
           snap.keyCols :+ BucketCol, snap.orderCols)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
+    touchInflight(commitRel)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
     val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
       b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
     }
+    if (written.isEmpty && dirty.exists(b => snap.bucketRows.getOrElse(b, 0L) > 0))
+      throw new IllegalStateException(
+        s"staging dir $commitRel produced no files for non-empty dirty buckets — " +
+          "was it swept by a concurrent expire()?")
     // OCC: compaction is a logical no-op, so it rebases over ANY interleaved
     // commit with the same layout — a bucket the interleaved writer touched
     // (file list changed since we read it) is simply dropped from this
@@ -842,12 +875,8 @@ final class LakeTable private (
       }
     }
     // sweep staging output that lost the race (stale buckets, or everything)
-    val kept: Set[Int] = if (committed.isDefined) valid.toSet else Set.empty
-    written.foreach { case (b, fs) =>
-      if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
-    }
-    if (kept.isEmpty && Files.exists(Paths.get(root).resolve(commitRel)))
-      deleteRecursively(Paths.get(root).resolve(commitRel))
+    sweepStaging(commitRel, written,
+      kept = if (committed.isDefined) valid.toSet else Set.empty)
     if (committed.isDefined) valid.size else 0
     }
   }
@@ -885,8 +914,9 @@ final class LakeTable private (
           snap.keyCols :+ BucketCol, snap.orderCols))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
+    touchInflight(commitRel)
     // a bucket whose every key was tombstoned writes NO file — its list
-    // becomes empty, not carried forward
+    // becomes empty, not carried forward (so no empty-staging guard here)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
     val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
       b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
@@ -913,12 +943,8 @@ final class LakeTable private (
           bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) }))
       }
     }
-    val kept: Set[Int] = if (committed.isDefined) valid.toSet else Set.empty
-    written.foreach { case (b, fs) =>
-      if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
-    }
-    if (kept.isEmpty && Files.exists(Paths.get(root).resolve(commitRel)))
-      deleteRecursively(Paths.get(root).resolve(commitRel))
+    sweepStaging(commitRel, written,
+      kept = if (committed.isDefined) valid.toSet else Set.empty)
     if (committed.isDefined) valid.size else 0
     }
   }
@@ -1071,10 +1097,15 @@ final class LakeTable private (
           touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
         .drop(SubSplitCol)
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      touchInflight(commitRel)
       val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
       val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
         b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
       }
+      if (written.isEmpty && snap.rowCount > 0)
+        throw new IllegalStateException(
+          s"staging dir $commitRel produced no files rebucketing a non-empty table — " +
+            "was it swept by a concurrent expire()?")
       try {
         commit(reSnap.copy(
           version = newVersion,
@@ -1130,15 +1161,22 @@ final class LakeTable private (
     val dataDir = Paths.get(root, "data")
     var commitsRemoved = 0
     if (Files.isDirectory(dataDir)) {
-      def referencedNow(): Set[String] = Files.list(meta).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
-        .flatMap { v =>
-          try readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
-            .map(rel => rel.split('/').take(2).mkString("/")) // data/<dir>
-          catch { case _: java.nio.file.NoSuchFileException => Nil } // raced a later expire
-        }.toSet
+      // None = some v*.json was unreadable (deleted by a racing expire, or
+      // MID-WRITE by a racing commit — Files.write is not atomic): the
+      // keep-set is unknowable this instant, so the sweep must SKIP rather
+      // than delete on partial knowledge; the next pass reclaims.
+      def referencedNow(): Option[Set[String]] = {
+        val sets = Files.list(meta).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
+          .map { v =>
+            try Some(readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
+              .map(rel => rel.split('/').take(2).mkString("/")).toSet) // data/<dir>
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.toSeq
+        if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
+      }
       def inflight(n: String): Boolean = {
         val m = meta.resolve(s"inflight-$n")
         Files.exists(m) && {
@@ -1155,11 +1193,13 @@ final class LakeTable private (
           val n = p.getFileName.toString
           n.startsWith("commit-") || n.startsWith("maint-")
         }.toSeq
-      val referenced = referencedNow() // AFTER candidate listing
-      candidates.foreach { p =>
-        val n = p.getFileName.toString
-        if (!referenced.contains(s"data/$n") && !inflight(n)) {
-          deleteRecursively(p); commitsRemoved += 1
+      // AFTER candidate listing; None ⇒ skip the sweep entirely this pass
+      referencedNow().foreach { referenced =>
+        candidates.foreach { p =>
+          val n = p.getFileName.toString
+          if (!referenced.contains(s"data/$n") && !inflight(n)) {
+            deleteRecursively(p); commitsRemoved += 1
+          }
         }
       }
     }
@@ -1169,6 +1209,30 @@ final class LakeTable private (
   /** Run `f` with an `inflight-<dir>` marker protecting `commitRel`'s data
     * directory from a concurrent [[expire]] between first write and commit
     * (the dir is unreferenced by any snapshot during that window). */
+  /** Restart `commitRel`'s inflight-marker staleness clock — called the
+    * moment the (arbitrarily long) parquet write completes, so the marker
+    * TTL only ever has to cover the SHORT footer-list→commit window. A
+    * mid-write deletion by a stale-marker sweep is loud on its own (the
+    * write job fails on its vanished task files). */
+  private def touchInflight(commitRel: String): Unit = {
+    val m = Paths.get(root, "meta", s"inflight-${commitRel.stripPrefix("data/")}")
+    try Files.setLastModifiedTime(m,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Post-OCC staging sweep shared by compaction and purge: delete staged
+    * output of buckets that lost the rebase; remove the whole dir when
+    * nothing landed (tolerating a racing expire having removed it first). */
+  private def sweepStaging(commitRel: String, written: Map[Int, Seq[String]],
+      kept: Set[Int]): Unit = {
+    written.foreach { case (b, fs) =>
+      if (!kept.contains(b)) fs.foreach(rel => Files.deleteIfExists(Paths.get(root).resolve(rel)))
+    }
+    if (kept.isEmpty && Files.exists(Paths.get(root).resolve(commitRel)))
+      deleteRecursively(Paths.get(root).resolve(commitRel))
+  }
+
   private def withInflightMarker[A](commitRel: String)(f: => A): A = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
@@ -1308,10 +1372,12 @@ object LakeTable {
   final val DefaultRetainBatches = 128
 
   /** [[LakeTable.withSpjConfs]] shuffle-partition-cap coordination across
-    * the threads of one JVM (stream + maintenance share the session). */
+    * the threads sharing a session (stream + maintenance): PER-SESSION
+    * depth + baseline — sessions have independent conf stores, so a global
+    * counter would let one session's window clobber another's setting. */
   private[tables] val spjConfLock = new Object
-  private[tables] var spjConfDepth: Int = 0
-  private[tables] var spjConfBaseline: Option[String] = None
+  private[tables] val spjConfState =
+    new java.util.IdentityHashMap[SparkSession, Array[Any]]()
 
   /** Age after which an `inflight-<dir>` staging marker from a crashed
     * writer stops protecting its data dir from [[LakeTable.expire]] (no
