@@ -477,6 +477,55 @@ object SparkEntry {
         col("decimals").cast("int").as("decimals"),
         col("is_initialized"),
         leLongUdf(col("freeze_authority")).as("freeze_id"))
+    }),
+
+    // K1 CO-LOCATED JOIN (storage-partitioned join between two same-layout
+    // lake tables — zero exchange on either side, PlanSpec-pinned): a facts
+    // table (LWW of even events) joined with an enrichment table (LWW of
+    // odd events, carrying unresolved MOR debt) must equal the plain SQL
+    // join of the two LWW states.
+    "q38_colocated_join" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q38")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val facts = LakeTable.createOrOpen(s, s"$work/facts", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      facts.merge(ev.filter(col("event_id") % 2 === 0), "even", txn = Some(("q38a", 0L)))
+      val enrich = ev.filter(col("event_id") % 2 === 1).select(col("user_id"),
+        col("ts").as("b_ts"), col("event_id").as("b_event_id"), col("value").as("b_value"))
+      val dims = LakeTable.createOrOpen(s, s"$work/dims", enrich.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("b_ts", "b_event_id"), numBuckets = 16)
+      // merge-on-read: the join must resolve the layers in place, in-task
+      dims.merge(enrich.filter(col("b_event_id") % 4 === 1), "odd1",
+        txn = Some(("q38b", 0L)), mor = true)
+      dims.merge(enrich.filter(col("b_event_id") % 4 === 3), "odd3",
+        txn = Some(("q38b", 1L)), mor = true)
+      facts.colocatedJoin(dims).select(col("user_id"),
+        col("event_id").as("even_event_id"), col("b_event_id").as("odd_event_id"),
+        col("value").as("even_value"), col("b_value").as("odd_value"))
+    }),
+
+    // Multimodal VIDEO — REAL ISO-BMFF container metadata decode end-to-end
+    // with a DuckDB oracle: MP4 payloads are synthesized around the document
+    // text by an SQL-invertible rule, so the parsed width/height/duration/
+    // frame count are all independently recomputable by the oracle.
+    "q39_video_container_meta" -> ((s, dir) => {
+      val mp4 = udf((id: Long, text: String) => graft.etl.binary.IsoBmff.build(
+        width = (320 + (id % 4) * 160).toInt,
+        height = (180 + (id % 4) * 90).toInt,
+        durationMs = 1000 + (id % 60) * 500,
+        frameCount = 24 + 12 * (id % 60),
+        payload = Option(text).getOrElse("").getBytes("UTF-8")))
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"),
+        lit("video").as("media_type"), mp4(col("doc_id"), col("text")).as("payload"))
+      Multimodal.extractFeatures(media, new Multimodal.MediaDecoder.Dispatch(8))
+        .toDF().select(col("media_id"),
+          col("features")(0).cast("long").as("width"),
+          col("features")(1).cast("long").as("height"),
+          (col("features")(2) * 1000).cast("long").as("duration_ms"),
+          col("features")(3).cast("long").as("frames"),
+          col("status"))
     })
   )
 
@@ -663,6 +712,29 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
           |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+      // colocated join = plain SQL join of the two per-key LWW states
+      "q38_colocated_join" ->
+        """WITH e AS (SELECT user_id, event_id, value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+          |o AS (SELECT user_id, event_id, value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+          |SELECT e.user_id, e.event_id AS even_event_id, o.event_id AS odd_event_id,
+          |  e.value AS even_value, o.value AS odd_value
+          |FROM e JOIN o ON e.user_id = o.user_id""".stripMargin,
+      // the MP4 writer/parser pair is SQL-invertible by construction: every
+      // parsed field recomputes from doc_id alone
+      "q39_video_container_meta" ->
+        """SELECT doc_id AS media_id,
+          | CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+          | CAST(180 + (doc_id % 4) * 90 AS BIGINT) AS height,
+          | CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms,
+          | CAST(24 + 12 * (doc_id % 60) AS BIGINT) AS frames,
+          | 'ok' AS status
+          |FROM documents""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

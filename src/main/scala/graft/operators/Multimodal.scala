@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   * them — batched `mapPartitions` with a pluggable decoder.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, null
-  * handling) is REAL and tested, and so are two of the three decoders:
-  * images decode through JDK ImageIO ([[MediaDecoder.ImageIODecoder]]) and
-  * audio through JDK javax.sound.sampled ([[MediaDecoder.AudioDecoder]]) —
-  * no external codec jars. Only VIDEO remains a stub
-  * ([[MediaDecoder.Deterministic]], seeded fake features — video codecs are
-  * genuinely absent from the JDK); swap in a real decoder (JNI/JavaCV/etc.)
-  * behind the same trait for production. This mirrors a Python `mapInPandas`
-  * pandas-UDF stage: the decoder receives a BATCH of payloads (amortizing
-  * per-call model/codec setup), not one row at a time.
+  * handling) is REAL and tested, and so is every modality's decodable
+  * layer: images decode through JDK ImageIO
+  * ([[MediaDecoder.ImageIODecoder]]), audio through JDK javax.sound.sampled
+  * ([[MediaDecoder.AudioDecoder]]), and video CONTAINER metadata through an
+  * in-house ISO-BMFF box parser ([[MediaDecoder.VideoContainerDecoder]],
+  * [[graft.etl.binary.IsoBmff]]) — no external codec jars anywhere. The
+  * only remaining stub is video PIXEL decode (the JDK genuinely ships no
+  * video codec); swap a frame decoder (JNI/JavaCV/etc.) in behind the same
+  * trait for production. This mirrors a Python `mapInPandas` pandas-UDF
+  * stage: the decoder receives a BATCH of payloads (amortizing per-call
+  * model/codec setup), not one row at a time.
   */
 object Multimodal {
 
@@ -189,12 +191,47 @@ object Multimodal {
         }
     }
 
-    /** Production shape: REAL decode where a JDK codec exists (images via
-      * ImageIO, audio via javax.sound.sampled), deterministic stub where it
-      * doesn't (video only). */
+    /** REAL video CONTAINER decode via the in-house ISO-BMFF box parser
+      * ([[graft.etl.binary.IsoBmff]], JDK-only): the metadata a pipeline
+      * filters/buckets on — dimensions, duration, frame count, track
+      * inventory — comes from the actual MP4 box tree. Only PIXEL decode
+      * stays out of reach in this environment (the JDK ships no video
+      * codecs); a production build swaps a frame decoder in behind the same
+      * trait without touching the container path.
+      *
+      * Feature vector (dim 8, all deterministic):
+      * [width, height, duration seconds, frame count, fps,
+      *  video tracks, audio tracks, log10(payload bytes)].
+      * Non-MP4 / truncated payloads → status "error". */
+    final class VideoContainerDecoder extends MediaDecoder {
+      override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+        batch.map { case (id, mtype, payload) =>
+          if (payload == null || payload.isEmpty)
+            MediaFeatures(id, mtype, 0L, Array.fill(8)(0f), "empty")
+          else graft.etl.binary.IsoBmff.parse(payload) match {
+            case None =>
+              MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
+            case Some(info) =>
+              val durS = info.durationMs / 1000.0
+              val fps = if (durS > 0) info.frameCount / durS else 0.0
+              MediaFeatures(id, mtype, payload.length.toLong,
+                Array(info.width.toFloat, info.height.toFloat, durS.toFloat,
+                  info.frameCount.toFloat, fps.toFloat,
+                  info.videoTracks.toFloat, info.audioTracks.toFloat,
+                  math.log10(payload.length.toDouble).toFloat), "ok")
+          }
+        }
+    }
+
+    /** Production shape: REAL decode for every modality's decodable layer —
+      * images via ImageIO, audio via javax.sound.sampled, video container
+      * metadata via the ISO-BMFF parser (pixel decode alone remains
+      * environment-stubbed); anything else falls back to the deterministic
+      * stub. */
     final class Dispatch(dim: Int = 8) extends MediaDecoder {
       private val image = new ImageIODecoder
       private val audio = new AudioDecoder
+      private val video = new VideoContainerDecoder
       private val other = new Deterministic(dim)
       override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] = {
         // reassemble POSITIONALLY (not by media_id: duplicate ids within a
@@ -206,7 +243,9 @@ object Multimodal {
           dec.decodeBatch(part.map(_._1)).zip(part).foreach { case (f, (_, i)) => out(i) = f }
         run(image, indexed.filter(_._1._2 == "image"))
         run(audio, indexed.filter(_._1._2 == "audio"))
-        run(other, indexed.filterNot(e => e._1._2 == "image" || e._1._2 == "audio"))
+        run(video, indexed.filter(_._1._2 == "video"))
+        run(other, indexed.filterNot(e =>
+          e._1._2 == "image" || e._1._2 == "audio" || e._1._2 == "video"))
         out.toSeq
       }
     }

@@ -385,6 +385,87 @@ final class LakeTable private (
       else hit)
   }
 
+  /** CO-LOCATED READ: the same resolved current state as [[read]], but
+    * served from the partitioning-reporting DSv2 scan with the bucket
+    * column (`_gbucket`) RETAINED, so Catalyst still knows the rows are
+    * clustered by the table's bucket function. Joining two same-layout
+    * tables' `readBucketed()` on `(keys…, _gbucket)` storage-partition-joins
+    * with ZERO exchange on either side — see [[colocatedJoin]]. The LWW
+    * resolve runs uniformly over every bucket (clean buckets are already
+    * one-row-per-key, so the agg is a per-bucket no-op pass that rides the
+    * scan's partitioning without shuffling; dirty buckets resolve exactly
+    * as in [[read]]). */
+  def readBucketed(): DataFrame = {
+    val s = snapshot()
+    val resolved = Dedup.latestByKey(
+      bucketScanDF(s, 0 until s.numBuckets), s.keyCols :+ BucketCol, s.orderCols)
+    visible(s, resolved)
+  }
+
+  /** CO-LOCATED JOIN of two same-layout lake tables (≙ Iceberg
+    * storage-partitioned join / Hive bucket-map-join): both sides come from
+    * their partitioning-reporting scans, so Catalyst aligns them bucket by
+    * bucket and plans NO exchange on either side — at a 100 TB fact table
+    * joined with a 10 TB enrichment table bucketed the same way, this is
+    * the difference between streaming both sides task-locally and shuffling
+    * 110 TB.
+    *
+    * Requirements (validated): identical bucket counts and positionally
+    * identical key column TYPES (the bucket function `pmod(xxhash64(keys),
+    * B)` hashes values, so equal values of equal types land in equal
+    * buckets; key NAMES may differ). `joinType` must be left-preserving
+    * (`inner`, `left`/`left_outer`, `left_semi`/`semi`, `left_anti`/`anti`)
+    * so the left key columns remain the join's key columns in the output.
+    *
+    * Output: the left table's columns, then (for non-semi/anti joins) the
+    * right table's non-key payload columns — suffixed `_r` where the name
+    * collides with a left column. Key equality is null-safe (`<=>`), so
+    * null-keyed rows join like the merge path treats them (one LWW group),
+    * plus bucket equality (`===`, non-null) which is what the
+    * storage-partitioned planner keys on. */
+  def colocatedJoin(other: LakeTable, joinType: String = "inner"): DataFrame = {
+    val ls = snapshot(); val rs = other.snapshot()
+    require(ls.numBuckets == rs.numBuckets,
+      s"colocatedJoin needs identical bucket counts: ${ls.numBuckets} vs ${rs.numBuckets} " +
+        s"(rebucket() one side first)")
+    require(ls.keyCols.length == rs.keyCols.length,
+      s"colocatedJoin needs the same key arity: ${ls.keyCols} vs ${rs.keyCols}")
+    val lSchema = StructType.fromDDL(ls.schemaDdl)
+    val rSchema = StructType.fromDDL(rs.schemaDdl)
+    ls.keyCols.zip(rs.keyCols).foreach { case (lk, rk) =>
+      require(lSchema(lk).dataType == rSchema(rk).dataType,
+        s"colocatedJoin key type mismatch: $lk ${lSchema(lk).dataType} vs " +
+          s"$rk ${rSchema(rk).dataType} — different types hash to different buckets")
+    }
+    val leftPreserving =
+      Set("inner", "left", "left_outer", "leftouter", "semi", "left_semi",
+        "leftsemi", "anti", "left_anti", "leftanti")
+    val jt = joinType.toLowerCase.replace(" ", "_")
+    require(leftPreserving.contains(jt),
+      s"colocatedJoin supports left-preserving join types only, got '$joinType' " +
+        "(for right/full-outer semantics, swap the sides / union the anti rows)")
+    val left = readBucketed()
+    // rename EVERY right column to a reserved temp name first: the two
+    // tables may share any column names, and Column-by-DataFrame references
+    // across a self-join-like pair are ambiguous otherwise
+    val right0 = other.readBucketed()
+    val right = right0.columns.foldLeft(right0) {
+      (df, c) => df.withColumnRenamed(c, s"_cj_$c")
+    }
+    val keyCond = ls.keyCols.zip(rs.keyCols)
+      .map { case (lk, rk) => left(lk) <=> right(s"_cj_$rk") }
+    val cond = (keyCond :+ (left(BucketCol) === right(s"_cj_$BucketCol"))).reduce(_ && _)
+    val joined = left.join(right, cond, jt)
+    val semiOrAnti = jt.contains("semi") || jt.contains("anti")
+    val leftCols = left.columns.filterNot(_ == BucketCol).toSeq
+    val rightPayload =
+      if (semiOrAnti) Seq.empty
+      else rs.keyCols.foldLeft(rSchema.fieldNames.toSeq)((cs, k) => cs.filterNot(_ == k))
+    joined.select(leftCols.map(col) ++ rightPayload.map { c =>
+      col(s"_cj_$c").as(if (leftCols.contains(c)) s"${c}_r" else c)
+    }: _*)
+  }
+
   private def bucketExpr(keyCols: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
 

@@ -184,6 +184,34 @@ class PlanSpec extends SparkTestBase {
     assert(t.logicalRowCount() === 16L)
   }
 
+  test("colocatedJoin of two same-layout tables plans ZERO exchanges " +
+      "(storage-partitioned join, both sides task-local)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val rootA = java.nio.file.Files.createTempDirectory("plancjA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("plancjB").toString
+    val sa = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val sb = StructType.fromDDL("k STRING, wv BIGINT, meta STRING")
+    val a = LakeTable.createOrOpen(spark, rootA, sa, Seq("k"), Seq("wv"), 4)
+    val b = LakeTable.createOrOpen(spark, rootB, sb, Seq("k"), Seq("wv"), 4)
+    a.merge((0 until 16).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "a1")
+    // B carries unresolved MOR layers: the join must still not shuffle
+    b.merge((0 until 12).map(i => (s"k$i", 1L, s"m$i")).toDF("k", "wv", "meta"), "b1", mor = true)
+    b.merge((0 until 12).map(i => (s"k$i", 2L, s"n$i")).toDF("k", "wv", "meta"), "b2", mor = true)
+    assert(b.snapshot().morBuckets.nonEmpty)
+    a.withSpjConfs() {
+      val joined = a.colocatedJoin(b)
+      val p = plan(joined)
+      assert(nodes(p, "Exchange") === 0,
+        s"colocated join must not shuffle either side:\n${p.take(4000)}")
+      val rows = joined.as[(String, Long, String, Long, String)].collect()
+      assert(rows.length === 12)
+      // right side resolved to its LWW winner (wv=2) before joining
+      assert(rows.forall { case (_, _, _, wvR, m) => wvR == 2L && m.startsWith("n") })
+    }
+  }
+
   test("projected changelog read prunes unread payload columns at the DSv2 " +
       "bucket scan (SupportsPushDownRequiredColumns)") {
     import graft.tables.LakeTable

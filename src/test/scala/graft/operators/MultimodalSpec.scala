@@ -90,19 +90,39 @@ class MultimodalImageIOSpec extends SparkTestBase {
   }
 
   test("Dispatch routes images to ImageIO, audio to javax.sound, video to " +
-      "the stub, preserving input order") {
+      "the ISO-BMFF container parser, preserving input order") {
     val dec = new Multimodal.MediaDecoder.Dispatch
-    val stub = new Multimodal.MediaDecoder.Deterministic()
     val img = png(4, 4, 0x808080)
     val audioBytes = wav(440.0)
-    val videoBytes = Array.tabulate[Byte](64)(_.toByte)
+    val videoBytes = graft.etl.binary.IsoBmff.build(
+      width = 640, height = 360, durationMs = 2500, frameCount = 60,
+      withAudio = true, payload = Array.tabulate[Byte](64)(_.toByte))
     val out = dec.decodeBatch(Seq(
       (10L, "audio", audioBytes), (11L, "image", img), (12L, "video", videoBytes)))
     assert(out.map(_.media_id) === Seq(10L, 11L, 12L))
     assert(out(1).features(0) === 4f)    // real image decode
     assert(out(0).features(0) === 8000f) // real audio decode
-    assert(out(2).features.toSeq ===
-      stub.decodeBatch(Seq((12L, "video", videoBytes))).head.features.toSeq)
+    val v = out(2)                       // real container metadata decode
+    assert(v.status === "ok")
+    assert(v.features(0) === 640f && v.features(1) === 360f) // width, height
+    assert(v.features(2) === 2.5f)                           // duration s
+    assert(v.features(3) === 60f)                            // frame count
+    assert(v.features(4) === 24f)                            // fps = 60/2.5
+    assert(v.features(5) === 1f && v.features(6) === 1f)     // vide + soun tracks
+  }
+
+  test("VideoContainerDecoder fails closed on junk and truncated containers") {
+    val dec = new Multimodal.MediaDecoder.VideoContainerDecoder
+    val good = graft.etl.binary.IsoBmff.build(320, 240, 1000, 24)
+    val Seq(junk, trunc, empty, ok) = dec.decodeBatch(Seq(
+      (1L, "video", Array.tabulate[Byte](64)(_.toByte)),
+      (2L, "video", good.take(good.length / 2)), // cut inside moov
+      (3L, "video", Array.empty[Byte]),
+      (4L, "video", good))).toSeq
+    assert(junk.status === "error" && junk.payload_bytes === 64L)
+    assert(trunc.status === "error")
+    assert(empty.status === "empty")
+    assert(ok.status === "ok" && ok.features(0) === 320f)
   }
 
   test("extractFeatures runs the ImageIO decoder distributed over a DataFrame") {

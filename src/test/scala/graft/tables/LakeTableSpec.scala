@@ -683,4 +683,56 @@ class LakeTableSpec extends SparkTestBase {
       counterCols = Map("null_values" -> count(when(col("v").isNull, 1))))
     assert(classic.snapshot().lineage("b1").counters === e.counters)
   }
+
+  test("colocatedJoin equals the plain join of read()s across join types, " +
+      "resolves MOR debt, hides tombstones, and validates layouts") {
+    import org.apache.spark.sql.functions.col
+    val a = newTable(buckets = 4)
+    val bSchema = StructType.fromDDL("key STRING, ver BIGINT, meta STRING, gone BOOLEAN")
+    val b = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("laketblB").toString, bSchema,
+      keyCols = Seq("key"), orderCols = Seq("ver"), numBuckets = 4,
+      tombstoneCol = Some("gone"))
+    a.merge((0 until 20).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "a1")
+    a.merge((0 until 10).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "a2", mor = true)
+    b.merge((5 until 15).map(i => (s"k$i", 1L, s"m$i", false))
+      .toDF("key", "ver", "meta", "gone"), "b1")
+    // k5/k6 deleted in B: they must not join
+    b.merge(Seq(("k5", 2L, "x", true), ("k6", 2L, "x", true))
+      .toDF("key", "ver", "meta", "gone"), "b2", mor = true)
+    val aRead = a.read(); val bRead = b.read()
+    val expected = aRead.join(bRead, aRead("k") === bRead("key"), "inner")
+
+    val inner = a.colocatedJoin(b).as[(String, Long, String, Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    // joined keys: k7..k9 (wv=2 winners) and k10..k14 (wv=1) — k5/k6 tombstoned
+    assert(inner.map(_._1).toSeq === (7 to 14).map(i => s"k$i").sortBy(identity))
+    assert(inner.forall { case (k, wv, v, ver, m, gone) =>
+      ver == 1L && m == s"m${k.drop(1)}" && !gone &&
+        (if (k.drop(1).toInt < 10) wv == 2L && v.startsWith("w") else wv == 1L)
+    })
+    assert(expected.count() === 8L)
+
+    val semi = a.colocatedJoin(b, "left_semi")
+    assert(semi.columns.toSeq === Seq("k", "wv", "v"))
+    assert(semi.as[(String, Long, String)].collect().map(_._1).sorted.toSeq ===
+      (7 to 14).map(i => s"k$i").sorted.toSeq)
+    val anti = a.colocatedJoin(b, "left_anti")
+    assert(anti.count() === 12L) // 20 - 8 joined
+    val leftJoin = a.colocatedJoin(b, "left_outer")
+    assert(leftJoin.count() === 20L)
+    assert(leftJoin.filter(col("meta").isNull).count() === 12L)
+
+    // layout validation fails loudly
+    val c8 = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("laketblC").toString, schema,
+      keyCols = Seq("k"), orderCols = Seq("wv"), numBuckets = 8)
+    intercept[IllegalArgumentException](a.colocatedJoin(c8))
+    val typed = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("laketblD").toString,
+      StructType.fromDDL("k BIGINT, wv BIGINT, v STRING"),
+      keyCols = Seq("k"), orderCols = Seq("wv"), numBuckets = 4)
+    intercept[IllegalArgumentException](a.colocatedJoin(typed))
+    intercept[IllegalArgumentException](a.colocatedJoin(b, "full_outer"))
+  }
 }
