@@ -506,6 +506,26 @@ object SparkEntry {
         col("value").as("even_value"), col("b_value").as("odd_value"))
     }),
 
+    // K1 SCHEMA EVOLUTION end-to-end WITH a DuckDB oracle (north-rule
+    // requirement: enrichment columns added as nullable columns without
+    // rewrite): wave 1 merges WITHOUT event_type, wave 2 merges WITH it —
+    // rows whose LWW winner predates the evolution must read as NULL.
+    "q40_schema_evolution" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q40")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val narrow = ev.drop("event_type")
+      val table = LakeTable.createOrOpen(s, s"$work/table", narrow.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      table.merge(narrow.filter(col("event_id") % 2 === 0), "pre-evo",
+        txn = Some(("q40", 0L)))
+      table.merge(ev.filter(col("event_id") % 2 === 1), "post-evo",
+        txn = Some(("q40", 1L)))
+      table.read().select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
     // Multimodal VIDEO — REAL ISO-BMFF container metadata decode end-to-end
     // with a DuckDB oracle: MP4 payloads are synthesized around the document
     // text by an SQL-invertible rule, so the parsed width/height/duration/
@@ -725,6 +745,16 @@ object SparkEntry {
           |SELECT e.user_id, e.event_id AS even_event_id, o.event_id AS odd_event_id,
           |  e.value AS even_value, o.value AS odd_value
           |FROM e JOIN o ON e.user_id = o.user_id""".stripMargin,
+      // schema evolution: the LWW winner is computed over ALL events, but
+      // event_type reads as NULL when the winner was written before the
+      // column existed (the even-event_id wave)
+      "q40_schema_evolution" ->
+        """SELECT user_id, event_id AS last_event_id,
+          | CASE WHEN event_id % 2 = 1 THEN event_type END AS last_event_type,
+          | value AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1""".stripMargin,
       // the MP4 writer/parser pair is SQL-invertible by construction: every
       // parsed field recomputes from doc_id alone
       "q39_video_container_meta" ->

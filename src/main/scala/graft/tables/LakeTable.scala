@@ -397,8 +397,18 @@ final class LakeTable private (
     * as in [[read]]). */
   def readBucketed(): DataFrame = {
     val s = snapshot()
-    val resolved = Dedup.latestByKey(
-      bucketScanDF(s, 0 until s.numBuckets), s.keyCols :+ BucketCol, s.orderCols)
+    val scan = bucketScanDF(s, 0 until s.numBuckets)
+    // CLEAN table (no merge-on-read debt): every bucket is post-LWW, one
+    // row per key — serve the scan DIRECTLY. Besides skipping a no-op agg,
+    // this leaves the scan immediately under any join the caller writes, so
+    // Catalyst's dynamic partition pruning can hand the join's key set to
+    // the scan at runtime (SupportsRuntimeFiltering: non-matching buckets
+    // do zero I/O). With MOR debt the LWW resolve (which still rides the
+    // scan partitioning, no exchange) sits in between and DPP does not
+    // apply — compact() to restore prunability.
+    val resolved =
+      if (s.morBuckets.isEmpty) scan
+      else Dedup.latestByKey(scan, s.keyCols :+ BucketCol, s.orderCols)
     visible(s, resolved)
   }
 

@@ -7,8 +7,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
@@ -139,9 +139,48 @@ final class LakeBucketScanBuilder(root: String, snap: graft.tables.TableSnapshot
 
 final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     buckets: Seq[Int], readDataSchema: StructType, pushedFilters: Array[sources.Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+
+  /** RUNTIME BUCKET PRUNING (≙ Iceberg's dynamic partition pruning): a join
+    * of this scan against a selective build side hands the build side's key
+    * values here at runtime; every bucket none of them hashes into keeps
+    * its (stable, KGP-reported) partition but drops its FILE LIST — the
+    * scan does zero I/O for it. At a 100 TB table joined with a 10k-key
+    * batch this turns a full-table scan into ~min(10k, B) bucket reads.
+    *
+    * Single-key tables only: an `In` filter on one column of a composite
+    * key cannot evaluate the bucket hash. Spark's contract allows partial
+    * application (the join still evaluates exact equality above the scan),
+    * so bucket granularity — and ignoring non-In filters — is safe.
+    * KeyGroupedPartitioning requires the partition-value set to be IDENTICAL
+    * after runtime filtering (BatchScanExec re-checks it), which is why
+    * pruning empties a bucket's files rather than dropping its partition. */
+  @volatile private var runtimeKept: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (snap.keyCols.size == 1) Array(Expressions.column(snap.keyCols.head))
+    else Array.empty
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val key = snap.keyCols.head
+    val dt = dataSchema(key).dataType
+    val keptSets = filters.collect {
+      case sources.In(attr, values) if attr == key =>
+        // null never equi-joins, so a null build-side key prunes nothing
+        values.filter(_ != null).map { v =>
+          val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)), 42L)
+            .eval(null).asInstanceOf[Long]
+          math.floorMod(h, snap.numBuckets.toLong).toInt
+        }.toSet
+    }
+    if (keptSets.nonEmpty) {
+      runtimeKept = Some(keptSets.reduce(_ intersect _))
+      LakeBucketScan.runtimePrunes.incrementAndGet()
+    }
+  }
   private val partitionSchema =
     StructType(Seq(StructField(LakeBucketSource.BucketCol, IntegerType, nullable = false)))
 
@@ -165,7 +204,9 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     // getFileStatus loop over every layered file would re-run on every
     // (re)planning of the scan — the same driver-serial pattern the
     // parallel footer pass removed from the merge
-    val allRel = buckets.sorted.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).distinct
+    val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
+    val allRel = buckets.sorted.filter(keep)
+      .flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).distinct
     val lens: Map[String, Long] =
       if (allRel.size <= 1)
         allRel.map { rel =>
@@ -199,12 +240,14 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
         finally pool.shutdown()
       }
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
-      val files = snap.bucketFiles.getOrElse(b, Nil).map { rel =>
-        PartitionedFile(
-          partitionValues = InternalRow(b),
-          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
-          start = 0L, length = lens(rel))
-      }.toArray
+      val files =
+        if (!keep(b)) Array.empty[PartitionedFile] // runtime-pruned: no I/O
+        else snap.bucketFiles.getOrElse(b, Nil).map { rel =>
+          PartitionedFile(
+            partitionValues = InternalRow(b),
+            filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+            start = 0L, length = lens(rel))
+        }.toArray
       LakeBucketPartition(idx, b, files): InputPartition
     }.toArray
   }
@@ -237,6 +280,12 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
       sqlConf, broadcasted, dataSchema, readDataSchema, partitionSchema,
       pushedFilters, None, new ParquetOptions(Map.empty[String, String], sqlConf)))
   }
+}
+
+object LakeBucketScan {
+  /** test-visible: number of scans that received a runtime filter (the
+    * pruning itself is otherwise observable only as absent I/O) */
+  val runtimePrunes = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** One bucket = one input partition; `partitionKey` is what Catalyst groups

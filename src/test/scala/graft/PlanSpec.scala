@@ -212,6 +212,33 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bucket pruning: a selective broadcast join hands its key set " +
+      "to the scan at runtime (SupportsRuntimeFiltering ≙ Iceberg DPP)") {
+    import graft.tables.LakeTable
+    import graft.tables.dsv2.LakeBucketScan
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planrtf").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 8)
+    t.merge((0 until 2000).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    // the build side needs a SELECTIVE FILTER that survives optimization
+    // (a filtered local Seq constant-folds away) — a filtered range does
+    val dim = spark.range(0, 200)
+      .filter(col("id") % 50 === 17) // 17, 67, 117, 167
+      .select(concat(lit("k"), col("id")).as("dk"))
+    val before = LakeBucketScan.runtimePrunes.get()
+    val joined = t.readBucketed().join(broadcast(dim), col("k") === col("dk"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a runtime filter on the bucket scan:\n${p.take(3000)}")
+    val rows = joined.select("k", "v").as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq ===
+      Seq("k117" -> "v117", "k167" -> "v167", "k17" -> "v17", "k67" -> "v67"))
+    assert(LakeBucketScan.runtimePrunes.get() > before,
+      "the scan never received the runtime key set")
+  }
+
   test("projected changelog read prunes unread payload columns at the DSv2 " +
       "bucket scan (SupportsPushDownRequiredColumns)") {
     import graft.tables.LakeTable
