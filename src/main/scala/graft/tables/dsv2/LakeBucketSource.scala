@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
@@ -139,9 +139,32 @@ final class LakeBucketScanBuilder(root: String, snap: graft.tables.TableSnapshot
 
 final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     buckets: Seq[Int], readDataSchema: StructType, pushedFilters: Array[sources.Filter])
-    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+
+  /** Metadata-only statistics (SupportsReportStatistics): row counts come
+    * from the snapshot's incrementally-maintained per-bucket counters, size
+    * from rows × the READ schema's default size. Without this Catalyst
+    * assigns the scan `spark.sql.defaultSizeInBytes` (effectively infinite),
+    * so a join against even a tiny lake table would never auto-broadcast —
+    * with it, broadcast decisions and AQE thresholds see the real magnitude.
+    * Runtime filtering tightens the estimate to the kept buckets (stats are
+    * re-read after runtime filters in adaptive re-planning). */
+  override def estimateStatistics(): Statistics = {
+    val kept = runtimeKept
+    val rows = buckets.iterator
+      .filter(b => kept.forall(_.contains(b)))
+      .map(b => snap.bucketRows.getOrElse(b, 0L)).sum
+    val rowBytes = readSchema().defaultSize.toLong.max(1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** RUNTIME BUCKET PRUNING (≙ Iceberg's dynamic partition pruning): a join
     * of this scan against a selective build side hands the build side's key

@@ -200,16 +200,44 @@ class PlanSpec extends SparkTestBase {
     b.merge((0 until 12).map(i => (s"k$i", 1L, s"m$i")).toDF("k", "wv", "meta"), "b1", mor = true)
     b.merge((0 until 12).map(i => (s"k$i", 2L, s"n$i")).toDF("k", "wv", "meta"), "b2", mor = true)
     assert(b.snapshot().morBuckets.nonEmpty)
-    a.withSpjConfs() {
+    // pin the AT-SCALE shape: with SupportsReportStatistics a test-sized
+    // table is (correctly) small enough to auto-broadcast, which would hide
+    // the storage-partitioned plan this test exists to lock
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try a.withSpjConfs() {
       val joined = a.colocatedJoin(b)
       val p = plan(joined)
       assert(nodes(p, "Exchange") === 0,
         s"colocated join must not shuffle either side:\n${p.take(4000)}")
+      assert(nodes(p, "BroadcastExchange") === 0,
+        s"colocated join must not broadcast under a disabled threshold:\n${p.take(4000)}")
       val rows = joined.as[(String, Long, String, Long, String)].collect()
       assert(rows.length === 12)
       // right side resolved to its LWW winner (wv=2) before joining
       assert(rows.forall { case (_, _, _, wvR, m) => wvR == 2L && m.startsWith("n") })
-    }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("the scan reports metadata statistics: a small lake table " +
+      "auto-broadcasts in a join (SupportsReportStatistics)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planstats").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 50).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    // big probe side (no broadcast hint anywhere): Catalyst must choose to
+    // broadcast the LAKE side purely from the scan's reported statistics —
+    // under the old defaultSizeInBytes fallback it would sort-merge
+    val probe = spark.range(0, 50000)
+      .select(concat(lit("k"), col("id") % 200).as("pk"), col("id"))
+    val joined = probe.join(t.readBucketed(), col("pk") === col("k"))
+    val p = plan(joined)
+    assert(nodes(p, "BroadcastExchange") === 1,
+      s"expected the small lake side to auto-broadcast from reported stats:\n${p.take(3000)}")
+    assert(joined.count() === 50L * 250) // 50 matching keys × 250 ids each
   }
 
   test("runtime bucket pruning: a selective broadcast join hands its key set " +
