@@ -546,6 +546,42 @@ object SparkEntry {
           (col("features")(2) * 1000).cast("long").as("duration_ms"),
           col("features")(3).cast("long").as("frames"),
           col("status"))
+    }),
+
+    // K1/§2.9 STREAMING CHANGELOG (CDF tail as a Structured Streaming
+    // source) end-to-end WITH a DuckDB oracle: three merges land as three
+    // table versions; an AvailableNow drain with maxVersionsPerBatch=1
+    // yields one micro-batch per version, and batch k must carry EXACTLY the
+    // rows that became the per-key LWW winner at wave k — i.e. each emitted
+    // row is the winner among its key's events with wave <= its own wave.
+    // Batch attribution (the `wave` column) is part of the oracle.
+    "q41_cdf_stream" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q41")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      (0 until 3).foreach { k =>
+        table.merge(ev.filter(col("event_id") % 3 === k), s"cdf-$k",
+          txn = Some(("q41", k.toLong)))
+      }
+      val q = table.readChangeStream(
+          Map("startingVersion" -> "0", "maxVersionsPerBatch" -> "1"))
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("wave", lit(id))
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("wave"))
     })
   )
 
@@ -765,6 +801,19 @@ object SparkEntry {
           | CAST(24 + 12 * (doc_id % 60) AS BIGINT) AS frames,
           | 'ok' AS status
           |FROM documents""".stripMargin,
+      // CDF tail drained one version per micro-batch: an event is emitted in
+      // batch `wave` (its merge wave, event_id % 3) iff it is the LWW winner
+      // among its key's events with wave <= its own — i.e. no strictly
+      // later (ts, event_id) tuple exists in an earlier-or-equal wave
+      "q41_cdf_stream" ->
+        """WITH ev AS (SELECT user_id, ts, event_id, event_type, value,
+          |  event_id % 3 AS wave FROM events)
+          |SELECT e.user_id, e.event_id AS last_event_id,
+          |  e.event_type AS last_event_type, e.value AS last_value, e.wave
+          |FROM ev e
+          |WHERE NOT EXISTS (SELECT 1 FROM ev x WHERE x.user_id = e.user_id
+          |  AND x.wave <= e.wave
+          |  AND (x.ts > e.ts OR (x.ts = e.ts AND x.event_id > e.event_id)))""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

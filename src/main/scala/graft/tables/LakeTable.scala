@@ -314,6 +314,23 @@ final class LakeTable private (
     }
   }
 
+  /** STREAMING CHANGELOG (CDC egress as a Structured Streaming source —
+    * ≙ Delta CDF / a binlog tail of this table): an unbounded stream whose
+    * micro-batches are consecutive [[readChanges]] windows, offsets = table
+    * versions, checkpoint-resumable. See
+    * [[graft.tables.dsv2.LakeCdfSource]] for the options and the per-bucket
+    * zero-shuffle execution shape.
+    *
+    * {{{
+    *   table.readChangeStream()
+    *     .writeStream.option("checkpointLocation", ckpt)
+    *     .foreachBatch((df, id) => downstream.merge(df, s"c-\$id")).start()
+    * }}}
+    */
+  def readChangeStream(options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(graft.tables.dsv2.LakeCdfSource.Name)
+      .option("root", root).options(options).load()
+
   /** LOGICAL row count (rows a full [[read]] would return). Free when no
     * merge-on-read debt is outstanding; otherwise one small job over the
     * dirty buckets only (their stored counts include shadowed versions).

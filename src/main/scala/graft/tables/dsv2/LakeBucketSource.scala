@@ -81,6 +81,75 @@ object LakeBucketSource {
   private[dsv2] def scanSchema(snap: graft.tables.TableSnapshot): StructType =
     StructType(StructType.fromDDL(snap.schemaDdl).fields :+
       StructField(BucketCol, IntegerType, nullable = false))
+
+  /** Stat file lengths in BOUNDED PARALLEL with a timeout: a serial
+    * driver-side getFileStatus loop over every layered file would re-run on
+    * every (re)planning of a scan, and a hung filesystem must fail planning
+    * with a diagnostic, not wedge the driver forever. Shared by the batch
+    * bucket scan and the CDF stream's micro-batch planning. */
+  private[dsv2] def statLengths(root: String, allRel: Seq[String],
+      conf: Configuration): Map[String, Long] =
+    if (allRel.size <= 1)
+      allRel.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+        rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+      }.toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, allRel.size),
+        (r: Runnable) => {
+          val t = new Thread(r, "lake-bucket-stat")
+          t.setDaemon(true)
+          t
+        })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(allRel.map { rel =>
+        Future {
+          val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+          rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+      }), 5.minutes).toMap
+      catch {
+        case _: TimeoutException => throw new java.io.IOException(
+          s"timed out (5 min) statting ${allRel.size} data files under $root — " +
+            "filesystem unreachable or pathologically slow")
+      }
+      finally pool.shutdown()
+    }
+
+  /** Build Spark's own vectorized parquet reader factory, mirroring
+    * `ParquetScan`'s configuration (requested schemas + the conf bits the
+    * readers consult) into a broadcast hadoop conf. Shared by the batch
+    * bucket scan and the CDF stream readers. */
+  private[dsv2] def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
+      readDataSchema: StructType, partitionSchema: StructType,
+      filters: Array[sources.Filter]): ParquetPartitionReaderFactory = {
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      readDataSchema.json)
+    hadoopConf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA,
+      readDataSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      sqlConf, broadcasted, dataSchema, readDataSchema, partitionSchema,
+      filters, None, new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
 }
 
 final class LakeBucketTable(options: CaseInsensitiveStringMap)
@@ -223,45 +292,10 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    // stat all file lengths in BOUNDED PARALLEL: a serial driver-side
-    // getFileStatus loop over every layered file would re-run on every
-    // (re)planning of the scan — the same driver-serial pattern the
-    // parallel footer pass removed from the merge
     val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
     val allRel = buckets.sorted.filter(keep)
       .flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).distinct
-    val lens: Map[String, Long] =
-      if (allRel.size <= 1)
-        allRel.map { rel =>
-          val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
-          rel -> p.getFileSystem(conf).getFileStatus(p).getLen
-        }.toMap
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-        import scala.concurrent.duration._
-        // daemon threads + a bounded wait: a hung filesystem must fail query
-        // planning with a diagnostic, not wedge the driver forever
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, allRel.size),
-          (r: Runnable) => {
-            val t = new Thread(r, "lake-bucket-stat")
-            t.setDaemon(true)
-            t
-          })
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-        try Await.result(Future.sequence(allRel.map { rel =>
-          Future {
-            val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
-            rel -> p.getFileSystem(conf).getFileStatus(p).getLen
-          }
-        }), 5.minutes).toMap
-        catch {
-          case _: TimeoutException => throw new java.io.IOException(
-            s"timed out (5 min) statting ${allRel.size} data files under $root — " +
-              "filesystem unreachable or pathologically slow")
-        }
-        finally pool.shutdown()
-      }
+    val lens = LakeBucketSource.statLengths(root, allRel, conf)
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
       val files =
         if (!keep(b)) Array.empty[PartitionedFile] // runtime-pruned: no I/O
@@ -275,34 +309,9 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val sqlConf = spark.sessionState.conf
-    // mirror ParquetScan's reader configuration (schemas + the conf bits the
-    // vectorized reader consults) before shipping the conf to executors
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    hadoopConf.set(
-      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    hadoopConf.set(
-      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-      readDataSchema.json)
-    hadoopConf.set(
-      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA,
-      readDataSchema.json)
-    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
-    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
-    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sqlConf.parquetInferTimestampNTZEnabled)
-    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      sqlConf.legacyParquetNanosAsLong)
-    val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    new LakeBucketReaderFactory(ParquetPartitionReaderFactory(
-      sqlConf, broadcasted, dataSchema, readDataSchema, partitionSchema,
-      pushedFilters, None, new ParquetOptions(Map.empty[String, String], sqlConf)))
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeBucketReaderFactory(LakeBucketSource.parquetReaderFactory(
+      SparkSession.active, dataSchema, readDataSchema, partitionSchema, pushedFilters))
 }
 
 object LakeBucketScan {

@@ -1,0 +1,406 @@
+package graft.tables.dsv2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Optional => JOptional}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.{LakeTable, TableSnapshot}
+
+/** STREAMING CHANGELOG SOURCE (CDC egress ≙ Delta CDF / Iceberg incremental
+  * read, expressed as a Spark `MicroBatchStream`): tail a
+  * [[graft.tables.LakeTable]] as an unbounded stream of changed rows —
+  * `spark.readStream.format(LakeCdfSource.Name).option("root", …).load()`.
+  *
+  * Offsets are TABLE VERSIONS: micro-batch `(v1, v2]` emits exactly
+  * `readChanges(v1, v2)` — every row whose LWW `(keys…, orderCols…)` tuple
+  * is a winner at v2 but was not present at v1 (deletes surface as
+  * tombstone-flagged rows; same contract as the batch changelog,
+  * `LakeTable.scala` readChanges). Structured Streaming checkpoints the
+  * version offsets, so a killed-and-restarted query resumes from its last
+  * committed version with no duplicates and no gaps — the downstream half of
+  * the exactly-once story (the ingest half is the merge's `(app, seq)`
+  * ledger).
+  *
+  * Scale shape (one task per CHANGED bucket, zero shuffles, no driver data):
+  *  1. metadata-only bucket pruning — buckets whose file lists are identical
+  *     at both versions are never read;
+  *  2. the OLD side of each changed bucket is read COLUMN-PRUNED to
+  *     `keys… ++ orderCols…` (parquet never materializes payload bytes) into
+  *     a per-task hash set. No LWW resolve is needed there: winners are
+  *     monotone under the LWW fold, so a new-side winner's tuple can only
+  *     ever equal the old side's WINNER for that key, never a shadowed
+  *     layer row — plain membership over all old tuples is exact;
+  *  3. the NEW side streams through Spark's own parquet reader and emits
+  *     rows whose tuple is absent from the old set. Merge-on-read buckets
+  *     are LWW-folded in the task first (bounded by one bucket, the same
+  *     working set a compaction task holds).
+  *
+  * Versions crossing a REBUCKET are handled without a layout-crossing join:
+  * the rebucket commit changes no logical rows, so admission control clamps
+  * each micro-batch at the layout boundary and the boundary window diffs
+  * `(v1, R-1]` under the old layout (the rebucket version R itself
+  * contributes nothing).
+  *
+  * Options: `root` (table root); `startingVersion` = `latest` (default —
+  * only changes after the stream starts) | `earliest` (full history from
+  * the oldest retained version, i.e. an initial snapshot load + tail) | a
+  * version number; `maxVersionsPerBatch` (admission control: cap how many
+  * table versions one micro-batch spans); `allowPurgedWindow` (override the
+  * fail-loud guard on windows spanning a tombstone purge).
+  *
+  * Failure contract: if the stream falls behind [[LakeTable.expire]]'s
+  * retention (its checkpointed version is no longer on disk), planning fails
+  * with a clear error instead of silently skipping versions — size
+  * `expire(keepVersions=…)` to cover the slowest consumer, exactly like
+  * binlog retention vs replica lag.
+  *
+  * The stream's schema is FIXED at query start (the table schema at source
+  * resolution). Columns added by later schema evolution are not surfaced
+  * until the query restarts; evolved files project onto the start schema
+  * (missing columns read as null — the same alignment the batch changelog
+  * applies).
+  */
+final class LakeCdfSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = LakeBucketSource.require(options, "root")
+    val version = LakeCdfSource.currentVersion(root)
+    StructType.fromDDL(LakeTable.readSnapshot(Paths.get(root), version).schemaDdl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new LakeCdfTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LakeCdfSource {
+  /** format name for spark.readStream.format(...) */
+  val Name: String = classOf[LakeCdfSource].getName
+
+  private[dsv2] def currentVersion(root: String): Long = {
+    val vf = Paths.get(root, "meta", "VERSION")
+    if (Files.exists(vf))
+      new String(Files.readAllBytes(vf), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private[dsv2] def earliestRetainedVersion(root: String): Long = {
+    val meta = Paths.get(root, "meta")
+    val st = Files.list(meta)
+    val vs =
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq
+      finally st.close()
+    require(vs.nonEmpty, s"no table versions under $meta")
+    vs.min
+  }
+}
+
+final class LakeCdfTable(streamSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val root = LakeBucketSource.require(options, "root")
+
+  override def name(): String = s"lake_cdf($root)"
+  override def schema(): StructType = streamSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LakeCdfScan(root, streamSchema, options)
+    }
+}
+
+final class LakeCdfScan(root: String, streamSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = streamSchema
+  override def description(): String = s"LakeCdfScan(root=$root)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeCdfStream(root, streamSchema, options)
+}
+
+/** version offset: `{"version":N}` means "changes up to and including table
+  * version N have been emitted" */
+final case class LakeCdfOffset(version: Long) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+final class LakeCdfStream(root: String, streamSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow with ReportsSourceMetrics {
+
+  private val maxVersionsPerBatch: Long =
+    Option(options.get("maxVersionsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
+  require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+  private val allowPurgedWindow: Boolean =
+    Option(options.get("allowPurgedWindow")).exists(_.toBoolean)
+
+  /** snapshots are immutable once committed — cache them driver-side;
+    * entries at or below the committed offset are dropped in [[commit]] */
+  private val snapCache = mutable.Map.empty[Long, TableSnapshot]
+  private def snap(v: Long): TableSnapshot = synchronized {
+    snapCache.getOrElseUpdate(v,
+      try LakeTable.readSnapshot(Paths.get(root), v)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"table version $v of $root is not readable — if the stream lagged " +
+            "past expire()'s retention window, raise keepVersions to cover the " +
+            "slowest changelog consumer (like binlog retention vs replica lag)", e)
+      })
+  }
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(LakeCdfSource.currentVersion(root))
+
+  override def initialOffset(): Offset = {
+    val v = Option(options.get("startingVersion")).getOrElse("latest") match {
+      case "latest" => LakeCdfSource.currentVersion(root)
+      case "earliest" => LakeCdfSource.earliestRetainedVersion(root)
+      case n => n.toLong
+    }
+    LakeCdfOffset(v)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  /** Admission control: advance from `start` to the current table version,
+    * clamped by (a) `maxVersionsPerBatch`, (b) the Trigger.AvailableNow
+    * target pinned at query start, and (c) the first REBUCKET boundary —
+    * a micro-batch never spans a bucket-layout change (the boundary batch
+    * ends AT the rebucket version; its diff runs under the old layout
+    * against the pre-rebucket snapshot, which is logically identical). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LakeCdfOffset].version
+    var end = LakeCdfSource.currentVersion(root)
+    availableNowTarget.foreach(t => end = math.min(end, t))
+    val cap = // saturating from + maxVersionsPerBatch (unlimited default overflows)
+      if (maxVersionsPerBatch > Long.MaxValue - from) Long.MaxValue
+      else from + maxVersionsPerBatch
+    end = math.min(end, cap)
+    if (end <= from) return LakeCdfOffset(from)
+    // clamp at the first layout change (rebucket counter bump) in (from, end]
+    val baseRebuckets = rebucketsAt(from)
+    var v = from + 1
+    while (v <= end) {
+      if (rebucketsAt(v) != baseRebuckets) return LakeCdfOffset(v)
+      v += 1
+    }
+    LakeCdfOffset(end)
+  }
+
+  private def rebucketsAt(v: Long): Long = snap(v).totals.getOrElse("rebuckets", 0L)
+
+  override def reportLatestOffset(): Offset =
+    LakeCdfOffset(LakeCdfSource.currentVersion(root))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LakeCdfOffset].version
+    val to = end.asInstanceOf[LakeCdfOffset].version
+    if (to <= from) return Array.empty
+    val fromSnap = snap(from)
+    // a window ending AT a rebucket diffs against the pre-rebucket version:
+    // the rebucket commit itself changed no logical rows (maintenance-only by
+    // construction — asserted here), and (from, to-1] shares fromSnap's layout
+    val toSnap0 = snap(to)
+    val toSnap =
+      if (toSnap0.numBuckets == fromSnap.numBuckets) toSnap0
+      else {
+        val pre = snap(to - 1)
+        require(pre.numBuckets == fromSnap.numBuckets &&
+          toSnap0.totals.getOrElse("rebuckets", 0L) ==
+            pre.totals.getOrElse("rebuckets", 0L) + 1L,
+          s"micro-batch ($from, $to] spans a bucket-layout change that is not " +
+            "a single rebucket boundary — admission control should have " +
+            "clamped this window (is the checkpoint from an older source?)")
+        pre
+      }
+    require(allowPurgedWindow ||
+      toSnap.totals.getOrElse("tombstone_purges", 0L) ==
+        fromSnap.totals.getOrElse("tombstone_purges", 0L),
+      s"changelog window ($from, $to] spans a tombstone purge: deletes purged " +
+        "inside the window cannot surface to this consumer. Purge only after " +
+        "every changelog consumer has passed the deletes' versions, or set " +
+        "option allowPurgedWindow=true")
+    val changed = toSnap.bucketFiles.keys.filter { b =>
+      toSnap.bucketFiles.getOrElse(b, Nil) != fromSnap.bucketFiles.getOrElse(b, Nil)
+    }.toSeq.sorted
+    if (changed.isEmpty) return Array.empty
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val allRel = changed.flatMap(b =>
+      fromSnap.bucketFiles.getOrElse(b, Nil) ++ toSnap.bucketFiles.getOrElse(b, Nil)).distinct
+    val lens = LakeBucketSource.statLengths(root, allRel, conf)
+    def files(s: TableSnapshot, b: Int): Array[PartitionedFile] =
+      s.bucketFiles.getOrElse(b, Nil).map { rel =>
+        PartitionedFile(
+          partitionValues = InternalRow.empty,
+          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+          start = 0L, length = lens(rel))
+      }.toArray
+    changed.zipWithIndex.map { case (b, idx) =>
+      LakeCdfPartition(idx, b, files(fromSnap, b), files(toSnap, b),
+        newDirty = toSnap.morBuckets.contains(b)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val s = snap(LakeCdfSource.currentVersion(root))
+    val keyOrder = (s.keyCols ++ s.orderCols).toIndexedSeq
+    val tupleSchema = StructType(keyOrder.map(c => streamSchema(streamSchema.fieldIndex(c))))
+    val empty = StructType(Nil)
+    // old side reads ONLY the LWW tuple columns (parquet-pruned); new side
+    // reads the stream's full fixed schema
+    val oldFactory = LakeBucketSource.parquetReaderFactory(
+      spark, tupleSchema, tupleSchema, empty, Array.empty)
+    val newFactory = LakeBucketSource.parquetReaderFactory(
+      spark, streamSchema, streamSchema, empty, Array.empty)
+    new LakeCdfReaderFactory(oldFactory, newFactory, streamSchema,
+      s.keyCols, s.orderCols)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    LakeCdfOffset(m.get("version").asLong())
+  }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val v = end.asInstanceOf[LakeCdfOffset].version
+    snapCache.filterInPlace((k, _) => k >= v)
+  }
+
+  override def stop(): Unit = ()
+
+  override def metrics(latestConsumed: JOptional[Offset]): java.util.Map[String, String] = {
+    val cur = LakeCdfSource.currentVersion(root)
+    val consumed = if (latestConsumed.isPresent)
+      latestConsumed.get.asInstanceOf[LakeCdfOffset].version else cur
+    Map(
+      "tableVersion" -> cur.toString,
+      "versionsBehind" -> math.max(0L, cur - consumed).toString).asJava
+  }
+}
+
+/** One CHANGED bucket = one input partition: old-version files (tuple
+  * columns only) + new-version files (full rows). */
+final case class LakeCdfPartition(index: Int, bucket: Int,
+    oldFiles: Array[PartitionedFile], newFiles: Array[PartitionedFile],
+    newDirty: Boolean) extends InputPartition
+
+final class LakeCdfReaderFactory(oldFactory: ParquetPartitionReaderFactory,
+    newFactory: ParquetPartitionReaderFactory, streamSchema: StructType,
+    keyCols: Seq[String], orderCols: Seq[String]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LakeCdfPartitionReader(p.asInstanceOf[LakeCdfPartition],
+      oldFactory, newFactory, streamSchema, keyCols, orderCols)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Per-bucket changed-row reader. Memory bound: the old side holds one
+  * UnsafeRow of `keys… ++ orderCols…` per stored old-version row of THIS
+  * bucket (payload columns are never read); a merge-on-read new side
+  * additionally folds its winners (≤ one bucket — the compaction working
+  * set). Equality is byte-wise on the projected tuple, which is exactly the
+  * batch changelog's null-safe `<=>` semantics. */
+final class LakeCdfPartitionReader(p: LakeCdfPartition,
+    oldFactory: ParquetPartitionReaderFactory,
+    newFactory: ParquetPartitionReaderFactory, streamSchema: StructType,
+    keyCols: Seq[String], orderCols: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val tupleSchema = StructType(
+    (keyCols ++ orderCols).map(c => streamSchema(streamSchema.fieldIndex(c))))
+
+  // (keys…, orders…) tuples present in the OLD version of this bucket — the
+  // old reader's output schema IS the tuple schema, so this is an identity
+  // projection to a hashable UnsafeRow
+  private val oldTuples: java.util.HashSet[UnsafeRow] = {
+    val set = new java.util.HashSet[UnsafeRow]()
+    if (p.oldFiles.nonEmpty) {
+      val proj = UnsafeProjection.create(tupleSchema)
+      val r = oldFactory.createReader(FilePartition(p.index, p.oldFiles))
+      try while (r.next()) set.add(proj(r.get()).copy())
+      finally r.close()
+    }
+    set
+  }
+
+  private def bound(cols: Seq[String]) = cols.map { c =>
+    val i = streamSchema.fieldIndex(c)
+    BoundReference(i, streamSchema(i).dataType, streamSchema(i).nullable)
+  }
+  private val tupleProj = UnsafeProjection.create(bound(keyCols ++ orderCols))
+
+  private var newReader: PartitionReader[InternalRow] = _
+  private var foldedIter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  if (p.newFiles.nonEmpty) {
+    newReader = newFactory.createReader(FilePartition(p.index, p.newFiles))
+    if (p.newDirty) {
+      // merge-on-read bucket: LWW-fold to winners in the task (ascending
+      // natural order on the order columns, matching the merge's max_by)
+      val keyProj = UnsafeProjection.create(bound(keyCols))
+      val orderProj = UnsafeProjection.create(bound(orderCols))
+      val ord = RowOrdering.createNaturalAscendingOrdering(
+        orderCols.map(c => streamSchema(streamSchema.fieldIndex(c)).dataType))
+      val winners = new java.util.HashMap[UnsafeRow, (UnsafeRow, InternalRow)]()
+      try while (newReader.next()) {
+        val row = newReader.get()
+        val k = keyProj(row)
+        val o = orderProj(row)
+        val prev = winners.get(k)
+        if (prev == null) winners.put(k.copy(), (o.copy(), row.copy()))
+        else if (ord.compare(o, prev._1) > 0) winners.put(k.copy(), (o.copy(), row.copy()))
+      } finally { newReader.close(); newReader = null }
+      foldedIter = winners.values().iterator().asScala.map(_._2)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (foldedIter != null) {
+      while (foldedIter.hasNext) {
+        val row = foldedIter.next()
+        if (!oldTuples.contains(tupleProj(row))) { current = row; return true }
+      }
+      false
+    } else if (newReader != null) {
+      while (newReader.next()) {
+        val row = newReader.get()
+        if (!oldTuples.contains(tupleProj(row))) { current = row; return true }
+      }
+      false
+    } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (newReader != null) { newReader.close(); newReader = null }
+}

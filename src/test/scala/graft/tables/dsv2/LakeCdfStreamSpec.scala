@@ -1,0 +1,178 @@
+package graft.tables.dsv2
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.tables.LakeTable
+
+/** Streaming changelog source (CDF tail): micro-batches == readChanges
+  * windows, checkpoint resume, rate limiting, deletes, merge-on-read,
+  * rebucket boundaries, schema evolution, purge guard. */
+class LakeCdfStreamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+
+  private def newTable(buckets: Int = 4, tombstone: Boolean = false): LakeTable = {
+    val root = Files.createTempDirectory("lakecdf").toString
+    if (tombstone)
+      LakeTable.createOrOpen(spark, root,
+        StructType.fromDDL("k STRING, wv BIGINT, v STRING, deleted BOOLEAN"),
+        Seq("k"), Seq("wv"), buckets, tombstoneCol = Some("deleted"))
+    else LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), buckets)
+  }
+
+  /** run an AvailableNow drain of the change stream, collecting each
+    * non-empty micro-batch's rows in order */
+  private def drain(t: LakeTable, ckpt: String,
+      options: Map[String, String] = Map.empty): Seq[(Long, Seq[Row])] = {
+    val batches = mutable.ArrayBuffer.empty[(Long, Seq[Row])]
+    val q = t.readChangeStream(options)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.collect().toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += ((id, rows)) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  private def rowSet(rows: Seq[Row]): Set[Seq[Any]] = rows.map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
+
+  test("stream batches equal the batch changelog windows and resume from checkpoint") {
+    val t = newTable()
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+
+    // full history from version 0: one drained batch == readChanges(0, v1)
+    val first = drain(t, ckpt, Map("startingVersion" -> "earliest"))
+    assert(rowSet(first.flatMap(_._2)) === rowSet(t.readChanges(0L, v1).collect().toSeq))
+    assert(rowSet(first.flatMap(_._2)) === rowSet(t.read().collect().toSeq))
+
+    // restart from the checkpoint: only the NEW merge surfaces (update one
+    // key, insert one, leave the rest untouched)
+    t.merge(Seq(("a", 2L, "a2"), ("d", 1L, "d1")).toDF("k", "wv", "v"), "b2")
+    val v2 = t.currentVersion()
+    val second = drain(t, ckpt)
+    assert(rowSet(second.flatMap(_._2)) === rowSet(t.readChanges(v1, v2).collect().toSeq))
+    assert(rowSet(second.flatMap(_._2)) ===
+      Set(Seq[Any]("a", 2L, "a2"), Seq[Any]("d", 1L, "d1")))
+
+    // nothing new → drained stream emits no batches
+    assert(drain(t, ckpt).isEmpty)
+  }
+
+  test("maxVersionsPerBatch=1 yields one micro-batch per table version") {
+    val t = newTable()
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    val v0 = t.currentVersion()
+    (1 to 3).foreach { i =>
+      t.merge(Seq((s"k$i", i.toLong, s"v$i"), ("hot", i.toLong, s"hot$i"))
+        .toDF("k", "wv", "v"), s"b$i")
+    }
+    val batches = drain(t, ckpt,
+      Map("startingVersion" -> v0.toString, "maxVersionsPerBatch" -> "1"))
+    assert(batches.size === 3)
+    batches.zipWithIndex.foreach { case ((_, rows), i) =>
+      assert(rowSet(rows) ===
+        rowSet(t.readChanges(v0 + i, v0 + i + 1).collect().toSeq))
+    }
+  }
+
+  test("deletes surface as tombstone rows; merge-on-read buckets fold to winners") {
+    val t = newTable(tombstone = true)
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false)), "b1", mor = true)
+    val v1 = t.currentVersion()
+    drain(t, ckpt) // position the checkpoint at v1
+
+    // MOR layers: two merges into the same buckets without compaction — the
+    // stream's reader must fold to winners, not emit shadowed layer rows
+    t.merge(df(("a", 2L, "a2", false), ("c", 1L, "c1", false)), "b2", mor = true)
+    t.merge(df(("a", 3L, "a3", false), ("b", 2L, null, true)), "b3", mor = true)
+    val v3 = t.currentVersion()
+    val rows = rowSet(drain(t, ckpt).flatMap(_._2))
+    assert(rows === rowSet(t.readChanges(v1, v3).collect().toSeq))
+    // the delete is IN the stream (flag set), winner-only for a
+    assert(rows.exists(r => r.head == "b" && r.last == true))
+    assert(rows.count(_.head == "a") === 1)
+    assert(rows.exists(r => r.head == "a" && r(1) == 3L))
+    // ... and hidden from the table read
+    assert(!t.read().select("k").as[String].collect().contains("b"))
+  }
+
+  test("a rebucket mid-stream is crossed as an empty maintenance boundary") {
+    val t = newTable(buckets = 4)
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    t.merge((1 to 20).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    drain(t, ckpt, Map("startingVersion" -> "0"))
+
+    t.merge(Seq(("k1", 2L, "k1@2")).toDF("k", "wv", "v"), "b2")
+    t.rebucket(8)
+    t.merge(Seq(("k2", 2L, "k2@2")).toDF("k", "wv", "v"), "b3")
+    val batches = drain(t, ckpt)
+    // the rebucket version contributes nothing; both merges surface exactly
+    assert(rowSet(batches.flatMap(_._2)) ===
+      Set(Seq[Any]("k1", 2L, "k1@2"), Seq[Any]("k2", 2L, "k2@2")))
+    // admission control split the drain at the layout boundary
+    assert(batches.size === 2)
+  }
+
+  test("stream schema is fixed at start; evolved columns project onto it") {
+    val t = newTable()
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    drain(t, ckpt) // checkpoint at v1 with the 3-column schema
+
+    // evolve: a later merge adds a nullable column. A restart re-resolves
+    // the source, so the drained batches carry the EVOLVED schema, and the
+    // window's old side (3-column files) reads cleanly through it.
+    t.merge(Seq(("a", 2L, "a2", "extra")).toDF("k", "wv", "v", "note"), "b2")
+    val batches = drain(t, ckpt)
+    val rows = batches.flatMap(_._2)
+    assert(rows.head.schema.fieldNames.toSeq === Seq("k", "wv", "v", "note"))
+    assert(rowSet(rows) === Set(Seq[Any]("a", 2L, "a2", "extra")))
+
+    // full-history replay under the evolved schema, one version per batch:
+    // the pre-evolution row's missing column projects as null
+    val all = rowSet(drain(t, Files.createTempDirectory("lakecdf-ckpt2").toString,
+      Map("startingVersion" -> "0", "maxVersionsPerBatch" -> "1")).flatMap(_._2))
+    assert(all === Set(Seq[Any]("a", 1L, "a1", null), Seq[Any]("a", 2L, "a2", "extra")))
+  }
+
+  test("a window spanning a tombstone purge fails loudly unless overridden") {
+    val t = newTable(tombstone = true)
+    def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false)), "b1")
+    val v1 = t.currentVersion()
+    t.merge(df(("b", 2L, null, true)), "b2")
+    t.purgeTombstones()
+
+    val ckpt1 = Files.createTempDirectory("lakecdf-ckpt").toString
+    val e = intercept[Exception] {
+      drain(t, ckpt1, Map("startingVersion" -> v1.toString))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("tombstone purge")))
+
+    val ckpt2 = Files.createTempDirectory("lakecdf-ckpt").toString
+    val rows = rowSet(drain(t, ckpt2,
+      Map("startingVersion" -> v1.toString, "allowPurgedWindow" -> "true")).flatMap(_._2))
+    // the delete itself was purged; the override acknowledges that loss
+    assert(!rows.exists(_.head == "b"))
+  }
+}
