@@ -582,8 +582,39 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"),
           col("wave"))
+    }),
+
+    // K1 SQL CATALOG + TIME TRAVEL end-to-end WITH a DuckDB oracle: the
+    // lake table consumed through plain Spark SQL via the TableCatalog
+    // plugin — `VERSION AS OF` must see the even-wave LWW state, the
+    // current read the full LWW state, both aggregated SQL-side.
+    "q42_sql_catalog" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.tables.dsv2.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$sqlWarehouse/q42tbl"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$sqlWarehouse/q42tbl", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      table.merge(ev.filter(col("event_id") % 2 === 0), "wave1", txn = Some(("q42", 0L)))
+      val v1 = table.currentVersion()
+      table.merge(ev.filter(col("event_id") % 2 === 1), "wave2", txn = Some(("q42", 1L)))
+      s.sql(
+        s"""SELECT 'v1' AS snap, event_type AS last_event_type, count(*) AS n_keys
+           |FROM graft_sql.q42tbl VERSION AS OF $v1 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v2' AS snap, event_type AS last_event_type, count(*) AS n_keys
+           |FROM graft_sql.q42tbl GROUP BY event_type""".stripMargin)
     })
   )
+
+  /** one warehouse per JVM: the SQL catalog instance is cached by Spark's
+    * CatalogManager after first resolution, so its warehouse conf must not
+    * change between invocations in the same session */
+  private lazy val sqlWarehouse: String = tempWorkDir("graft-sql-warehouse")
 
   /** Temp work dir for the e2e queries (q16/q30/q33): the returned DataFrame
     * is evaluated AFTER the query lambda returns, so the dir cannot be
@@ -814,6 +845,21 @@ object SparkEntry {
           |WHERE NOT EXISTS (SELECT 1 FROM ev x WHERE x.user_id = e.user_id
           |  AND x.wave <= e.wave
           |  AND (x.ts > e.ts OR (x.ts = e.ts AND x.event_id > e.event_id)))""".stripMargin,
+      // SQL-catalog read: VERSION AS OF v1 = LWW winners of the even wave,
+      // current = winners over all events, both grouped by event_type
+      "q42_sql_catalog" ->
+        """WITH w1 AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+          |w2 AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)
+          |SELECT 'v1' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM w1 GROUP BY event_type
+          |UNION ALL
+          |SELECT 'v2' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM w2 GROUP BY event_type""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -1,0 +1,406 @@
+package graft.tables.dsv2
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.{LakeTable, TableSnapshot}
+
+/** SQL CATALOG for lake tables (`TableCatalog` plugin): makes every
+  * [[graft.tables.LakeTable]] under a warehouse directory a first-class SQL
+  * table —
+  *
+  * {{{
+  *   spark.sql.catalog.lake           = graft.tables.dsv2.LakeCatalog
+  *   spark.sql.catalog.lake.warehouse = /data/lake
+  *
+  *   SELECT * FROM lake.accounts WHERE pubkey = x'…'    -- resolved LWW state
+  *   SELECT * FROM lake.accounts VERSION AS OF 7        -- time travel
+  *   CREATE TABLE lake.t (k STRING, wv BIGINT, v STRING)
+  *     TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='8')
+  *   SHOW TABLES IN lake
+  * }}}
+  *
+  * Reads have full table semantics, not raw-file semantics: merge-on-read
+  * buckets are LWW-resolved IN THE SCAN (one task per bucket folds its
+  * layers — the same working set a compaction task holds), and tombstoned
+  * keys are hidden, exactly like [[graft.tables.LakeTable.read]]. Clean
+  * buckets of an upsert-only table stream through Spark's vectorized
+  * columnar parquet path untouched. Column pruning, parquet stats pruning
+  * of pushed filters (clean buckets only — a row-group pruned under a
+  * merge-on-read fold could drop a key's winner and resurrect a shadowed
+  * row), snapshot statistics, and runtime (join-driven) bucket pruning all
+  * apply.
+  *
+  * Writes go through the typed API ([[graft.tables.LakeTable.merge]] — LWW
+  * tables need keyed merges, not blind INSERTs), except DDL: CREATE TABLE
+  * (with `keys`/`orders`/`buckets`/`tombstone` table properties), DROP
+  * TABLE, and RENAME TABLE are supported here.
+  */
+final class LakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tableRoot(ident: Identifier): JPath =
+    Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*)
+
+  private def isTable(p: JPath): Boolean = Files.exists(p.resolve("meta/VERSION"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val version = LakeCdfSource.currentVersion(root.toString)
+    new LakeSqlTable(ident, root.toString,
+      LakeTable.readSnapshot(root, version))
+  }
+
+  /** SQL time travel: `VERSION AS OF <v>` pins the table to a retained
+    * snapshot — the same contract as [[graft.tables.LakeTable.readAt]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val v = try version.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects a table version number, got '$version'")
+    }
+    require(Files.exists(root.resolve(s"meta/v$v.json")),
+      s"version $v of ${ident.name()} is not retained (expired or never existed)")
+    new LakeSqlTable(ident, root.toString, LakeTable.readSnapshot(root, v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported (the table ledger keys on versions); " +
+        "use VERSION AS OF <v>")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val root = tableRoot(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported: lake tables hash-bucket on their key " +
+        "columns — set TBLPROPERTIES('buckets'='N') instead")
+    val props = properties.asScala
+    val keys = props.getOrElse("keys",
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES('keys'='k1[,k2…]') — lake tables " +
+          "are keyed LWW upsert tables")).split(',').map(_.trim).toSeq
+    val orders = props.getOrElse("orders",
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES('orders'='o1[,o2…]') — the LWW " +
+          "ordering columns")).split(',').map(_.trim).toSeq
+    val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
+    val tombstone = props.get("tombstone")
+    LakeTable.createOrOpen(SparkSession.active, root.toString, schema,
+      keys, orders, buckets, tombstoneCol = tombstone)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported: schema evolves by merging batches " +
+        "carrying new nullable columns (LakeTable.merge)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) false
+    else { org.apache.commons.io.FileUtils.deleteDirectory(root.toFile); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableRoot(oldIdent)
+    val to = tableRoot(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+}
+
+/** One lake table pinned to one snapshot, exposed to SQL with the LOGICAL
+  * schema (no bucket column) and full read semantics. */
+final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"${ident.name()}@v${snap.version}"
+  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** surfaced so EXPLAIN/DESCRIBE shows the layout SQL users join on */
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(snap.numBuckets, snap.keyCols: _*))
+
+  override def properties(): JMap[String, String] =
+    Map(
+      "keys" -> snap.keyCols.mkString(","),
+      "orders" -> snap.orderCols.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "version" -> snap.version.toString).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSqlScanBuilder(root, snap)
+}
+
+final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+  private var requiredSchema: StructType = dataSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = {
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(dataSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val cols = dataSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(cols.contains))
+    filters // all residual: pushed copies only drive parquet stats pruning
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new LakeSqlScan(root, snap, requiredSchema, pushed)
+}
+
+final class LakeSqlScan(root: String, snap: TableSnapshot,
+    readDataSchema: StructType, pushedFilters: Array[sources.Filter])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
+
+  /** columns the per-task resolve needs beyond the projection: LWW tuple
+    * for merge-on-read folds, tombstone flag for visibility */
+  private def resolveSchema: StructType = {
+    val want = (readDataSchema.fieldNames ++ snap.keyCols ++ snap.orderCols ++
+      snap.tombstoneCol).distinct.toSet
+    StructType(dataSchema.fields.filter(f => want.contains(f.name)))
+  }
+
+  override def readSchema(): StructType = readDataSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LakeSqlScan(root=$root, v=${snap.version}, " +
+      s"ReadSchema=${readDataSchema.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushedFilters.mkString(", ")}])"
+
+  override def estimateStatistics(): Statistics = {
+    val kept = runtimeKept
+    val rows = snap.bucketRows.collect {
+      case (b, n) if kept.forall(_.contains(b)) => n }.sum
+    val rowBytes = readSchema().defaultSize.toLong.max(1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** runtime (join-driven) bucket pruning, same rule as the bucket scan:
+    * an In-filter on a single-key table's key hashes to the touched bucket
+    * set. No partitioning is reported here, so pruned buckets simply drop
+    * out of the partition list. */
+  @volatile private var runtimeKept: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (snap.keyCols.size == 1) Array(Expressions.column(snap.keyCols.head))
+    else Array.empty
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val key = snap.keyCols.head
+    val dt = dataSchema(key).dataType
+    val keptSets = filters.collect {
+      case sources.In(attr, values) if attr == key =>
+        values.filter(_ != null).map { v =>
+          val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)), 42L)
+            .eval(null).asInstanceOf[Long]
+          math.floorMod(h, snap.numBuckets.toLong).toInt
+        }.toSet
+    }
+    if (keptSets.nonEmpty) runtimeKept = Some(keptSets.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
+    val buckets = snap.bucketFiles.keys.toSeq.sorted
+      .filter(b => keep(b) && snap.bucketFiles(b).nonEmpty)
+    val lens = LakeBucketSource.statLengths(root,
+      buckets.flatMap(b => snap.bucketFiles(b)).distinct, conf)
+    buckets.zipWithIndex.map { case (b, idx) =>
+      val files = snap.bucketFiles(b).map { rel =>
+        PartitionedFile(
+          partitionValues = InternalRow.empty,
+          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+          start = 0L, length = lens(rel))
+      }.toArray
+      LakeSqlPartition(idx, b, files,
+        dirty = snap.morBuckets.contains(b)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // clean buckets of an upsert-only table pass straight through the
+    // vectorized columnar path with stats-pruning filters; buckets that
+    // need an in-task resolve (merge-on-read fold and/or tombstone hiding)
+    // read the resolve schema row-wise — WITHOUT pushed filters, which
+    // could prune a key's winner row-group and resurrect a shadowed row
+    val needsResolve = snap.morBuckets.nonEmpty || snap.tombstoneCol.isDefined
+    val plain = LakeBucketSource.parquetReaderFactory(
+      spark, dataSchema, readDataSchema, StructType(Nil), pushedFilters)
+    val resolve =
+      if (needsResolve)
+        LakeBucketSource.parquetReaderFactory(
+          spark, dataSchema, resolveSchema, StructType(Nil), Array.empty)
+      else null
+    new LakeSqlReaderFactory(plain, resolve, resolveSchema, readDataSchema,
+      snap.keyCols, snap.orderCols, snap.tombstoneCol,
+      uniformColumnar = !needsResolve)
+  }
+}
+
+final case class LakeSqlPartition(index: Int, bucket: Int,
+    files: Array[PartitionedFile], dirty: Boolean) extends InputPartition
+
+final class LakeSqlReaderFactory(plain: ParquetPartitionReaderFactory,
+    resolve: ParquetPartitionReaderFactory, resolveSchema: StructType,
+    readDataSchema: StructType, keyCols: Seq[String], orderCols: Seq[String],
+    tombstoneCol: Option[String], uniformColumnar: Boolean)
+    extends PartitionReaderFactory {
+
+  private def needsResolve(p: InputPartition): Boolean = p match {
+    case LakeSqlPartition(_, _, _, dirty) => dirty || tombstoneCol.isDefined
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LakeSqlPartition]
+    if (!needsResolve(p)) plain.createReader(FilePartition(part.index, part.files))
+    else new LakeSqlResolvingReader(part, resolve, resolveSchema,
+      readDataSchema, keyCols, orderCols, tombstoneCol)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[LakeSqlPartition]
+    plain.createColumnarReader(FilePartition(part.index, part.files))
+  }
+
+  /** Spark requires ONE answer across all partitions of a scan ("cannot mix
+    * row-based and columnar input partitions"), so the columnar fast path
+    * applies only when NO bucket needs an in-task resolve; a single dirty
+    * bucket (or a tombstone column) routes the whole scan row-wise. */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val part = p.asInstanceOf[LakeSqlPartition]
+    uniformColumnar && plain.supportColumnarReads(FilePartition(part.index, part.files))
+  }
+}
+
+/** Per-bucket table-semantics reader: LWW-fold merge-on-read layers (only
+  * when the bucket is dirty), hide tombstone winners, project to the
+  * pruned read schema. Memory bound: a dirty bucket's winners — the same
+  * working set a compaction task holds; a clean tombstoned bucket streams
+  * with O(1) state. */
+final class LakeSqlResolvingReader(p: LakeSqlPartition,
+    factory: ParquetPartitionReaderFactory, resolveSchema: StructType,
+    readDataSchema: StructType, keyCols: Seq[String], orderCols: Seq[String],
+    tombstoneCol: Option[String]) extends PartitionReader[InternalRow] {
+
+  private def bound(cols: Seq[String]) = cols.map { c =>
+    val i = resolveSchema.fieldIndex(c)
+    BoundReference(i, resolveSchema(i).dataType, resolveSchema(i).nullable)
+  }
+  private val outProj = UnsafeProjection.create(bound(readDataSchema.fieldNames.toSeq))
+  private val tombIdx = tombstoneCol.map(resolveSchema.fieldIndex)
+
+  private def visible(row: InternalRow): Boolean = tombIdx match {
+    case Some(i) => row.isNullAt(i) || !row.getBoolean(i)
+    case None => true
+  }
+
+  private var reader: PartitionReader[InternalRow] = _
+  private var foldedIter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  if (p.files.nonEmpty) {
+    reader = factory.createReader(FilePartition(p.index, p.files))
+    if (p.dirty) {
+      val keyProj = UnsafeProjection.create(bound(keyCols))
+      val orderProj = UnsafeProjection.create(bound(orderCols))
+      val ord = RowOrdering.createNaturalAscendingOrdering(
+        orderCols.map(c => resolveSchema(resolveSchema.fieldIndex(c)).dataType))
+      val winners = new java.util.HashMap[UnsafeRow, (UnsafeRow, InternalRow)]()
+      try while (reader.next()) {
+        val row = reader.get()
+        val k = keyProj(row)
+        val prev = winners.get(k)
+        if (prev == null || ord.compare(orderProj(row), prev._1) > 0)
+          winners.put(k.copy(), (orderProj(row).copy(), row.copy()))
+      } finally { reader.close(); reader = null }
+      foldedIter = winners.values().iterator().asScala.map(_._2)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (foldedIter != null) {
+      while (foldedIter.hasNext) {
+        val row = foldedIter.next()
+        if (visible(row)) { current = outProj(row); return true }
+      }
+      false
+    } else if (reader != null) {
+      while (reader.next()) {
+        val row = reader.get()
+        if (visible(row)) { current = outProj(row); return true }
+      }
+      false
+    } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}

@@ -1,0 +1,101 @@
+package graft.tables.dsv2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.tables.LakeTable
+
+/** SQL catalog over lake tables: reads with full table semantics (LWW
+  * resolve + tombstone hiding), time travel, DDL, pushdown, runtime bucket
+  * pruning through SQL joins. */
+class LakeCatalogSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("lake-warehouse").toString
+    spark.conf.set("spark.sql.catalog.lakecat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakecat.warehouse", w)
+    w
+  }
+
+  private def makeTable(name: String, tombstone: Boolean = false): LakeTable = {
+    val ddl = if (tombstone) "k STRING, wv BIGINT, v STRING, deleted BOOLEAN"
+    else "k STRING, wv BIGINT, v STRING"
+    LakeTable.createOrOpen(spark, s"$warehouse/$name", StructType.fromDDL(ddl),
+      Seq("k"), Seq("wv"), 4,
+      tombstoneCol = if (tombstone) Some("deleted") else None)
+  }
+
+  test("SQL reads resolve merge-on-read layers and match table.read()") {
+    val t = makeTable("t1")
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2", mor = true)
+    val sql = spark.sql("SELECT k, wv, v FROM lakecat.t1").collect()
+      .map(_.toSeq).toSet
+    assert(sql === t.read().collect().map(_.toSeq).toSet)
+    assert(sql === Set(Seq("a", 2L, "a2"), Seq("b", 1L, "b1"), Seq("c", 1L, "c1")))
+    // aggregates under full column pruning
+    assert(spark.sql("SELECT count(*) AS n FROM lakecat.t1").head().getLong(0) === 3L)
+  }
+
+  test("tombstoned keys are hidden from SQL exactly as from table.read()") {
+    val t = makeTable("t2", tombstone = true)
+    def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false)), "b1")
+    t.merge(df(("b", 2L, null, true)), "b2", mor = true)
+    val ks = spark.sql("SELECT k FROM lakecat.t2").as[String].collect().toSet
+    assert(ks === Set("a"))
+  }
+
+  test("VERSION AS OF pins a retained snapshot") {
+    val t = makeTable("t3")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "b2")
+    assert(spark.sql(s"SELECT v FROM lakecat.t3 VERSION AS OF $v1")
+      .as[String].collect().toSeq === Seq("a1"))
+    assert(spark.sql("SELECT v FROM lakecat.t3").as[String].collect().toSeq === Seq("a2"))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM lakecat.t3 VERSION AS OF 999").collect())
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("CREATE TABLE / SHOW TABLES / DROP TABLE round-trip through SQL DDL") {
+    warehouse // force catalog registration
+    spark.sql("CREATE TABLE lakecat.ddl_t (k STRING, wv BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='4')")
+    val t = LakeTable.createOrOpen(spark, s"$warehouse/ddl_t",
+      StructType.fromDDL("k STRING, wv BIGINT, v STRING"), Seq("k"), Seq("wv"), 4)
+    t.merge(Seq(("x", 1L, "x1")).toDF("k", "wv", "v"), "b1")
+    assert(spark.sql("SELECT v FROM lakecat.ddl_t").as[String].head() === "x1")
+    assert(spark.sql("SHOW TABLES IN lakecat").select("tableName")
+      .as[String].collect().contains("ddl_t"))
+    spark.sql("DROP TABLE lakecat.ddl_t")
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "ddl_t")))
+  }
+
+  test("filters and projections push to the scan; joins runtime-prune buckets") {
+    val t = makeTable("t5")
+    t.merge((1 to 100).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val df = spark.sql("SELECT v FROM lakecat.t5 WHERE k = 'k7'")
+    assert(df.as[String].collect().toSeq === Seq("v7"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema=k,v") || plan.contains("ReadSchema=k, v"),
+      s"expected pruned read schema in:\n$plan")
+    assert(plan.contains("PushedFilters=[") && plan.contains("EqualTo(k,k7)"),
+      s"expected pushed filter in:\n$plan")
+
+    // a selective broadcast join hands its keys to the scan at runtime:
+    // result correctness through the pruned path (the pruning itself drops
+    // whole buckets' partitions)
+    val probeDf = Seq("k3", "k42").toDF("k")
+    probeDf.createOrReplaceTempView("probes")
+    val joined = spark.sql(
+      "SELECT t.k, t.v FROM lakecat.t5 t JOIN probes p ON t.k = p.k")
+    assert(joined.collect().map(_.toSeq).toSet ===
+      Set(Seq("k3", "v3"), Seq("k42", "v42")))
+  }
+}
