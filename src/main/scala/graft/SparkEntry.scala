@@ -608,6 +608,30 @@ object SparkEntry {
            |UNION ALL
            |SELECT 'v2' AS snap, event_type AS last_event_type, count(*) AS n_keys
            |FROM graft_sql.q42tbl GROUP BY event_type""".stripMargin)
+    }),
+
+    // K1 TYPED CHANGELOG (≙ Delta Change Data Feed) end-to-end WITH a DuckDB
+    // oracle: insert / update_preimage / update_postimage / delete
+    // classification between two versions of a tombstone table
+    // (event_type='error' marks deletes), via the zero-exchange
+    // storage-partitioned full-outer join — the feed downstream incremental
+    // aggregation consumes (preimages = exact retractions).
+    "q43_typed_changelog" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      val work = tempWorkDir("graft-q43")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"),
+          (col("event_type") === "error").as("deleted"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16,
+        tombstoneCol = Some("deleted"))
+      table.merge(ev.filter(col("event_id") % 2 === 0), "wave1", txn = Some(("q43", 0L)))
+      val v1 = table.currentVersion()
+      table.merge(ev.filter(col("event_id") % 2 === 1), "wave2", txn = Some(("q43", 1L)))
+      table.readChangesTyped(v1, table.currentVersion())
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("_change_type").as("change_type"))
     })
   )
 
@@ -860,6 +884,39 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'v2' AS snap, event_type AS last_event_type, count(*) AS n_keys
           |FROM w2 GROUP BY event_type""".stripMargin,
+      // typed diff of the two per-key LWW winner sets: o = winners of the
+      // even wave, n = winners over all events; 'error' winners are
+      // tombstones. insert = n live where o absent-or-tombstone; updates =
+      // both live with a changed (ts, event_id) tuple (pre + post rows);
+      // delete = o live, n tombstone (payload = the deleted row o)
+      "q43_typed_changelog" ->
+        """WITH w1 AS (SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+          |w2 AS (SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)
+          |SELECT n.user_id, n.event_id AS last_event_id,
+          |  n.event_type AS last_event_type, n.value AS last_value,
+          |  'insert' AS change_type
+          |FROM w2 n LEFT JOIN w1 o ON n.user_id = o.user_id
+          |WHERE n.event_type <> 'error'
+          |  AND (o.user_id IS NULL OR o.event_type = 'error')
+          |UNION ALL
+          |SELECT o.user_id, o.event_id, o.event_type, o.value, 'update_preimage'
+          |FROM w1 o JOIN w2 n ON o.user_id = n.user_id
+          |WHERE o.event_type <> 'error' AND n.event_type <> 'error'
+          |  AND NOT (o.ts = n.ts AND o.event_id = n.event_id)
+          |UNION ALL
+          |SELECT n.user_id, n.event_id, n.event_type, n.value, 'update_postimage'
+          |FROM w1 o JOIN w2 n ON o.user_id = n.user_id
+          |WHERE o.event_type <> 'error' AND n.event_type <> 'error'
+          |  AND NOT (o.ts = n.ts AND o.event_id = n.event_id)
+          |UNION ALL
+          |SELECT o.user_id, o.event_id, o.event_type, o.value, 'delete'
+          |FROM w1 o JOIN w2 n ON o.user_id = n.user_id
+          |WHERE o.event_type <> 'error' AND n.event_type = 'error'""".stripMargin,
       "q03_manifest_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
           | CAST(sum(l_quantity) AS BIGINT) AS sum_qty

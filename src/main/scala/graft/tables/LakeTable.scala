@@ -314,6 +314,117 @@ final class LakeTable private (
     }
   }
 
+  /** TYPED CHANGELOG (≙ Delta Change Data Feed): every row-level change
+    * between two retained versions, classified in a `_change_type` column —
+    *
+    *  - `insert`           — the key had no live winner at `fromVersion`
+    *                         (absent, or shadowed by a tombstone);
+    *  - `update_preimage`  — the OLD winner row of a key whose LWW tuple
+    *                         changed (emit-then-retract consumers subtract
+    *                         this row…);
+    *  - `update_postimage` — …and add this one;
+    *  - `delete`           — the old winner of a key whose new winner is a
+    *                         tombstone (the payload is the DELETED row — the
+    *                         preimage a consumer must retract — not the
+    *                         tombstone marker).
+    *
+    * This is what downstream INCREMENTAL AGGREGATION needs: [[readChanges]]
+    * emits new winners only (no retractions), so a consumer can re-merge
+    * state but cannot maintain a SUM/COUNT; the typed feed carries exact
+    * preimages. Unlike [[readChanges]], a window spanning a tombstone PURGE
+    * is safe here: a key whose stored rows vanished entirely inside the
+    * window surfaces as `delete` with its pre-purge winner (synthesized from
+    * the old side), so no guard is needed.
+    *
+    * Scale shape: identical to [[readChanges]] — metadata bucket-diff
+    * pruning, both sides LWW-resolved riding the partitioning-reporting
+    * scan, then ONE storage-partitioned FULL-OUTER join per changed bucket
+    * (zero exchanges on either side; the same join shape as the merge
+    * itself) classified and exploded in place. Across a rebucket boundary it
+    * falls back to a logical key join (one shuffle per side, correct).
+    */
+  def readChangesTyped(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(Files.exists(Paths.get(root, "meta", s"v$v.json")),
+        s"version $v is not retained (expired or never existed) at $root")
+    }
+    val oldSnap = readSnapshot(Paths.get(root), fromVersion)
+    val newSnap = readSnapshot(Paths.get(root), toVersion)
+    val newSchema = StructType.fromDDL(newSnap.schemaDdl)
+    val keys = newSnap.keyCols
+
+    def align(df: DataFrame): DataFrame =
+      df.select(newSchema.fieldNames.toSeq.map { c =>
+        if (df.columns.contains(c)) col(c).cast(newSchema(c).dataType).as(c)
+        else lit(null).cast(newSchema(c).dataType).as(c)
+      } ++ df.columns.toSeq.filter(_ == BucketCol).map(col): _*)
+
+    // one winner row per key per side, packed into a struct so the join's
+    // output stays unambiguous; `extraKey` keeps the bucket a join key on
+    // the storage-partitioned path
+    def pack(winners: DataFrame, as: String, extraKey: Seq[String]): DataFrame =
+      winners.select((keys ++ extraKey).map(col) :+
+        struct(newSchema.fieldNames.toSeq.map(col): _*).as(as): _*)
+
+    def classified(joined: DataFrame): DataFrame = {
+      val o = col("_orow")
+      val n = col("_nrow")
+      def live(s: Column) = s.isNotNull &&
+        newSnap.tombstoneCol.fold(lit(true))(tc => !coalesce(s.getField(tc), lit(false)))
+      def tomb(s: Column) = s.isNotNull &&
+        newSnap.tombstoneCol.fold(lit(false))(tc => coalesce(s.getField(tc), lit(false)))
+      val sameTuple = newSnap.orderCols.map(c => o.getField(c) <=> n.getField(c))
+        .reduce(_ && _)
+      def c(t: String, row: Column) =
+        struct(lit(t).as("_change_type"), row.as("_row"))
+      // no `otherwise`: unmatched keys (tuple unchanged, tombstone→tombstone)
+      // yield NULL, and explode() of a null array emits zero rows
+      val changes =
+        when(live(n) && (o.isNull || tomb(o)), array(c("insert", n)))
+          .when(live(o) && live(n) && !sameTuple,
+            array(c("update_preimage", o), c("update_postimage", n)))
+          .when(live(o) && (n.isNull || tomb(n)), array(c("delete", o)))
+      joined.select(explode(changes).as("_c"))
+        .select(col("_c._row.*"), col("_c._change_type").as("_change_type"))
+    }
+
+    if (oldSnap.numBuckets != newSnap.numBuckets) {
+      // rebucket inside the window: bucket alignment is meaningless — join
+      // the fully-resolved sides logically on the keys
+      val o = pack(align(readSnapshotDF(oldSnap)), "_orow", Nil).alias("o")
+      val n = pack(align(readSnapshotDF(newSnap)), "_nrow", Nil).alias("n")
+      val cond = keys.map(k => col(s"n.$k") <=> col(s"o.$k")).reduce(_ && _)
+      return classified(n.join(o, cond, "full_outer"))
+    }
+    val changed = newSnap.bucketFiles.keys.filter { b =>
+      newSnap.bucketFiles.getOrElse(b, Nil) != oldSnap.bucketFiles.getOrElse(b, Nil)
+    }.toSeq.sorted
+    if (changed.isEmpty) {
+      val empty = StructType(newSchema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+    withSpjConfs(Some(changed.size)) {
+      def side(s: TableSnapshot, as: String): DataFrame = {
+        val aligned = align(bucketScanDF(s, changed))
+        val winners =
+          if (changed.exists(s.morBuckets.contains))
+            Dedup.latestByKey(aligned, s.keyCols :+ BucketCol, s.orderCols)
+          else aligned
+        pack(winners, as, Seq(BucketCol))
+      }
+      val n = side(newSnap, "_nrow").alias("n")
+      val o = side(oldSnap, "_orow").alias("o")
+      val cond = (keys.map(k => col(s"n.$k") <=> col(s"o.$k")) :+
+        (col(s"n.$BucketCol") === col(s"o.$BucketCol"))).reduce(_ && _)
+      classified(n.join(o, cond, "full_outer"))
+    }
+  }
+
   /** STREAMING CHANGELOG (CDC egress as a Structured Streaming source —
     * ≙ Delta CDF / a binlog tail of this table): an unbounded stream whose
     * micro-batches are consecutive [[readChanges]] windows, offsets = table

@@ -297,6 +297,29 @@ class PlanSpec extends SparkTestBase {
       (0 until 4).map(i => s"k$i").sorted)
   }
 
+
+  test("typed changelog plans a ZERO-exchange storage-partitioned full-outer " +
+      "join (both sides ride the bucket scans)") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plantyped").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 32).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge((0 until 8).map(i => (s"k$i", 2L, s"w$i")).toDF("k", "wv", "v"), "b2", mor = true)
+    val typed = t.readChangesTyped(v1, t.currentVersion())
+    val p = plan(typed)
+    assert(nodes(p, "Exchange") === 0,
+      s"typed changelog must not shuffle either side:\n${p.take(5000)}")
+    assert(nodes(p, "SortMergeJoin FullOuter") === 1, p.take(3000))
+    val out = typed.select("_change_type", "k", "wv").as[(String, String, Long)]
+      .collect().toSet
+    assert(out === (0 until 8).flatMap(i => Seq(
+      ("update_preimage", s"k$i", 1L), ("update_postimage", s"k$i", 2L))).toSet)
+  }
+
   test("session-wide SPJ confs are inert for non-reporting scans: a foreign " +
       "parquet join plans identically with and without a LakeTable open") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")

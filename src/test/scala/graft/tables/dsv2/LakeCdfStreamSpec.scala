@@ -153,6 +153,45 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(all === Set(Seq[Any]("a", 1L, "a1", null), Seq[Any]("a", 2L, "a2", "extra")))
   }
 
+  test("table-to-table replication: tail the source, merge into a replica, resume exactly-once") {
+    val src = newTable(buckets = 4)
+    val replicaRoot = Files.createTempDirectory("lakecdf-replica").toString
+    val replica = LakeTable.createOrOpen(spark, replicaRoot, schema, Seq("k"), Seq("wv"), 8)
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+
+    def replicate(): Unit = {
+      val q = src.readChangeStream(Map("startingVersion" -> "0"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the replica's (app, seq) ledger makes a re-delivered batch a
+          // no-op — the stream's at-least-once becomes exactly-once
+          replica.merge(df, s"repl-$id", txn = Some(("replicator", id)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    src.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    replicate()
+    assert(replica.read().collect().map(_.toSeq).toSet ===
+      src.read().collect().map(_.toSeq).toSet)
+
+    // more source merges (including an update), then resume the SAME
+    // checkpoint: only the delta flows, and the replica converges — despite
+    // a DIFFERENT bucket layout (4 vs 8 buckets)
+    src.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2", mor = true)
+    replicate()
+    assert(replica.read().collect().map(_.toSeq).toSet ===
+      src.read().collect().map(_.toSeq).toSet)
+    // re-running with nothing new is a no-op (no new versions in the replica)
+    val vBefore = replica.currentVersion()
+    replicate()
+    assert(replica.currentVersion() === vBefore)
+  }
+
   test("a window spanning a tombstone purge fails loudly unless overridden") {
     val t = newTable(tombstone = true)
     def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
