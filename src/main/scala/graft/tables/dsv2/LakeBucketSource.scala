@@ -82,6 +82,46 @@ object LakeBucketSource {
     StructType(StructType.fromDDL(snap.schemaDdl).fields :+
       StructField(BucketCol, IntegerType, nullable = false))
 
+  /** Metadata-only statistics shared by both scans: row counts from the
+    * snapshot's incrementally-maintained counters, size from rows × the
+    * READ schema's default size. Without this Catalyst prices a scan at
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a join
+    * against even a tiny lake table would never auto-broadcast. */
+  private[dsv2] def snapshotStats(rows: Long, readSchema: StructType): Statistics = {
+    val rowBytes = readSchema.defaultSize.toLong.max(1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** THE bucket function, scalar form: must agree with
+    * `LakeTable.bucketExpr` (`pmod(xxhash64(keys…), B)`) — one shared
+    * implementation so runtime pruning can never hash to different buckets
+    * than the writer did. Single-key form (runtime pruning is single-key
+    * only). */
+  private[dsv2] def bucketOf(value: Any, dt: DataType, numBuckets: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    math.floorMod(h, numBuckets.toLong).toInt
+  }
+
+  /** Shared runtime-filter → kept-bucket-set rule for both scans: every
+    * `In` filter on the single key column hashes its (non-null — null never
+    * equi-joins) values to buckets; multiple filters intersect. None = no
+    * applicable filter arrived (keep everything). */
+  private[dsv2] def runtimeKeptBuckets(filters: Array[sources.Filter], key: String,
+      dt: DataType, numBuckets: Int): Option[Set[Int]] = {
+    val keptSets = filters.collect {
+      case sources.In(attr, values) if attr == key =>
+        values.filter(_ != null).map(bucketOf(_, dt, numBuckets)).toSet
+    }
+    if (keptSets.isEmpty) None else Some(keptSets.reduce(_ intersect _))
+  }
+
   /** Stat file lengths in BOUNDED PARALLEL with a timeout: a serial
     * driver-side getFileStatus loop over every layered file would re-run on
     * every (re)planning of a scan, and a hung filesystem must fail planning
@@ -183,16 +223,32 @@ final class LakeBucketTable(options: CaseInsensitiveStringMap)
   *    scan), so parquet stats pruning can only skip non-matching row groups,
   *    never change results — exactly `ParquetScan`'s own contract. */
 final class LakeBucketScanBuilder(root: String, snap: graft.tables.TableSnapshot,
-    buckets: Seq[Int]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    buckets: Seq[Int]) extends ScanBuilder with LakePushdownSupport {
 
-  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
-  private var requiredData: StructType = dataSchema
+  protected val dataSchema = StructType.fromDDL(snap.schemaDdl)
+
+  override def build(): Scan =
+    new LakeBucketScan(root, snap, buckets, requiredData, pushedFilters())
+}
+
+/** Shared pushdown contract of the lake scans (bucket scan + SQL-catalog
+  * scan): column pruning restricted to the data schema, and every filter
+  * returned as RESIDUAL — the pushed copies only drive parquet
+  * row-group/page statistics pruning, never change results (exactly
+  * `ParquetScan`'s own contract). */
+private[dsv2] trait LakePushdownSupport
+    extends SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  protected def dataSchema: StructType
+  private var requiredOpt: Option[StructType] = None
   private var pushed: Array[sources.Filter] = Array.empty
+
+  /** the pruned read schema (full data schema until pruneColumns arrives) */
+  protected def requiredData: StructType = requiredOpt.getOrElse(dataSchema)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val names = requiredSchema.fieldNames.toSet
-    requiredData = StructType(dataSchema.fields.filter(f => names.contains(f.name)))
+    requiredOpt = Some(StructType(dataSchema.fields.filter(f => names.contains(f.name))))
   }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -202,8 +258,6 @@ final class LakeBucketScanBuilder(root: String, snap: graft.tables.TableSnapshot
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
-
-  override def build(): Scan = new LakeBucketScan(root, snap, buckets, requiredData, pushed)
 }
 
 final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
@@ -226,13 +280,7 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     val rows = buckets.iterator
       .filter(b => kept.forall(_.contains(b)))
       .map(b => snap.bucketRows.getOrElse(b, 0L)).sum
-    val rowBytes = readSchema().defaultSize.toLong.max(1L)
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows * rowBytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-    }
+    LakeBucketSource.snapshotStats(rows, readSchema())
   }
 
   /** RUNTIME BUCKET PRUNING (≙ Iceberg's dynamic partition pruning): a join
@@ -257,19 +305,9 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
 
   override def filter(filters: Array[sources.Filter]): Unit = {
     val key = snap.keyCols.head
-    val dt = dataSchema(key).dataType
-    val keptSets = filters.collect {
-      case sources.In(attr, values) if attr == key =>
-        // null never equi-joins, so a null build-side key prunes nothing
-        values.filter(_ != null).map { v =>
-          val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)), 42L)
-            .eval(null).asInstanceOf[Long]
-          math.floorMod(h, snap.numBuckets.toLong).toInt
-        }.toSet
-    }
-    if (keptSets.nonEmpty) {
-      runtimeKept = Some(keptSets.reduce(_ intersect _))
+    LakeBucketSource.runtimeKeptBuckets(filters, key,
+      dataSchema(key).dataType, snap.numBuckets).foreach { kept =>
+      runtimeKept = Some(kept)
       LakeBucketScan.runtimePrunes.incrementAndGet()
     }
   }

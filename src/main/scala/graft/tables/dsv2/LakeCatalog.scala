@@ -65,8 +65,19 @@ final class LakeCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def tableRoot(ident: Identifier): JPath =
-    Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*)
+  /** identifier segments become path segments — reject anything that could
+    * escape the warehouse (`..`) or collapse to it (empty, `.`, separators):
+    * a backtick-quoted `..` identifier must not let DROP/RENAME reach
+    * directories the catalog does not own */
+  private def tableRoot(ident: Identifier): JPath = {
+    val segs = ident.namespace() :+ ident.name()
+    segs.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+        s"illegal table identifier segment '$s'")
+    }
+    Paths.get(warehouse, segs: _*)
+  }
 
   private def isTable(p: JPath): Boolean = Files.exists(p.resolve("meta/VERSION"))
 
@@ -127,6 +138,11 @@ final class LakeCatalog extends TableCatalog {
           "ordering columns")).split(',').map(_.trim).toSeq
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     val tombstone = props.get("tombstone")
+    (keys ++ orders).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"'$c' (from TBLPROPERTIES keys/orders) is not a column of the " +
+          s"table schema [${schema.fieldNames.mkString(", ")}]")
+    }
     LakeTable.createOrOpen(SparkSession.active, root.toString, schema,
       keys, orders, buckets, tombstoneCol = tombstone)
     loadTable(ident)
@@ -179,27 +195,12 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot)
 }
 
 final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)
-    extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with LakePushdownSupport {
 
-  private val dataSchema = StructType.fromDDL(snap.schemaDdl)
-  private var requiredSchema: StructType = dataSchema
-  private var pushed: Array[sources.Filter] = Array.empty
+  protected val dataSchema = StructType.fromDDL(snap.schemaDdl)
 
-  override def pruneColumns(required: StructType): Unit = {
-    val names = required.fieldNames.toSet
-    requiredSchema = StructType(dataSchema.fields.filter(f => names.contains(f.name)))
-  }
-
-  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    val cols = dataSchema.fieldNames.toSet
-    pushed = filters.filter(_.references.forall(cols.contains))
-    filters // all residual: pushed copies only drive parquet stats pruning
-  }
-
-  override def pushedFilters(): Array[sources.Filter] = pushed
-
-  override def build(): Scan = new LakeSqlScan(root, snap, requiredSchema, pushed)
+  override def build(): Scan =
+    new LakeSqlScan(root, snap, requiredData, pushedFilters())
 }
 
 final class LakeSqlScan(root: String, snap: TableSnapshot,
@@ -228,13 +229,7 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
     val kept = runtimeKept
     val rows = snap.bucketRows.collect {
       case (b, n) if kept.forall(_.contains(b)) => n }.sum
-    val rowBytes = readSchema().defaultSize.toLong.max(1L)
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows * rowBytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-    }
+    LakeBucketSource.snapshotStats(rows, readSchema())
   }
 
   /** runtime (join-driven) bucket pruning, same rule as the bucket scan:
@@ -249,17 +244,11 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
 
   override def filter(filters: Array[sources.Filter]): Unit = {
     val key = snap.keyCols.head
-    val dt = dataSchema(key).dataType
-    val keptSets = filters.collect {
-      case sources.In(attr, values) if attr == key =>
-        values.filter(_ != null).map { v =>
-          val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)), 42L)
-            .eval(null).asInstanceOf[Long]
-          math.floorMod(h, snap.numBuckets.toLong).toInt
-        }.toSet
+    LakeBucketSource.runtimeKeptBuckets(filters, key,
+      dataSchema(key).dataType, snap.numBuckets).foreach { kept =>
+      runtimeKept = Some(kept)
+      LakeBucketScan.runtimePrunes.incrementAndGet()
     }
-    if (keptSets.nonEmpty) runtimeKept = Some(keptSets.reduce(_ intersect _))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -376,9 +365,10 @@ final class LakeSqlResolvingReader(p: LakeSqlPartition,
       try while (reader.next()) {
         val row = reader.get()
         val k = keyProj(row)
+        val o = orderProj(row)
         val prev = winners.get(k)
-        if (prev == null || ord.compare(orderProj(row), prev._1) > 0)
-          winners.put(k.copy(), (orderProj(row).copy(), row.copy()))
+        if (prev == null || ord.compare(o, prev._1) > 0)
+          winners.put(k.copy(), (o.copy(), row.copy()))
       } finally { reader.close(); reader = null }
       foldedIter = winners.values().iterator().asScala.map(_._2)
     }

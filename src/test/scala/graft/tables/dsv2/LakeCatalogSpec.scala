@@ -77,6 +77,23 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(warehouse, "ddl_t")))
   }
 
+  test("identifier segments cannot escape the warehouse; bad key properties fail at CREATE") {
+    warehouse // force catalog registration
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // a backtick-quoted `..` must not resolve to the warehouse's parent
+    val e = intercept[Exception](spark.sql("DROP TABLE lakecat.`..`"))
+    assert(messages(e).exists(m =>
+      m.contains("illegal table identifier") || m.contains("TABLE_OR_VIEW_NOT_FOUND")))
+    assert(Files.exists(java.nio.file.Paths.get(warehouse))) // nothing deleted
+    // a typo'd keys property fails at CREATE, not at first read
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE lakecat.badt (k STRING, wv BIGINT, v STRING) " +
+        "TBLPROPERTIES ('keys'='key', 'orders'='wv')"))
+    assert(messages(e2).exists(_.contains("not a column")))
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "badt")))
+  }
+
   test("filters and projections push to the scan; joins runtime-prune buckets") {
     val t = makeTable("t5")
     t.merge((1 to 100).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
