@@ -61,7 +61,13 @@ import graft.tables.{LakeTable, TableSnapshot}
   * the oldest retained version, i.e. an initial snapshot load + tail) | a
   * version number; `maxVersionsPerBatch` (admission control: cap how many
   * table versions one micro-batch spans); `allowPurgedWindow` (override the
-  * fail-loud guard on windows spanning a tombstone purge).
+  * fail-loud guard on windows spanning a tombstone purge); `typed=true`
+  * (emit the TYPED feed — every batch row classified in a `_change_type`
+  * column as insert / update_preimage / update_postimage / delete, the
+  * streaming twin of [[graft.tables.LakeTable.readChangesTyped]]; both
+  * bucket versions fold to winners in the task, preimages are exact
+  * retractions for downstream incremental aggregation, and purge-spanning
+  * windows are safe).
   *
   * Failure contract: if the stream falls behind [[LakeTable.expire]]'s
   * retention (its checkpointed version is no longer on disk), planning fails
@@ -80,7 +86,12 @@ final class LakeCdfSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = LakeBucketSource.require(options, "root")
     val version = LakeCdfSource.currentVersion(root)
-    StructType.fromDDL(LakeTable.readSnapshot(Paths.get(root), version).schemaDdl)
+    val data = StructType.fromDDL(LakeTable.readSnapshot(Paths.get(root), version).schemaDdl)
+    if (LakeCdfSource.isTyped(options))
+      StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+        LakeCdfSource.ChangeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false))
+    else data
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -93,6 +104,12 @@ final class LakeCdfSource extends TableProvider {
 object LakeCdfSource {
   /** format name for spark.readStream.format(...) */
   val Name: String = classOf[LakeCdfSource].getName
+
+  /** classification column of the TYPED stream (option `typed=true`) */
+  val ChangeTypeCol = "_change_type"
+
+  private[dsv2] def isTyped(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("typed")).exists(_.toBoolean)
 
   private[dsv2] def currentVersion(root: String): Long = {
     val vf = Paths.get(root, "meta", "VERSION")
@@ -154,6 +171,10 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
   private val allowPurgedWindow: Boolean =
     Option(options.get("allowPurgedWindow")).exists(_.toBoolean)
+  private val typed: Boolean = LakeCdfSource.isTyped(options)
+  /** table columns of the stream (typed mode appends the classification) */
+  private val dataSchema: StructType =
+    if (typed) StructType(streamSchema.dropRight(1)) else streamSchema
 
   /** snapshots are immutable once committed — cache them driver-side;
     * entries at or below the committed offset are dropped in [[commit]] */
@@ -240,13 +261,16 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
             "clamped this window (is the checkpoint from an older source?)")
         pre
       }
-    require(allowPurgedWindow ||
+    // the TYPED stream is purge-tolerant (a fully-vanished key synthesizes a
+    // delete from the old side); the untyped stream would silently lose the
+    // purged tombstone rows, so it fails loudly
+    require(typed || allowPurgedWindow ||
       toSnap.totals.getOrElse("tombstone_purges", 0L) ==
         fromSnap.totals.getOrElse("tombstone_purges", 0L),
       s"changelog window ($from, $to] spans a tombstone purge: deletes purged " +
         "inside the window cannot surface to this consumer. Purge only after " +
         "every changelog consumer has passed the deletes' versions, or set " +
-        "option allowPurgedWindow=true")
+        "option allowPurgedWindow=true (or consume the typed stream)")
     val changed = toSnap.bucketFiles.keys.filter { b =>
       toSnap.bucketFiles.getOrElse(b, Nil) != fromSnap.bucketFiles.getOrElse(b, Nil)
     }.toSeq.sorted
@@ -272,16 +296,18 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     val spark = SparkSession.active
     val s = snap(LakeCdfSource.currentVersion(root))
     val keyOrder = (s.keyCols ++ s.orderCols).toIndexedSeq
-    val tupleSchema = StructType(keyOrder.map(c => streamSchema(streamSchema.fieldIndex(c))))
+    val tupleSchema = StructType(keyOrder.map(c => dataSchema(dataSchema.fieldIndex(c))))
     val empty = StructType(Nil)
-    // old side reads ONLY the LWW tuple columns (parquet-pruned); new side
-    // reads the stream's full fixed schema
+    // untyped: the old side reads ONLY the LWW tuple columns
+    // (parquet-pruned — membership is all that's needed); typed: the old
+    // side must supply full preimage rows, so it reads the data schema
     val oldFactory = LakeBucketSource.parquetReaderFactory(
-      spark, tupleSchema, tupleSchema, empty, Array.empty)
+      spark, if (typed) dataSchema else tupleSchema,
+      if (typed) dataSchema else tupleSchema, empty, Array.empty)
     val newFactory = LakeBucketSource.parquetReaderFactory(
-      spark, streamSchema, streamSchema, empty, Array.empty)
-    new LakeCdfReaderFactory(oldFactory, newFactory, streamSchema,
-      s.keyCols, s.orderCols)
+      spark, dataSchema, dataSchema, empty, Array.empty)
+    new LakeCdfReaderFactory(oldFactory, newFactory, dataSchema,
+      s.keyCols, s.orderCols, if (typed) s.tombstoneCol else None, typed)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -313,12 +339,17 @@ final case class LakeCdfPartition(index: Int, bucket: Int,
     newDirty: Boolean) extends InputPartition
 
 final class LakeCdfReaderFactory(oldFactory: ParquetPartitionReaderFactory,
-    newFactory: ParquetPartitionReaderFactory, streamSchema: StructType,
-    keyCols: Seq[String], orderCols: Seq[String]) extends PartitionReaderFactory {
+    newFactory: ParquetPartitionReaderFactory, dataSchema: StructType,
+    keyCols: Seq[String], orderCols: Seq[String], tombstoneCol: Option[String],
+    typed: Boolean) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new LakeCdfPartitionReader(p.asInstanceOf[LakeCdfPartition],
-      oldFactory, newFactory, streamSchema, keyCols, orderCols)
+    if (typed)
+      new LakeCdfTypedPartitionReader(p.asInstanceOf[LakeCdfPartition],
+        oldFactory, newFactory, dataSchema, keyCols, orderCols, tombstoneCol)
+    else
+      new LakeCdfPartitionReader(p.asInstanceOf[LakeCdfPartition],
+        oldFactory, newFactory, dataSchema, keyCols, orderCols)
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 }
@@ -329,6 +360,95 @@ final class LakeCdfReaderFactory(oldFactory: ParquetPartitionReaderFactory,
   * additionally folds its winners (≤ one bucket — the compaction working
   * set). Equality is byte-wise on the projected tuple, which is exactly the
   * batch changelog's null-safe `<=>` semantics. */
+/** TYPED per-bucket changed-row reader (the streaming twin of
+  * `LakeTable.readChangesTyped`): folds BOTH versions of the bucket to
+  * their per-key LWW winners in the task, then classifies each key —
+  * insert / update_preimage + update_postimage / delete (the delete payload
+  * is the old winner, not the tombstone marker) — appending the
+  * `_change_type` column. Memory bound: two winner maps of one bucket (2×
+  * the compaction working set; the typed stream trades the untyped
+  * reader's tuple-pruned old side for exact preimages). */
+final class LakeCdfTypedPartitionReader(p: LakeCdfPartition,
+    oldFactory: ParquetPartitionReaderFactory,
+    newFactory: ParquetPartitionReaderFactory, dataSchema: StructType,
+    keyCols: Seq[String], orderCols: Seq[String], tombstoneCol: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  private def bound(cols: Seq[String]) = cols.map { c =>
+    val i = dataSchema.fieldIndex(c)
+    BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
+  }
+  private val keyProj = UnsafeProjection.create(bound(keyCols))
+  private val orderProj = UnsafeProjection.create(bound(orderCols))
+  private val ord = RowOrdering.createNaturalAscendingOrdering(
+    orderCols.map(c => dataSchema(dataSchema.fieldIndex(c)).dataType))
+  private val tombIdx = tombstoneCol.map(dataSchema.fieldIndex)
+  private def isTomb(row: InternalRow): Boolean =
+    tombIdx.exists(i => !row.isNullAt(i) && row.getBoolean(i))
+
+  private def foldWinners(factory: ParquetPartitionReaderFactory,
+      files: Array[PartitionedFile]): java.util.HashMap[UnsafeRow, (UnsafeRow, InternalRow)] = {
+    val winners = new java.util.HashMap[UnsafeRow, (UnsafeRow, InternalRow)]()
+    if (files.nonEmpty) {
+      val r = factory.createReader(FilePartition(p.index, files))
+      try while (r.next()) {
+        val row = r.get()
+        val k = keyProj(row)
+        val o = orderProj(row)
+        val prev = winners.get(k)
+        if (prev == null || ord.compare(o, prev._1) > 0)
+          winners.put(k.copy(), (o.copy(), row.copy()))
+      } finally r.close()
+    }
+    winners
+  }
+
+  private val oldWinners = foldWinners(oldFactory, p.oldFiles)
+  private val newWinners = foldWinners(newFactory, p.newFiles)
+
+  private def withType(row: InternalRow, t: String): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow(row,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+
+  private val pending = new java.util.ArrayDeque[InternalRow]()
+  private val newIter = newWinners.entrySet().iterator()
+  // a LIVE old winner whose key carries no stored rows at all in the new
+  // version can only arise from a purge that emptied the bucket's files —
+  // surface it as a delete (the purge-tolerance the untyped stream lacks)
+  private lazy val vanishedIter = {
+    import scala.jdk.CollectionConverters._
+    oldWinners.entrySet().iterator().asScala
+      .filter(e => !newWinners.containsKey(e.getKey) && !isTomb(e.getValue._2))
+      .map(e => withType(e.getValue._2, "delete"))
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pending.isEmpty && newIter.hasNext) {
+      val e = newIter.next()
+      val (nOrder, n) = e.getValue
+      val old = oldWinners.get(e.getKey)
+      val nLive = !isTomb(n)
+      if (old == null || isTomb(old._2)) {
+        if (nLive) pending.add(withType(n, "insert"))
+      } else if (!nLive) {
+        pending.add(withType(old._2, "delete"))
+      } else if (old._1 != nOrder) {
+        pending.add(withType(old._2, "update_preimage"))
+        pending.add(withType(n, "update_postimage"))
+      }
+    }
+    while (pending.isEmpty && vanishedIter.hasNext) pending.add(vanishedIter.next())
+    if (pending.isEmpty) false
+    else { current = pending.poll(); true }
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}
+
 final class LakeCdfPartitionReader(p: LakeCdfPartition,
     oldFactory: ParquetPartitionReaderFactory,
     newFactory: ParquetPartitionReaderFactory, streamSchema: StructType,

@@ -192,6 +192,62 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(replica.currentVersion() === vBefore)
   }
 
+  test("typed stream batches equal readChangesTyped windows") {
+    val t = newTable(tombstone = true)
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false), ("c", 1L, "c1", false)), "b1")
+    val v1 = t.currentVersion()
+    drain(t, ckpt, Map("typed" -> "true")) // checkpoint at v1 (typed from the start)
+
+    // update a, delete b, insert d — across a merge-on-read layer
+    t.merge(df(("a", 2L, "a2", false), ("d", 1L, "d1", false)), "b2", mor = true)
+    t.merge(df(("b", 2L, null, true)), "b3", mor = true)
+    val v3 = t.currentVersion()
+    val batches = drain(t, ckpt, Map("typed" -> "true"))
+    val expect = t.readChangesTyped(v1, v3).collect().map(_.toSeq).toSet
+    assert(batches.flatMap(_._2).map(_.toSeq).toSet === expect)
+    val byType = batches.flatMap(_._2)
+      .groupBy(_.getAs[String]("_change_type")).view.mapValues(_.map(_.getString(0)).toSet).toMap
+    assert(byType("insert") === Set("d"))
+    assert(byType("delete") === Set("b"))
+    assert(byType("update_preimage") === Set("a") && byType("update_postimage") === Set("a"))
+    // the delete carries the preimage payload
+    assert(batches.flatMap(_._2).find(_.getAs[String]("_change_type") == "delete")
+      .get.getAs[String]("v") === "b1")
+  }
+
+  test("typed stream maintains an exact incremental aggregate across restarts") {
+    val t = newTable(tombstone = true)
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
+    // live-key count maintained purely from the typed feed
+    val agg = new java.util.concurrent.atomic.AtomicLong(0)
+    def drainAgg(): Unit = {
+      val q = t.readChangeStream(Map("typed" -> "true", "startingVersion" -> "0"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val d = df.selectExpr(
+            """sum(CASE WHEN _change_type = 'insert' THEN 1
+              |         WHEN _change_type = 'delete' THEN -1
+              |         ELSE 0 END) AS d""".stripMargin).head().getAs[Any]("d")
+          agg.addAndGet(Option(d).map(_.asInstanceOf[Long]).getOrElse(0L))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false)), "b1")
+    drainAgg()
+    assert(agg.get() === t.read().count())
+    t.merge(df(("a", 2L, "a2", false), ("c", 1L, "c1", false), ("b", 2L, null, true)), "b2")
+    drainAgg() // resume from checkpoint: only the delta adjusts the count
+    assert(agg.get() === t.read().count())
+    assert(agg.get() === 2L) // a, c live; b deleted
+  }
+
   test("a window spanning a tombstone purge fails loudly unless overridden") {
     val t = newTable(tombstone = true)
     def df(rows: (String, Long, String, Boolean)*) = rows.toDF("k", "wv", "v", "deleted")
