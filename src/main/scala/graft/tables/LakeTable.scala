@@ -93,10 +93,14 @@ final case class TableSnapshot(
   *
   * Exactly-once: each merge advances its writer's `(app, seq)` watermark in
   * the snapshot before the pointer swap; a re-delivered batch (foreachBatch
-  * retry after checkpoint recovery) is a no-op. Single-writer per version is
-  * ENFORCED: the commit creates `v<N+1>.json` with CREATE_NEW, so two
-  * writers racing from version N cannot both publish — the loser fails with
-  * a concurrent-writer error instead of silently discarding the winner.
+  * retry after checkpoint recovery) is a no-op. One commit per version is
+  * ENFORCED (CREATE_NEW on `v<N+1>.json`), so racing writers cannot both
+  * publish blindly — the loser REBASES when the interleaving is provably
+  * safe (maintenance commits, or CONCURRENT MERGES touching a disjoint
+  * bucket set — hash-bucketing makes bucket disjointness ⇔ key
+  * disjointness, so sharded ingest writers each using their own txn app id
+  * commit concurrently, Iceberg-concurrent-append-style) and fails loudly
+  * otherwise (overlapping-bucket merges must rerun).
   * Schema evolution: new columns in a batch are added as nullable columns;
   * old files read through the evolved schema yield nulls.
   *
@@ -986,9 +990,16 @@ final class LakeTable private (
             e.counters.foldLeft(withBatch) { case (t, (k, v)) => t.updated(k, t.getOrElse(k, 0L) + v) }
         }
 
+        // a DISJOINT concurrent merge may have evolved the schema while this
+        // one was in flight (and vice versa) — the committed schema is the
+        // UNION, so neither writer's new nullable columns are dropped;
+        // either side's files read through it with nulls for missing fields
+        val sSchema = StructType.fromDDL(s.schemaDdl)
+        val unionSchema = StructType(sSchema.fields ++
+          evolved.fields.filterNot(f => sSchema.fieldNames.contains(f.name)))
         Some(TableSnapshot(
           version = s.version + 1,
-          schemaDdl = evolved.toDDL,
+          schemaDdl = unionSchema.toDDL,
           keyCols = s.keyCols, orderCols = s.orderCols,
           numBuckets = s.numBuckets, retainBatches = s.retainBatches,
           bucketFiles = newBucketFiles,
@@ -1004,7 +1015,9 @@ final class LakeTable private (
           tombstoneCol = s.tombstoneCol))
       }
       phase("counts")
-      val committed = occCommit(snap)(maintenanceOnlyBetween(snap, _))(buildCommit)
+      val committed = occCommit(snap)(cur =>
+          maintenanceOnlyBetween(snap, cur) ||
+            disjointWritersBetween(snap, cur, touched))(buildCommit)
         .getOrElse(throw new IllegalStateException("merge commit built nothing"))
       phase("commit")
       // read-amplification bound: a hot bucket past maxLayers compacts NOW,
@@ -1519,8 +1532,9 @@ final class LakeTable private (
     * ingest stream instead of killing one of the two: maintenance commits
     * change no logical state, so rebasing them is a metadata rebuild; and a
     * merge can conversely rebase over maintenance-only interleavings
-    * ([[maintenanceOnlyBetween]]). Anything else still fails loudly — the
-    * table remains single-INGEST-writer by contract. */
+    * ([[maintenanceOnlyBetween]]) and over concurrent merges on a DISJOINT
+    * bucket set ([[disjointWritersBetween]]). Anything else still fails
+    * loudly — overlapping-bucket merges must rerun. */
   private def occCommit(base0: TableSnapshot, maxAttempts: Int = 20)(
       rebase: TableSnapshot => Boolean)(
       build: TableSnapshot => Option[TableSnapshot]): Option[TableSnapshot] = {
@@ -1559,6 +1573,23 @@ final class LakeTable private (
       cur.totals.getOrElse("batches", 0L) == base.totals.getOrElse("batches", 0L) &&
       cur.totals.getOrElse("rebuckets", 0L) == base.totals.getOrElse("rebuckets", 0L)
 
+  /** True iff a merge computed against `base` touching `touched` is still
+    * logically correct against `cur` even though OTHER MERGES committed in
+    * between: same bucket layout, and every one of MY touched buckets'
+    * file lists byte-identical — the interleaved writers landed on a
+    * DISJOINT bucket set, so their batches carried no keys hashing into
+    * mine and my per-bucket LWW outputs are unaffected (hash-bucketing
+    * makes bucket disjointness ⇔ key disjointness). This is what allows
+    * CONCURRENT INGEST WRITERS on disjoint key ranges (Iceberg's
+    * concurrent-append analog); overlapping-bucket merges still conflict
+    * and must rerun. Writers must use distinct txn app ids — the `(app,
+    * seq)` ledger is merged per app at rebase. */
+  private def disjointWritersBetween(base: TableSnapshot, cur: TableSnapshot,
+      touched: Seq[Int]): Boolean =
+    cur.numBuckets == base.numBuckets &&
+      touched.forall(b =>
+        cur.bucketFiles.getOrElse(b, Nil) == base.bucketFiles.getOrElse(b, Nil))
+
   /** Write v<N>.json (CREATE_NEW — the concurrent-writer guard), then
     * atomically swap the VERSION pointer (write-audit-publish ≙
     * TempFileGuard::promote, sqlite.rs:446-451). */
@@ -1573,8 +1604,9 @@ final class LakeTable private (
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"concurrent writer detected: meta/v${s.version}.json already exists " +
-            s"(another merge committed from version ${s.version - 1}); " +
-            "LakeTable requires a single writer per table")
+            s"(another commit landed from version ${s.version - 1}); " +
+            "maintenance and DISJOINT-bucket merges rebase automatically — " +
+            "an overlapping-bucket merge must rerun against the new version")
     }
     val tmp = meta.resolve(s"VERSION.tmp.${s.version}")
     Files.write(tmp, s.version.toString.getBytes(StandardCharsets.UTF_8))
