@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Enrich, Multimodal, NearDup, OpcodeStats, Programs, Similarity, TextOps}
+import graft.operators.{Components, Dedup, Enrich, Multimodal, NearDup, OpcodeStats, Programs, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -632,7 +632,30 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"),
           col("_change_type").as("change_type"))
-    })
+    }),
+
+    // Training op — DUPLICATE-CLUSTER RESOLUTION: the exact n-gram Jaccard
+    // pairs (q24's lossless AllPairs join) resolved into TRANSITIVE clusters
+    // with alternating large-star/small-star connected components
+    // (Kiveris et al., SoCC'14 — O(log² n) rounds regardless of chain
+    // length); every doc annotated with its cluster's minimum doc id.
+    // Exactly SQL-expressible, so the oracle is a recursive-CTE closure.
+    "q44_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.6)
+      Components.dupClusters(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"))
+    }),
+
+    // Training op — DETERMINISTIC STRATIFIED SAMPLE: fixed quota per
+    // stratum (lang), ranked by a content-independent hash of the id, so
+    // the sample is uniform-at-random yet reproducible. The row_number
+    // filter triggers Spark 4's WindowGroupLimit rewrite: each map task
+    // pre-truncates its partition to the top-k BEFORE the stratum shuffle,
+    // so the exchange carries O(k·strata·tasks), not the corpus (PlanSpec).
+    "q45_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"), Seq("lang"), "doc_id", k = 40)
+        .select(col("doc_id"), col("lang")))
   )
 
   /** one warehouse per JVM: the SQL catalog instance is cached by Spark's
@@ -1250,6 +1273,46 @@ object SparkEntry {
           |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS ngram_jaccard
           |FROM inter
           |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.6""".stripMargin,
+      // q24's exact pair set resolved into transitive clusters: the oracle
+      // computes the same pairs (gram equi-join twin), then takes the
+      // recursive closure — component id = min reachable doc id; docs in no
+      // pair are singletons
+      "q44_dup_clusters" ->
+        """WITH RECURSIVE g0 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) >= 4
+          |      THEN list_distinct(list_transform(generate_series(1, length(text) - 3),
+          |             i -> substring(text, i, 4)))
+          |      ELSE [text] END AS grams
+          |  FROM documents),
+          |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g0),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+          |         any_value(a.n) AS na, any_value(b.n) AS nb
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM inter
+          |  WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.6),
+          |edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM pairs),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+          |comp AS (SELECT u AS doc_id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+          |SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+          |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+      // deterministic stratified sample: same md5-of-decimal-string ranking
+      // in both engines (lowercase hex compares identically)
+      "q45_stratified_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) WHERE rn <= 40""".stripMargin,
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

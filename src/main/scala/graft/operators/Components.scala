@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — DUPLICATE-CLUSTER
+  * RESOLUTION for the near-dup suite (training-data op): the pair emitters
+  * ([[NearDup.minHashPairs]], [[NearDup.simHashPairs]],
+  * [[NearDup.ngramJaccardPairs]], [[Similarity]] cosine pairs) produce
+  * verified CANDIDATE PAIRS; a curation pipeline must resolve those pairs
+  * into transitive clusters (A~B, B~C ⇒ {A,B,C}) and keep ONE canonical
+  * document per cluster. The single-pass `dup_of = min(partner)`
+  * approximation (NearDup scaladoc) under-merges chains; this operator
+  * closes that gap exactly.
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * shuffle-based CC for graphs whose edge list dwarfs any single machine:
+  *
+  *  - large-star: every node connects its STRICTLY LARGER neighbors to the
+  *    smallest node of its closed neighborhood;
+  *  - small-star: every node connects its not-larger neighbors (and itself)
+  *    to that minimum.
+  *
+  * Both are one aggregation + one equi-join riding the SAME hash
+  * partitioning on the node id (the min-table exchange is map-side-combined
+  * and tiny), and the alternation provably converges to STARS — every node
+  * pointing directly at its component's minimum id — in O(log² n) rounds
+  * (O(log n) in practice), INDEPENDENT of graph diameter. A plain hash-min
+  * propagation needs O(diameter) rounds — a 10^6-long near-dup chain (crawl
+  * boilerplate drift) would take 10^6 shuffles; this takes ~20.
+  *
+  * Scale notes (100 TB shape):
+  *  - per round: `edges` is shuffled once per star op on the node id; the
+  *    min-per-node side collapses map-side before its (tiny) exchange;
+  *  - the equi-join (not a window) lets AQE's skew-join splitting handle a
+  *    giant component's center (its degree grows toward the cluster size as
+  *    stars form — a window over that partition would pin one task);
+  *  - lineage is truncated every round with an EAGER localCheckpoint — an
+  *    iterative DataFrame loop otherwise compounds the plan exponentially
+  *    and re-executes all prior rounds at every action;
+  *  - the driver holds only per-round counts, never edges.
+  *
+  * Determinism: outputs depend only on the edge SET (canonicalized,
+  * deduplicated); the component id is the component's minimum node id.
+  */
+object Components {
+
+  /** Resolve an undirected edge list into components.
+    *
+    * @param edges  DataFrame holding one edge per row (direction and
+    *               duplicates irrelevant; self-loops and null endpoints
+    *               dropped)
+    * @param srcCol edge endpoint column (any orderable Spark type)
+    * @param dstCol other endpoint column (same type)
+    * @param maxRounds hard bound on star rounds — O(log² n) are needed, so
+    *               50 covers any physically storable graph; exhausting it
+    *               throws rather than returning a half-merged clustering
+    * @return one row per distinct node: (`id`, `component`) where
+    *         `component` is the minimum node id of the node's component
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    // canonical directed form: u > v ("point at the smaller"), an invariant
+    // both star ops preserve; self-loops carry no connectivity
+    var cur = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var curCount = cur.count()
+
+    // min over the closed neighborhood, joined back on the same key the
+    // groupBy shuffled on — the aggregation exchange is reused, so each star
+    // op costs ONE real shuffle of the edge set (+ the tiny min-table)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("_m0"))
+        .select(col("u"), least(col("_m0"), col("u")).as("_m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u")) // larger neighbors re-point at the min
+        .select(col("v").as("u"), col("_m").as("v")) // v > u ≥ m keeps u > v
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // all neighbors here are < u by the invariant; u and every neighbor
+      // re-point at the neighborhood minimum
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("_m"))
+      e.join(mins, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("_m").as("b")),
+          struct(col("v").as("a"), col("_m").as("b")))).as("_p"))
+        .select(col("_p.a").as("u"), col("_p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = curCount == 0L
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // fixed point ⇔ star set (each star op is identity exactly on stars —
+      // the alternation's potential argument admits no other fixed point);
+      // the except runs over two materialized checkpoints, not re-planned
+      // lineage. Belt-and-braces: the randomized spec cross-checks against
+      // an in-memory union-find.
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      val old = cur
+      cur = next; curCount = nextCount
+      old.unpersist(false)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds star rounds " +
+          s"($curCount edges remain) — malformed input or maxRounds too low")
+    // stars: every non-minimum node has exactly one outgoing (u → component)
+    // edge; component minimums (and isolated nodes) map to themselves
+    nodes.join(cur, nodes("id") === cur("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
+  /** Annotate `docs` with the transitive duplicate-cluster id implied by
+    * `pairs` (columns `id_a`, `id_b` — any of the near-dup pair emitters):
+    * `cluster_id` = the cluster's minimum doc id; docs in no pair form
+    * singleton clusters (`cluster_id` = own id). Keeping one doc per
+    * cluster is then `filter(col(idCol) === col("cluster_id"))` — the exact
+    * transitive completion of [[NearDup]]'s single-pass `dup_of`. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    docs.join(cc, docs(idCol) === cc("id"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("component"), docs(idCol)).as("cluster_id"): _*)
+  }
+}

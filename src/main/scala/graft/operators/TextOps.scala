@@ -247,4 +247,31 @@ object TextOps {
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
   }
+
+  /** DETERMINISTIC STRATIFIED SAMPLE (training-data op): exactly
+    * min(k, |stratum|) rows per stratum, chosen by ranking on a
+    * content-independent hash of `idCol` — uniform-at-random in expectation
+    * yet bit-reproducible across runs, partitionings, and engines (md5 of
+    * the id's decimal string; ties broken by the id itself, so duplicate
+    * ids cannot make the cut nondeterministic). Training pipelines need
+    * this shape constantly: per-language / per-source quotas for eval
+    * holdouts, ablation subsets, and balanced mixtures.
+    *
+    * Scale shape: declaratively a window row_number ≤ k, which Spark 4
+    * rewrites with WindowGroupLimit — each MAP task pre-truncates every
+    * stratum to its top-k before the exchange, so the shuffle carries
+    * O(k · strata · tasks) rows instead of the corpus, and the final
+    * per-stratum sort sees only those survivors (asserted in PlanSpec).
+    * A skewed stratum therefore costs its reduce task k rows, not the
+    * stratum's size. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strata: Seq[String],
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"sample quota must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

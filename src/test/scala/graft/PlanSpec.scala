@@ -355,4 +355,17 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
       readSchema)
   }
+
+  test("q45 stratified sample map-side truncates each stratum before the " +
+      "exchange (WindowGroupLimit both sides of the shuffle)") {
+    val p = plan(SparkEntry.queries("q45_stratified_sample")(spark, sf))
+    // Spark 4 rewrites rn<=k into WindowGroupLimit Partial (map side, before
+    // the hash exchange) + Final — the shuffle carries O(k·strata·tasks)
+    // rows, not the corpus. If this regresses the window sorts the corpus.
+    assert(nodes(p, "WindowGroupLimit") === 2, p.take(3000))
+    assert(p.contains("Partial") && p.contains("Final"), p.take(3000))
+    // and the scan still prunes the text payload
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), readSchema)
+  }
 }
