@@ -61,8 +61,13 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // materialize the (typically expensive) pair-producing lineage ONCE —
+    // nodes and the canonical edge set both derive from it, and deriving
+    // them from the un-checkpointed plan would re-execute the whole
+    // candidate join up to three times (the union reads it twice)
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint()
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
     // canonical directed form: u > v ("point at the smaller"), an invariant
@@ -70,7 +75,19 @@ object Components {
     var cur = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    var curCount = cur.count()
+    raw.unpersist(false)
+    // one-job round fingerprint: (edge count, order-independent content
+    // hash — sum never overflows DECIMAL(38) at any physical row count).
+    // A fingerprint CHANGE proves non-convergence with no extra job; only
+    // a fingerprint MATCH triggers the exact except confirmation, so a
+    // hash collision can cost one wasted except but never a wrong answer.
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (curCount, curHash) = fingerprint(cur)
 
     // min over the closed neighborhood, joined back on the same key the
     // groupBy shuffled on — the aggregation exchange is reused, so each star
@@ -98,21 +115,59 @@ object Components {
         .distinct()
     }
 
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    // Right-size the loop's shuffles to the LIVE edge count: each round is
+    // 4 exchanges over the (shrinking) edge set, and at session defaults a
+    // small graph pays pure scheduling — 32 near-empty partitions × 4
+    // stages × O(log n) rounds, with AQE re-planning and materializing
+    // every stage as its own job. ~100k edges/partition keeps one task
+    // busy; a 10^10-edge graph still gets the session's full parallelism
+    // AND keeps AQE (its skew-join splitting is what absorbs a giant
+    // component's center — only small rounds, where skew cannot matter and
+    // per-stage replanning dominates, skip it). Confs are saved and
+    // restored — the loop runs between eager checkpoints, so no
+    // caller-visible plan depends on the temporary values.
+    val conf = edges.sparkSession.conf
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = conf.get("spark.sql.adaptive.enabled")
+    val savedCodegen = conf.get("spark.sql.codegen.wholeStage")
+    def loopParts(edgeCount: Long): Int =
+      math.min(savedParts.toLong, edgeCount / 100000L + 1L).toInt
     var rounds = 0
     var converged = curCount == 0L
+    try {
     while (!converged && rounds < maxRounds) {
       rounds += 1
+      val t0 = System.nanoTime()
+      conf.set("spark.sql.shuffle.partitions", loopParts(curCount))
+      // small rounds: every round's plan is NEW lineage, so whole-stage
+      // codegen Janino-compiles ~8 fresh stages per round — far more
+      // expensive than interpreting a few hundred rows. Big graphs keep
+      // codegen (and AQE's skew-join splitting).
+      val big = curCount >= 10000000L
+      conf.set("spark.sql.adaptive.enabled", big.toString)
+      conf.set("spark.sql.codegen.wholeStage", big.toString)
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextCount = next.count()
+      val (nextCount, nextHash) = fingerprint(next)
+      if (debug) System.err.println(f"[graft-cc] round $rounds: $nextCount edges " +
+        f"(was $curCount) in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       // fixed point ⇔ star set (each star op is identity exactly on stars —
       // the alternation's potential argument admits no other fixed point);
       // the except runs over two materialized checkpoints, not re-planned
-      // lineage. Belt-and-braces: the randomized spec cross-checks against
-      // an in-memory union-find.
-      converged = nextCount == curCount && next.except(cur).isEmpty
+      // lineage, and ONLY when the fingerprint matches — a chain-shaped
+      // graph keeps a constant edge count all the way down, and paying an
+      // exact set comparison every round would double the loop. Belt-and-
+      // braces: the randomized spec cross-checks an in-memory union-find.
+      converged = nextCount == curCount && nextHash == curHash &&
+        next.except(cur).isEmpty
       val old = cur
-      cur = next; curCount = nextCount
+      cur = next; curCount = nextCount; curHash = nextHash
       old.unpersist(false)
+    }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", savedParts)
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.codegen.wholeStage", savedCodegen)
     }
     if (!converged)
       throw new IllegalStateException(

@@ -52,6 +52,14 @@ class ComponentsSpec extends SparkTestBase {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("long chain (diameter 255) converges within the 50-round bound — O(log n), not O(diameter)") {
+    // a hash-min propagation would need 255 rounds and trip maxRounds;
+    // the star alternation must finish with a wide margin
+    val chain = (1L to 255L).map(i => (i, i + 1))
+    val out = ccOf(scala.util.Random.shuffle(chain))
+    assert(out == (1L to 256L).map(_ -> 1L).toMap)
+  }
+
   test("property: random graphs match union-find") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
