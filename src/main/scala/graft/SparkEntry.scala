@@ -803,6 +803,25 @@ object SparkEntry {
   })
 
   /** DuckDB-runnable ANSI SQL twins; keys must mirror `queries`. */
+  /** Shared DuckDB CTEs ending in `inter` — the exact 4-gram intersection
+    * table (id_a, id_b, shared, na, nb) both the q24 similarity-join oracle
+    * and the q44 cluster oracle consume. ONE definition so the gram rule /
+    * threshold arithmetic in the two oracles cannot silently drift. */
+  private val ngramInterCtes: String =
+    """g0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 4
+      |      THEN list_distinct(list_transform(generate_series(1, length(text) - 3),
+      |             i -> substring(text, i, 4)))
+      |      ELSE [text] END AS grams
+      |  FROM documents),
+      |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g0),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val lwwSql =
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
@@ -1256,41 +1275,18 @@ object SparkEntry {
       // by a gram equi-join instead of prefix filtering (which is lossless,
       // so the outputs are identical)
       "q24_ngram_jaccard" ->
-        """WITH g0 AS (
-          |  SELECT doc_id,
-          |    CASE WHEN length(text) >= 4
-          |      THEN list_distinct(list_transform(generate_series(1, length(text) - 3),
-          |             i -> substring(text, i, 4)))
-          |      ELSE [text] END AS grams
-          |  FROM documents),
-          |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g0),
-          |inter AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-          |         any_value(a.n) AS na, any_value(b.n) AS nb
-          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2)
+        s"""WITH $ngramInterCtes
           |SELECT id_a, id_b,
           |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS ngram_jaccard
           |FROM inter
           |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.6""".stripMargin,
       // q24's exact pair set resolved into transitive clusters: the oracle
-      // computes the same pairs (gram equi-join twin), then takes the
+      // computes the same pairs (the SHARED gram equi-join CTEs — one
+      // definition, so the two oracles cannot drift), then takes the
       // recursive closure — component id = min reachable doc id; docs in no
       // pair are singletons
       "q44_dup_clusters" ->
-        """WITH RECURSIVE g0 AS (
-          |  SELECT doc_id,
-          |    CASE WHEN length(text) >= 4
-          |      THEN list_distinct(list_transform(generate_series(1, length(text) - 3),
-          |             i -> substring(text, i, 4)))
-          |      ELSE [text] END AS grams
-          |  FROM documents),
-          |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g0),
-          |inter AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-          |         any_value(a.n) AS na, any_value(b.n) AS nb
-          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2),
+        s"""WITH RECURSIVE $ngramInterCtes,
           |pairs AS (
           |  SELECT id_a, id_b FROM inter
           |  WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.6),

@@ -46,6 +46,44 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private val LoopConfKeys = Seq("spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
+
+  /** THREAD-SAFE conf window for the star loop (same hazard class and same
+    * cure as `LakeTable.withSpjConfs`): a naive save/restore pair
+    * interleaves under two concurrent loops so the second thread "restores"
+    * the first thread's temporary values, permanently mutating the session.
+    * Instead every exit restores to a BASELINE captured when no window was
+    * active — and restores via set/unset so never-set keys stay never-set.
+    * Two overlapping loops can still briefly see each other's per-round
+    * values (bounded perf blip, never wrong results — the values only tune
+    * plan shape), and the baseline always wins at the end. */
+  private val confLock = new Object
+  private val confState =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Array[Any]]()
+
+  private def enterConfWindow(spark: org.apache.spark.sql.SparkSession): Unit =
+    confLock.synchronized {
+      var st = confState.get(spark)
+      if (st == null) { st = Array[Any](0, null); confState.put(spark, st) }
+      if (st(0).asInstanceOf[Int] == 0)
+        st(1) = LoopConfKeys.map(spark.conf.getOption)
+      st(0) = st(0).asInstanceOf[Int] + 1
+    }
+
+  private def exitConfWindow(spark: org.apache.spark.sql.SparkSession): Unit =
+    confLock.synchronized {
+      val st = confState.get(spark)
+      st(0) = st(0).asInstanceOf[Int] - 1
+      if (st(0).asInstanceOf[Int] == 0) {
+        LoopConfKeys.zip(st(1).asInstanceOf[Seq[Option[String]]]).foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+        confState.remove(spark) // don't pin stopped sessions
+      }
+    }
+
   /** Resolve an undirected edge list into components.
     *
     * @param edges  DataFrame holding one edge per row (direction and
@@ -53,14 +91,17 @@ object Components {
     *               dropped)
     * @param srcCol edge endpoint column (any orderable Spark type)
     * @param dstCol other endpoint column (same type)
-    * @param maxRounds hard bound on star rounds — O(log² n) are needed, so
-    *               50 covers any physically storable graph; exhausting it
-    *               throws rather than returning a half-merged clustering
+    * @param maxRounds hard bound on star rounds. Practical convergence is
+    *               ~log₂(diameter) rounds (the spec's diameter-255 chain
+    *               lands in 9); the proven worst case is O(log² n), so the
+    *               default 200 is generous insurance, not a tuning knob —
+    *               exhausting it throws rather than returning a half-merged
+    *               clustering
     * @return one row per distinct node: (`id`, `component`) where
     *         `component` is the minimum node id of the node's component
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 200): DataFrame = {
     // materialize the (typically expensive) pair-producing lineage ONCE —
     // nodes and the canonical edge set both derive from it, and deriving
     // them from the un-checkpointed plan would re-execute the whole
@@ -120,30 +161,30 @@ object Components {
     // 4 exchanges over the (shrinking) edge set, and at session defaults a
     // small graph pays pure scheduling — 32 near-empty partitions × 4
     // stages × O(log n) rounds, with AQE re-planning and materializing
-    // every stage as its own job. ~100k edges/partition keeps one task
-    // busy; a 10^10-edge graph still gets the session's full parallelism
-    // AND keeps AQE (its skew-join splitting is what absorbs a giant
-    // component's center — only small rounds, where skew cannot matter and
-    // per-stage replanning dominates, skip it). Confs are saved and
-    // restored — the loop runs between eager checkpoints, so no
-    // caller-visible plan depends on the temporary values.
-    val conf = edges.sparkSession.conf
-    val savedParts = conf.get("spark.sql.shuffle.partitions")
-    val savedAqe = conf.get("spark.sql.adaptive.enabled")
-    val savedCodegen = conf.get("spark.sql.codegen.wholeStage")
+    // every stage as its own job, and whole-stage codegen Janino-compiling
+    // ~8 fresh stages per round of NEW lineage. ~100k edges/partition keeps
+    // one task busy; a 10^10-edge graph still gets the session's full
+    // parallelism AND keeps AQE + codegen (AQE's skew-join splitting is
+    // what absorbs a giant component's center — only small rounds, where
+    // skew cannot matter and per-stage replanning dominates, skip them).
+    // The window is entered/exited through the refcounted baseline below —
+    // the loop runs between eager checkpoints, so no caller-visible plan
+    // depends on the temporary values.
+    val spark = edges.sparkSession
+    val conf = spark.conf
+    val sessionParts =
+      try conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Exception => spark.sparkContext.defaultParallelism }
     def loopParts(edgeCount: Long): Int =
-      math.min(savedParts.toLong, edgeCount / 100000L + 1L).toInt
+      math.min(sessionParts.toLong, edgeCount / 100000L + 1L).toInt
     var rounds = 0
     var converged = curCount == 0L
+    enterConfWindow(spark)
     try {
     while (!converged && rounds < maxRounds) {
       rounds += 1
       val t0 = System.nanoTime()
       conf.set("spark.sql.shuffle.partitions", loopParts(curCount))
-      // small rounds: every round's plan is NEW lineage, so whole-stage
-      // codegen Janino-compiles ~8 fresh stages per round — far more
-      // expensive than interpreting a few hundred rows. Big graphs keep
-      // codegen (and AQE's skew-join splitting).
       val big = curCount >= 10000000L
       conf.set("spark.sql.adaptive.enabled", big.toString)
       conf.set("spark.sql.codegen.wholeStage", big.toString)
@@ -164,11 +205,7 @@ object Components {
       cur = next; curCount = nextCount; curHash = nextHash
       old.unpersist(false)
     }
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", savedParts)
-      conf.set("spark.sql.adaptive.enabled", savedAqe)
-      conf.set("spark.sql.codegen.wholeStage", savedCodegen)
-    }
+    } finally exitConfWindow(spark)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds star rounds " +

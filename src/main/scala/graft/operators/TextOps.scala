@@ -267,11 +267,15 @@ object TextOps {
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, strata: Seq[String],
       idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"sample quota must be positive, got $k")
+    // collision-proof temp column: withColumn would silently REPLACE (and
+    // drop would then delete) a caller column of the same name
+    val rn = Iterator.from(0).map(i => if (i == 0) "_rn" else s"_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strata.map(col): _*)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 }

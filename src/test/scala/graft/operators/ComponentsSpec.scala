@@ -52,11 +52,13 @@ class ComponentsSpec extends SparkTestBase {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
-  test("long chain (diameter 255) converges within the 50-round bound — O(log n), not O(diameter)") {
-    // a hash-min propagation would need 255 rounds and trip maxRounds;
-    // the star alternation must finish with a wide margin
+  test("long chain (diameter 255) converges in O(log n) rounds, not O(diameter)") {
+    // a hash-min propagation would need 255 rounds; the star alternation
+    // must finish in ~log₂ — pin it well under the diameter
     val chain = (1L to 255L).map(i => (i, i + 1))
-    val out = ccOf(scala.util.Random.shuffle(chain))
+    val out = Components.connectedComponents(
+        scala.util.Random.shuffle(chain).toDF("a", "b"), "a", "b", maxRounds = 16)
+      .as[(Long, Long)].collect().toMap
     assert(out == (1L to 256L).map(_ -> 1L).toMap)
   }
 
@@ -69,6 +71,31 @@ class ComponentsSpec extends SparkTestBase {
         .filter(e => e._1 != e._2)
       assert(ccOf(edges) == ufComponents(edges), s"trial $trial n=$n m=$m")
     }
+  }
+
+  test("loop conf window restores the session exactly: set keys keep their value, never-set keys stay never-set") {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
+    val before = keys.map(spark.conf.getOption)
+    ccOf(Seq((1L, 2L), (2L, 3L)))
+    assert(keys.map(spark.conf.getOption) == before,
+      s"confs mutated: before=$before after=${keys.map(spark.conf.getOption)}")
+  }
+
+  test("concurrent loops: both finish correctly and the baseline confs win at the end") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
+    val before = keys.map(spark.conf.getOption)
+    val chainA = (1L to 40L).map(i => (i, i + 1))
+    val chainB = (100L to 140L).map(i => (i, i + 1))
+    val (a, b) = Await.result(
+      Future(ccOf(chainA)).zip(Future(ccOf(chainB))), 10.minutes)
+    assert(a == (1L to 41L).map(_ -> 1L).toMap)
+    assert(b == (100L to 141L).map(_ -> 100L).toMap)
+    assert(keys.map(spark.conf.getOption) == before)
   }
 
   test("dupClusters: transitive closure beats single-pass dup_of; singletons keep their id") {

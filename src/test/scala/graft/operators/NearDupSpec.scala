@@ -137,6 +137,25 @@ class NearDupSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("stratifiedSample: exact quotas, deterministic across runs, caller's _rn column survives") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(200).selectExpr("id AS doc_id",
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang",
+      "id * 7 AS _rn") // a caller column the temp rank must not clobber
+    val s1 = TextOps.stratifiedSample(docs, Seq("lang"), "doc_id", k = 10)
+    assert(s1.columns.toSeq == Seq("doc_id", "lang", "_rn"), s1.columns.toSeq)
+    val rows1 = s1.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows1.groupBy(_._2).forall(_._2.size == 10))
+    assert(rows1.forall { case (id, _, rn) => rn == id * 7 }) // payload intact
+    // bit-reproducible: a repartitioned input yields the identical sample
+    val rows2 = TextOps.stratifiedSample(docs.repartition(7), Seq("lang"), "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows1 == rows2)
+    // quota larger than the stratum: every row kept
+    assert(TextOps.stratifiedSample(docs.filter(col("lang") === "en"), Seq("lang"),
+      "doc_id", 1000).count() === docs.filter(col("lang") === "en").count())
+  }
+
   test("portable winnow fingerprints equal a direct per-doc computation") {
     // independent in-memory oracle: md5 gram hashes, min over each full
     // window, distinct values
