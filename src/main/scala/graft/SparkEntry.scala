@@ -655,7 +655,30 @@ object SparkEntry {
     // so the exchange carries O(k·strata·tasks), not the corpus (PlanSpec).
     "q45_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(t(s, dir, "documents"), Seq("lang"), "doc_id", k = 40)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // Training op — BPE-ish token budget vs whitespace token count. The
+    // generated documents are all lowercase words + spaces (whitespace and
+    // BPE-ish counts would coincide), so a deterministic digit/punct-bearing
+    // suffix is appended FIRST — the oracle applies the identical suffix,
+    // making the cross-engine regex equivalence actually discriminating.
+    "q46_bpeish_tokens" -> ((s, dir) => {
+      val suffixed = concat(col("text"), lit(" v"), col("doc_id"), lit(".0!"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(suffixed).as("bpeish_tokens"))
+    }),
+
+    // Training op — IVF-Flat ANN (the coarse-quantizer scale path; the
+    // engine now ships BOTH "IVF or LSH"). Deterministic hash-ranked
+    // centroids make it exactly SQL-expressible; recall vs brute force is
+    // measured in SimilaritySpec like q26's.
+    "q47_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    })
   )
 
   /** one warehouse per JVM: the SQL catalog instance is cached by Spark's
@@ -1309,6 +1332,65 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY lang
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           |  FROM documents) WHERE rn <= 40""".stripMargin,
+      // identical deterministic suffix on both sides; the regex itself is
+      // the shared TextOps.bpeishTokenCountSql definition
+      "q46_bpeish_tokens" ->
+        s"""SELECT doc_id,
+          |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+          |  ${graft.operators.TextOps.bpeishTokenCountSql(
+              "(text || ' v' || CAST(doc_id AS VARCHAR) || '.0!')")} AS bpeish_tokens
+          |FROM documents""".stripMargin,
+      // IVF twin: the oracle RE-DERIVES the hash-ranked centroids (same md5
+      // rule), assigns every vector to its argmax cell (ties -> smaller
+      // cell rank, matching array_position-of-first-max), probes the top-4
+      // cells per query, and exactly rescores — the same left-to-right
+      // double arithmetic as the q25/q26 oracles
+      "q47_ann_ivf" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, emb,
+          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+          |  FROM e),
+          |v AS (
+          |  SELECT vec_id,
+          |    list_transform(emb, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE CAST(0.0 AS DOUBLE) END) AS u
+          |  FROM n),
+          |cr AS (
+          |  SELECT vec_id AS cid, u AS cu, crank FROM (
+          |    SELECT vec_id, u,
+          |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crank
+          |    FROM v) WHERE crank <= 16),
+          |assign AS (
+          |  SELECT vid, cell FROM (
+          |    SELECT v.vec_id AS vid, cr.crank AS cell,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |          list_transform(range(1, 65), i -> v.u[i] * cr.cu[i])), (a, b) -> a + b) DESC,
+          |        cr.crank ASC) AS rn
+          |    FROM v CROSS JOIN cr) WHERE rn = 1),
+          |q AS (SELECT * FROM v WHERE vec_id < 20),
+          |probes AS (
+          |  SELECT qid, cell FROM (
+          |    SELECT q.vec_id AS qid, cr.crank AS cell,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |          list_transform(range(1, 65), i -> q.u[i] * cr.cu[i])), (a, b) -> a + b) DESC,
+          |        cr.crank ASC) AS rn
+          |    FROM q CROSS JOIN cr) WHERE rn <= 4)
+          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+          |  SELECT p.qid, a.vid AS nid,
+          |    row_number() OVER (PARTITION BY p.qid ORDER BY
+          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |        list_transform(range(1, 65), i -> vq.u[i] * vc.u[i])), (a, b) -> a + b) DESC,
+          |      a.vid ASC) AS rn
+          |  FROM probes p JOIN assign a USING (cell)
+          |    JOIN v vq ON vq.vec_id = p.qid
+          |    JOIN v vc ON vc.vec_id = a.vid
+          |  WHERE a.vid <> p.qid)
+          |WHERE rn <= 5""".stripMargin,
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
-  * brute-force cosine top-k as the exactness baseline, and a
-  * random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+  * brute-force cosine top-k as the exactness baseline, and TWO scale
+  * paths — a random-hyperplane LSH-bucketed variant and an IVF-Flat
+  * coarse-quantizer variant (the builder mandate says "IVF or LSH").
   *
   * Dot products are `zip_with` + `aggregate` array expressions in double
   * precision — codegen'd, no UDFs.
@@ -118,6 +119,78 @@ object Similarity {
       .filter(col("_qid") =!= col("_cid"))
       .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
       .groupBy(col("_qid"), col("_cid")).agg(max(col("_cos")).as("_cos")) // dedup table/probe hits
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col("_cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        col("rank"), col("_cos").as("cosine"))
+  }
+
+  /** IVF-Flat ANN — the inverted-file coarse-quantizer scale path that
+    * complements [[lshTopKDim]] (the builder mandate names "IVF or LSH";
+    * the engine ships BOTH, with the same (query_id, neighbor_id, rank)
+    * surface and the same exact-rescore contract).
+    *
+    * Quantizer: `nCells` corpus vectors chosen by a content-independent
+    * hash ranking of the id (md5 of its decimal string — a uniform,
+    * bit-reproducible sample; identical rule to [[TextOps.stratifiedSample]],
+    * so the DuckDB oracle recomputes the SAME centroids). A k-means-trained
+    * quantizer is a drop-in: only the centroid list changes, the
+    * assignment/probe/rescore pipeline is identical — the sampled quantizer
+    * is what keeps the operator deterministic and cross-engine oracle-able.
+    *
+    * Scale shape (100 TB):
+    *  - centroids are COLLECTED (bounded: `nCells` rows — same class of
+    *    driver transfer as the Jaccard dictionary probe) and re-enter every
+    *    plan as array literals, i.e. broadcast by the plan itself;
+    *  - cell assignment is a pure map over the corpus: a score array of
+    *    `nCells` codegen'd dot products + `array_position(max)` — ZERO
+    *    corpus shuffle, and at rest the assignment is exactly a LakeTable
+    *    bucket layout (write corpus bucketed by `_cell` and probes prune
+    *    buckets via runtime filtering instead of scanning);
+    *  - each query probes its `nProbe` best cells; candidates come from a
+    *    broadcast equi-join on the cell id — the corpus again does not
+    *    shuffle; only candidates (≈ corpus · nProbe/nCells per query) reach
+    *    the exact-rescore window.
+    *
+    * Ties everywhere break toward the smaller index/id, matching the SQL
+    * twin's `ORDER BY score DESC, rank ASC` row_number exactly. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe <= nCells, s"nProbe=$nProbe exceeds nCells=$nCells")
+    val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+    val c0 = corpus.repartition(par)
+      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    // deterministic hash-ranked centroid sample, in rank order (cell ids
+    // are 1-based ranks — the oracle's row_number over the same ordering)
+    val cents: Seq[Seq[Double]] = c0
+      .withColumn("_h", md5(col("_cid").cast("string").cast("binary")))
+      .orderBy(col("_h"), col("_cid"))
+      .limit(nCells)
+      .select(col("_cemb")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    def scoresOf(emb: Column): Column =
+      array(cents.map(c => dot(emb, typedlit(c))): _*)
+    // first index of the max score = smallest winning cell id
+    val cAssigned = c0
+      .withColumn("_scores", scoresOf(col("_cemb")))
+      .withColumn("_cell", expr("array_position(_scores, array_max(_scores))"))
+      .drop("_scores")
+    // per-query probe list: top nProbe cells by (score desc, cell asc) —
+    // sort_array over (-score, cell) structs is ascending-lexicographic,
+    // which is exactly that ordering (Spark normalizes -0.0 to 0.0 in sort
+    // keys, so negation cannot reorder zero scores)
+    val qProbes = queries
+      .select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+      .withColumn("_ranked", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-dot(col("_qemb"), typedlit(c))).as("neg"), lit(i + 1L).as("cell"))
+      }: _*)))
+      .select(col("_qid"), col("_qemb"),
+        explode(slice(col("_ranked"), 1, nProbe)).as("_p"))
+      .select(col("_qid"), col("_qemb"), col("_p.cell").as("_cell"))
+    val scored = cAssigned.join(broadcast(qProbes), Seq("_cell"))
+      .filter(col("_qid") =!= col("_cid"))
+      .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
     val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col("_cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -25,6 +25,24 @@ object TextOps {
   def tokenCount(text: Column): Column =
     (length(text) - length(replace(text, lit(" "))) + lit(1)).cast("long")
 
+  /** BPE-ish pre-tokenizer count: maximal letter runs, maximal digit runs,
+    * and every other non-space character as its own token — the class-run
+    * segmentation BPE-family tokenizers apply before merges, so this counts
+    * within a small constant factor of a real BPE's sequence length (the
+    * standard budget estimator when the merge table itself is out of scope).
+    * Unlike the rest of this file this IS a regex (`regexp_extract_all`,
+    * codegen'd) — the pattern uses only ASCII classes and alternation,
+    * which Java regex and RE2 (DuckDB) interpret identically, so it stays
+    * oracle-able; q46 proves the equivalence cross-engine. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** The same BPE-ish count as DuckDB SQL (RE2 reads the identical
+    * pattern; single-quoted SQL strings pass the backslash through). */
+  def bpeishTokenCountSql(textExpr: String): String =
+    s"""CAST(len(regexp_extract_all($textExpr, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"""
+
   /** Punctuation-ratio quality score: (#'.' + #',' + #'!' + #'?') / n_chars,
     * one IEEE division (bit-exact across engines). */
   def punctRatio(text: Column): Column = {

@@ -356,6 +356,15 @@ class PlanSpec extends SparkTestBase {
       readSchema)
   }
 
+  test("q47 IVF ANN: centroids enter as plan literals, probes broadcast — " +
+      "the corpus never sort-merge-joins or cross-joins") {
+    val p = plan(SparkEntry.queries("q47_ann_ivf")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the probe join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "assignment must be a map over literal centroids, not a join")
+  }
+
   test("q45 stratified sample map-side truncates each stratum before the " +
       "exchange (WindowGroupLimit both sides of the shuffle)") {
     val p = plan(SparkEntry.queries("q45_stratified_sample")(spark, sf))

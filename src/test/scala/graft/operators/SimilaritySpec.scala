@@ -44,6 +44,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN reaches usable recall vs brute force; probing all cells IS brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size.toDouble
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // exhaustive probing covers every cell, so the result must BE the exact
+    // brute-force answer — pins candidate generation as lossless per cell
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.9)
