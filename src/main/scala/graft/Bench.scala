@@ -21,6 +21,22 @@ import org.apache.spark.sql.SparkSession
   * artifact.
   */
 object Bench {
+
+  /** Drop state a finished query leaves in the shared JVM: localCheckpoint
+    * blocks (connected components, IVF), lingering broadcasts, and GC debt.
+    * 90+ back-to-back heterogeneous executions otherwise degrade later
+    * timings 2-3× (measured: q23 7.5s in-sweep vs 2.1s isolated) — real
+    * drivers don't run the whole suite in one session, so the harnesses run
+    * this OUTSIDE the timed window to measure queries, not accumulation.
+    * unpersist BLOCKS until the storage is actually dropped, so the
+    * following GC reclaims it and none of the cleanup bleeds into the next
+    * measurement. Shared by Bench and QueryBench so their numbers agree. */
+  def drainSessionState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,17 +60,7 @@ object Bench {
       System.err.println(s"[bench] $name FAILED: $msg")
     }
 
-    // Drop state a finished query leaves in the shared JVM: localCheckpoint
-    // blocks (connected components, IVF), lingering broadcasts, and GC debt.
-    // 90+ back-to-back heterogeneous executions otherwise degrade later
-    // timings 2-3× (measured: q23 7.5s in-sweep vs 2.1s isolated) — real
-    // drivers don't run the whole suite in one session, so the cleanup runs
-    // OUTSIDE the timed window to measure queries, not accumulation.
-    def drainSessionState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.catalog.clearCache()
-      System.gc()
-    }
+    def drainSessionState(): Unit = Bench.drainSessionState(spark)
 
     // warmup pass (not timed; failures still recorded)
     SparkEntry.queries.foreach { case (name, fn) =>

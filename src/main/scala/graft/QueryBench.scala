@@ -34,6 +34,9 @@ object QueryBench {
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(n)(spark, sfDir).count()
         println(f"[qbench] $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+        // same inter-measurement drain as Bench, so the two harnesses'
+        // numbers agree (checkpoint blocks otherwise accumulate across reps)
+        Bench.drainSessionState(spark)
       }
     }
     spark.stop()

@@ -159,17 +159,22 @@ object Similarity {
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     require(nProbe <= nCells, s"nProbe=$nProbe exceeds nCells=$nCells")
     val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
-    // MATERIALIZED repartition+normalize: without the checkpoint, Catalyst
-    // collapses the nCells-dot scoring projection into the scan stage BELOW
-    // the repartition exchange — on a single-split test corpus that runs
-    // the entire (interpreted-HOF) quantizer in ONE task, measured 7×
-    // slower end-to-end. The checkpoint pins scoring to the 32-way stage
-    // (and the centroid scan below reuses it). At production scale this
-    // materialization disappears: the corpus lives cell-bucketed in a lake
-    // table (assignment precomputed at ingest) and probes prune buckets.
-    val c0 = corpus.repartition(par)
-      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
-      .localCheckpoint()
+    // A corpus arriving in FEWER splits than cores (small parquet files)
+    // needs a repartition spread — but Catalyst then collapses the
+    // nCells-dot scoring projection into the scan stage BELOW the exchange,
+    // running the entire (interpreted-HOF) quantizer in the few scan tasks
+    // (measured 7× slower end-to-end on a one-split corpus). An eager
+    // localCheckpoint pins scoring to the par-way stage and the centroid
+    // scan reuses it. The materialization is GATED on that under-split
+    // case: a production corpus already carrying ≥ par splits streams
+    // through unmaterialized and fault-tolerant (and at rest would live
+    // cell-bucketed in a lake table, assignment precomputed at ingest).
+    val projected = (df: DataFrame) =>
+      df.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+    val c0 =
+      if (corpus.rdd.getNumPartitions < par)
+        projected(corpus.repartition(par)).localCheckpoint()
+      else projected(corpus)
     // deterministic hash-ranked centroid sample, in rank order (cell ids
     // are 1-based ranks — the oracle's row_number over the same ordering)
     val cents: Seq[Seq[Double]] = c0

@@ -59,6 +59,12 @@ class SimilaritySpec extends SparkTestBase {
       k = 5, nCells = 16, nProbe = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == brute)
+    // the well-split production path (no repartition, no materialization)
+    // returns the identical result
+    val wide = Similarity.ivfTopK(emb.repartition(256), queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(wide == ivf)
   }
 
   test("cosine near-dup pairs are symmetric-free and above threshold") {
