@@ -678,6 +678,34 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nCells = 16, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // K1 FILE-SKIPPING e2e WITH a DuckDB oracle: a filtered SQL read over a
+    // multi-commit lake table whose snapshot carries per-file column bounds
+    // (Iceberg-manifest-style, harvested from the commit's own footer
+    // pass). The pushed `event_id >= N` predicate prunes whole files at
+    // PLANNING time — FileStatsSpec pins that files are actually skipped;
+    // this query pins that skipping never changes results (LWW winners
+    // whose tiebreaker is past the threshold).
+    "q48_stats_skip_read" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.tables.dsv2.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$sqlWarehouse/q48tbl"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$sqlWarehouse/q48tbl", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      (0 until 3).foreach { k =>
+        table.merge(ev.filter(col("event_id") % 3 === k), s"wave-$k",
+          txn = Some(("q48", k.toLong)))
+      }
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q48tbl WHERE event_id >= 5000""".stripMargin)
     })
   )
 
@@ -1391,6 +1419,10 @@ object SparkEntry {
           |    JOIN v vc ON vc.vec_id = a.vid
           |  WHERE a.vid <> p.qid)
           |WHERE rn <= 5""".stripMargin,
+      // file-skipping read = LWW winners whose tiebreaker passes the
+      // filter (the predicate applies to the RESOLVED state; pruning must
+      // be invisible)
+      "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 5000"),
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

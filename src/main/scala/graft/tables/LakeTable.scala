@@ -72,7 +72,18 @@ final case class TableSnapshot(
       * (the CDC egress contract). [[LakeTable.purgeTombstones]] reclaims
       * them once the out-of-order horizon has passed. None = upsert-only
       * table (zero overhead). */
-    tombstoneCol: Option[String] = None)
+    tombstoneCol: Option[String] = None,
+    /** Iceberg-manifest-style per-file column bounds (relative data-file
+      * path → min/max/null counts, [[FileStats]]) harvested from the same
+      * parquet-footer pass that already maintains `bucketRows` — so query
+      * PLANNING can skip files no pushed predicate can match without
+      * touching storage. The headline prune: a file's max(orderCol) bounds
+      * when its bucket was last rewritten, so the CDC staple
+      * `WHERE slot > X` does zero I/O for every bucket cold since X.
+      * Bounded at [[FileStats.MaxStatsCols]] columns; files without an
+      * entry are simply never pruned. Persisted entries are normalized to
+      * the live file set at serialization time. */
+    fileStats: Map[String, FileStats] = Map.empty)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -785,7 +796,8 @@ final class LakeTable private (
       // typically an expensive mapPartitions binary decode.
       // =====================================================================
       val emptyTable = snap.rowCount == 0L && snap.bucketFiles.values.forall(_.isEmpty)
-      val (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows) =
+      val (touched, upserts, rowsIn, customCounters, written, writtenRows, writtenStats,
+          oldTouchedRows) =
         if (mor || emptyTable) {
         // one-job path: no stats rows to feed the auto-salt estimate —
         // salting stays the caller's explicit choice here
@@ -816,9 +828,8 @@ final class LakeTable private (
         phase("write(mor-1job)")
         touchInflight(commitRel)
         val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
-        val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-          b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
-        }
+        val (writtenRows, writtenStats) =
+          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
         val m = obs.get
         if (m("_nrows").asInstanceOf[Long] > 0 && written.isEmpty)
           throw new IllegalStateException(
@@ -827,7 +838,7 @@ final class LakeTable private (
         (written.keys.toSeq.sorted, writtenRows.values.sum,
           m("_nrows").asInstanceOf[Long],
           counterNames.map(n => n -> m(s"_c_$n").asInstanceOf[Long]).toMap,
-          written, writtenRows, 0L)
+          written, writtenRows, writtenStats, 0L)
       } else {
         // ===================================================================
         // COW: one CHEAP stats job (touched buckets for existing-side
@@ -916,10 +927,10 @@ final class LakeTable private (
           throw new IllegalStateException(
             s"staging dir $commitRel produced no files for a non-empty merge — " +
               "was it swept by a concurrent expire()?")
-        val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-          b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
-        }
-        (touched, upserts, rowsIn, customCounters, written, writtenRows, oldTouchedRows)
+        val (writtenRows, writtenStats) =
+          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+        (touched, upserts, rowsIn, customCounters, written, writtenRows, writtenStats,
+          oldTouchedRows)
       }
       // --- commit, with OCC rebase over maintenance-only interleavings:
       // the merge's data files were computed against `snap`, but an
@@ -1012,7 +1023,8 @@ final class LakeTable private (
           morBuckets = newMorBuckets,
           bucketLayers = newBucketLayers,
           maxLayers = s.maxLayers,
-          tombstoneCol = s.tombstoneCol))
+          tombstoneCol = s.tombstoneCol,
+          fileStats = s.fileStats ++ writtenStats))
       }
       phase("counts")
       val committed = occCommit(snap)(cur =>
@@ -1071,9 +1083,8 @@ final class LakeTable private (
     }
     touchInflight(commitRel)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
-    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
-    }
+    val (writtenRows, writtenStats) =
+      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
     if (written.isEmpty && dirty.exists(b => snap.bucketRows.getOrElse(b, 0L) > 0))
       throw new IllegalStateException(
         s"staging dir $commitRel produced no files for non-empty dirty buckets — " +
@@ -1103,7 +1114,9 @@ final class LakeTable private (
               s.totals.getOrElse("compacted_buckets", 0L) + valid.size.toLong),
           rowCount = s.rowCount - oldDirtyRows + wr.values.sum,
           morBuckets = s.morBuckets.filterNot(valid.contains),
-          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) }))
+          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) },
+          fileStats = s.fileStats ++
+            writtenStats.filter { case (rel, _) => w.values.exists(_.contains(rel)) }))
       }
     }
     // sweep staging output that lost the race (stale buckets, or everything)
@@ -1150,9 +1163,8 @@ final class LakeTable private (
     // a bucket whose every key was tombstoned writes NO file — its list
     // becomes empty, not carried forward (so no empty-staging guard here)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
-    val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-      b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
-    }
+    val (writtenRows, writtenStats) =
+      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
     var valid: Seq[Int] = candidates
     val committed = occCommit(snap)(cur => cur.numBuckets == snap.numBuckets) { s =>
       valid = candidates.filter(b =>
@@ -1172,7 +1184,9 @@ final class LakeTable private (
               s.totals.getOrElse("purged_rows", 0L) + (oldRows - wr.values.sum)),
           rowCount = s.rowCount - oldRows + wr.values.sum,
           morBuckets = s.morBuckets.filterNot(valid.contains),
-          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) }))
+          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) },
+          fileStats = s.fileStats ++
+            writtenStats.filter { case (rel, _) => w.values.exists(_.contains(rel)) }))
       }
     }
     sweepStaging(commitRel, written,
@@ -1331,9 +1345,8 @@ final class LakeTable private (
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
       touchInflight(commitRel)
       val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
-      val writtenRows: Map[Int, Long] = written.map { case (b, fs) =>
-        b -> countRows(fs.map(rel => s"$root/$rel"), curSchema)
-      }
+      val (writtenRows, writtenStats) =
+        writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
       if (written.isEmpty && snap.rowCount > 0)
         throw new IllegalStateException(
           s"staging dir $commitRel produced no files rebucketing a non-empty table — " +
@@ -1346,7 +1359,8 @@ final class LakeTable private (
           totals = snap.totals.updated("rebuckets", snap.totals.getOrElse("rebuckets", 0L) + 1L),
           rowCount = writtenRows.values.sum,
           morBuckets = Nil,
-          bucketLayers = Map.empty))
+          bucketLayers = Map.empty,
+          fileStats = writtenStats))
         true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1491,6 +1505,25 @@ final class LakeTable private (
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
+  }
+
+  /** One parallel footer pass over freshly-written files: per-bucket row
+    * counts AND per-file column bounds ([[FileStats]]) from the SAME footer
+    * objects — the bounds are free on the read the row counts already pay
+    * for, so planning-time file skipping costs a commit nothing extra. */
+  private def writtenMeta(written: Map[Int, Seq[String]], schema: StructType,
+      keyCols: Seq[String], orderCols: Seq[String])
+      : (Map[Int, Long], Map[String, FileStats]) = {
+    val statsCols = FileStats.statsColumns(schema, keyCols, orderCols)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perFile = written.values.flatten.toSeq.par_.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$root/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rel -> FileStats.fromFooter(r.getFooter, schema, statsCols)
+      finally r.close()
+    }.toMap
+    (written.map { case (b, fs) => b -> fs.map(perFile(_).rows).sum }, perFile)
   }
 
   implicit private class ParSeq[A](s: Seq[A]) {
@@ -1735,6 +1768,22 @@ object LakeTable {
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
     o.put("maxLayers", s.maxLayers)
     s.tombstoneCol.foreach(c => o.put("tombstoneCol", c))
+    // normalize to the LIVE file set at serialization time: replaced files'
+    // stats die with the files, so the map stays O(current files) no matter
+    // how commits interleaved in memory
+    val live: Set[String] = s.bucketFiles.valuesIterator.flatten.toSet
+    val fsNode = o.putObject("fileStats")
+    s.fileStats.toSeq.filter(e => live(e._1)).sortBy(_._1).foreach { case (rel, st) =>
+      val f = fsNode.putObject(rel)
+      f.put("rows", st.rows)
+      val cols = f.putObject("cols")
+      st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val n = cols.putObject(c)
+        cs.min.foreach(v => n.put("min", v))
+        cs.max.foreach(v => n.put("max", v))
+        cs.nullCount.foreach(v => n.put("nulls", v))
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)
   }
 
@@ -1779,6 +1828,23 @@ object LakeTable {
       maxLayers =
         if (node.has("maxLayers")) node.get("maxLayers").asInt() else DefaultMaxLayers,
       tombstoneCol =
-        if (node.has("tombstoneCol")) Some(node.get("tombstoneCol").asText()) else None)
+        if (node.has("tombstoneCol")) Some(node.get("tombstoneCol").asText()) else None,
+      fileStats =
+        if (!node.has("fileStats")) Map.empty
+        else {
+          val fsNode = node.get("fileStats").asInstanceOf[ObjectNode]
+          fsNode.fieldNames().asScala.map { rel =>
+            val f = fsNode.get(rel)
+            val colsNode = f.get("cols").asInstanceOf[ObjectNode]
+            val cols = colsNode.fieldNames().asScala.map { c =>
+              val n = colsNode.get(c)
+              c -> ColStats(
+                min = Option(n.get("min")).map(_.asText()),
+                max = Option(n.get("max")).map(_.asText()),
+                nullCount = Option(n.get("nulls")).map(_.asLong()))
+            }.toMap
+            rel -> FileStats(f.get("rows").asLong(), cols)
+          }.toMap
+        })
   }
 }

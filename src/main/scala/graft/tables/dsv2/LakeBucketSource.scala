@@ -328,16 +328,33 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     new KeyGroupedPartitioning(
       Array(Expressions.identity(LakeBucketSource.BucketCol)), buckets.size)
 
+  /** PLANNING-TIME FILE SKIPPING from the snapshot's per-file column bounds
+    * (≙ Iceberg manifest pruning): a pushed predicate that provably matches
+    * nothing in a file drops the file before a task is ever scheduled —
+    * zero storage I/O, unlike the row-group pruning the same filters
+    * already drive inside the reader. Exactly as safe as that row-group
+    * pruning: the pushed copies are residual (re-evaluated above the scan),
+    * and bounds only prune on a proof ([[graft.tables.FileStats.mayMatch]]).
+    * The headline shape at 100 TB: `WHERE slot > X` skips every file of
+    * every bucket not rewritten since X. */
+  private def statsKeep(rel: String): Boolean =
+    pushedFilters.isEmpty || snap.fileStats.get(rel).forall(
+      graft.tables.FileStats.mayMatch(pushedFilters, _, dataSchema))
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
-    val allRel = buckets.sorted.filter(keep)
-      .flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).distinct
+    val kept: Int => Seq[String] = b =>
+      snap.bucketFiles.getOrElse(b, Nil).filter(statsKeep)
+    val allRel = buckets.sorted.filter(keep).flatMap(kept(_)).distinct
+    LakeBucketScan.statsPrunedFiles.addAndGet(
+      buckets.filter(keep).map(b => snap.bucketFiles.getOrElse(b, Nil).size).sum
+        - allRel.size)
     val lens = LakeBucketSource.statLengths(root, allRel, conf)
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
       val files =
         if (!keep(b)) Array.empty[PartitionedFile] // runtime-pruned: no I/O
-        else snap.bucketFiles.getOrElse(b, Nil).map { rel =>
+        else kept(b).map { rel =>
           PartitionedFile(
             partitionValues = InternalRow(b),
             filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
@@ -356,6 +373,10 @@ object LakeBucketScan {
   /** test-visible: number of scans that received a runtime filter (the
     * pruning itself is otherwise observable only as absent I/O) */
   val runtimePrunes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** test-visible: data files skipped at planning time by per-file column
+    * bounds, across the lake scans (bucket scan + SQL-catalog scan) */
+  val statsPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** One bucket = one input partition; `partitionKey` is what Catalyst groups

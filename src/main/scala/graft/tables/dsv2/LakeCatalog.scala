@@ -251,15 +251,30 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
     }
   }
 
+  /** Planning-time file skipping from the snapshot's per-file bounds,
+    * restricted to buckets the reader factory serves through the PLAIN
+    * columnar path WITH pushed filters (clean bucket, no tombstone column)
+    * — the same condition under which row-group pruning already applies,
+    * so file-level pruning can never skip a row an in-task LWW/tombstone
+    * resolve would have needed. */
+  private def statsKeep(b: Int, rel: String): Boolean =
+    pushedFilters.isEmpty || snap.morBuckets.contains(b) ||
+      snap.tombstoneCol.isDefined ||
+      snap.fileStats.get(rel).forall(
+        graft.tables.FileStats.mayMatch(pushedFilters, _, dataSchema))
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
     val buckets = snap.bucketFiles.keys.toSeq.sorted
       .filter(b => keep(b) && snap.bucketFiles(b).nonEmpty)
-    val lens = LakeBucketSource.statLengths(root,
-      buckets.flatMap(b => snap.bucketFiles(b)).distinct, conf)
+    val kept: Int => Seq[String] = b => snap.bucketFiles(b).filter(statsKeep(b, _))
+    val allRel = buckets.flatMap(kept(_)).distinct
+    LakeBucketScan.statsPrunedFiles.addAndGet(
+      buckets.map(snap.bucketFiles(_).size).sum - allRel.size)
+    val lens = LakeBucketSource.statLengths(root, allRel, conf)
     buckets.zipWithIndex.map { case (b, idx) =>
-      val files = snap.bucketFiles(b).map { rel =>
+      val files = kept(b).map { rel =>
         PartitionedFile(
           partitionValues = InternalRow.empty,
           filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
