@@ -705,7 +705,7 @@ object SparkEntry {
       s.sql(
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
-          |FROM graft_sql.q48tbl WHERE event_id >= 5000""".stripMargin)
+          |FROM graft_sql.q48tbl WHERE event_id >= 500""".stripMargin)
     })
   )
 
@@ -1422,7 +1422,7 @@ object SparkEntry {
       // file-skipping read = LWW winners whose tiebreaker passes the
       // filter (the predicate applies to the RESOLVED state; pruning must
       // be invisible)
-      "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 5000"),
+      "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 500"),
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

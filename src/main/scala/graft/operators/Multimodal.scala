@@ -13,14 +13,18 @@ import org.apache.spark.sql.types._
   * handling) is REAL and tested, and so is every modality's decodable
   * layer: images decode through JDK ImageIO
   * ([[MediaDecoder.ImageIODecoder]]), audio through JDK javax.sound.sampled
-  * ([[MediaDecoder.AudioDecoder]]), and video CONTAINER metadata through an
-  * in-house ISO-BMFF box parser ([[MediaDecoder.VideoContainerDecoder]],
-  * [[graft.etl.binary.IsoBmff]]) — no external codec jars anywhere. The
-  * only remaining stub is video PIXEL decode (the JDK genuinely ships no
-  * video codec); swap a frame decoder (JNI/JavaCV/etc.) in behind the same
-  * trait for production. This mirrors a Python `mapInPandas` pandas-UDF
-  * stage: the decoder receives a BATCH of payloads (amortizing per-call
-  * model/codec setup), not one row at a time.
+  * ([[MediaDecoder.AudioDecoder]]), and video through TWO real layers:
+  * CONTAINER metadata for ISO-BMFF/MP4 (in-house box parser,
+  * [[graft.etl.binary.IsoBmff]]) and full per-frame PIXEL decode for
+  * Motion-JPEG AVI (in-house RIFF parser [[graft.etl.binary.RiffAvi]] +
+  * ImageIO per frame, [[MediaDecoder.VideoContainerDecoder]],
+  * [[sampleVideoFrames]]) — no external codec jars anywhere. The only
+  * remaining stub is pixel decode of INTER-FRAME codecs (H.264 etc.; the
+  * JDK genuinely ships none); swap a frame decoder (JNI/JavaCV/etc.) in
+  * behind the same trait for production. This mirrors a Python
+  * `mapInPandas` pandas-UDF stage: the decoder receives a BATCH of
+  * payloads (amortizing per-call model/codec setup), not one row at a
+  * time.
   */
 object Multimodal {
 
@@ -191,43 +195,99 @@ object Multimodal {
         }
     }
 
-    /** REAL video CONTAINER decode via the in-house ISO-BMFF box parser
-      * ([[graft.etl.binary.IsoBmff]], JDK-only): the metadata a pipeline
-      * filters/buckets on — dimensions, duration, frame count, track
-      * inventory — comes from the actual MP4 box tree. Only PIXEL decode
-      * stays out of reach in this environment (the JDK ships no video
-      * codecs); a production build swaps a frame decoder in behind the same
-      * trait without touching the container path.
+    /** REAL video decode, two layers deep (JDK-only):
+      *  - MJPEG AVI ([[graft.etl.binary.RiffAvi]]): full PIXEL decode —
+      *    each `00dc` frame is an ordinary JPEG that ImageIO reads; the
+      *    features are actual signal statistics over a bounded, evenly
+      *    spaced frame sample (≤ 8 frames, 64×64 luma grid each — decode
+      *    cost must not scale with clip length or megapixels).
+      *  - ISO-BMFF/MP4 ([[graft.etl.binary.IsoBmff]]): CONTAINER metadata
+      *    — dimensions, duration, frame count, track inventory from the
+      *    actual box tree. Pixel decode of inter-frame codecs stays out of
+      *    reach in this environment (the JDK ships no such codec); a
+      *    production build swaps a frame decoder in behind the same trait.
       *
       * Feature vector (dim 8, all deterministic):
-      * [width, height, duration seconds, frame count, fps,
-      *  video tracks, audio tracks, log10(payload bytes)].
-      * Non-MP4 / truncated payloads → status "error". */
+      *  AVI: [width, height, duration seconds, frame count, fps,
+      *        mean luma/255, mean |inter-frame luma delta|/255, log10 bytes]
+      *  MP4: [width, height, duration seconds, frame count, fps,
+      *        video tracks, audio tracks, log10 bytes].
+      * Truncated/foreign payloads → status "error". */
     final class VideoContainerDecoder extends MediaDecoder {
       override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
         batch.map { case (id, mtype, payload) =>
           if (payload == null || payload.isEmpty)
             MediaFeatures(id, mtype, 0L, Array.fill(8)(0f), "empty")
-          else graft.etl.binary.IsoBmff.parse(payload) match {
-            case None =>
-              MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
-            case Some(info) =>
-              val durS = info.durationMs / 1000.0
-              val fps = if (durS > 0) info.frameCount / durS else 0.0
-              MediaFeatures(id, mtype, payload.length.toLong,
-                Array(info.width.toFloat, info.height.toFloat, durS.toFloat,
-                  info.frameCount.toFloat, fps.toFloat,
-                  info.videoTracks.toFloat, info.audioTracks.toFloat,
-                  math.log10(payload.length.toDouble).toFloat), "ok")
+          else graft.etl.binary.RiffAvi.parse(payload) match {
+            case Some(avi) => decodeAvi(id, mtype, payload, avi)
+            case None => graft.etl.binary.IsoBmff.parse(payload) match {
+              case None =>
+                MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
+              case Some(info) =>
+                val durS = info.durationMs / 1000.0
+                val fps = if (durS > 0) info.frameCount / durS else 0.0
+                MediaFeatures(id, mtype, payload.length.toLong,
+                  Array(info.width.toFloat, info.height.toFloat, durS.toFloat,
+                    info.frameCount.toFloat, fps.toFloat,
+                    info.videoTracks.toFloat, info.audioTracks.toFloat,
+                    math.log10(payload.length.toDouble).toFloat), "ok")
+            }
           }
         }
+
+      private def decodeAvi(id: Long, mtype: String, payload: Array[Byte],
+          avi: graft.etl.binary.RiffAvi.AviInfo): MediaFeatures = {
+        val slices = avi.frameSlices
+        // even sample of ≤ 8 frames across the clip
+        val take = math.min(8, slices.size)
+        val sampled = (0 until take).map(i => slices(i * slices.size / math.max(1, take)))
+        val lumas = sampled.flatMap { s =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              graft.etl.binary.RiffAvi.frame(payload, s)))
+            catch { case _: Exception => null }
+          if (img == null) None else Some(meanLuma(img))
+        }
+        if (slices.nonEmpty && lumas.isEmpty)
+          return MediaFeatures(id, mtype, payload.length.toLong, Array.fill(8)(0f), "error")
+        val meanL = if (lumas.isEmpty) 0.0 else lumas.sum / lumas.size
+        val motion =
+          if (lumas.size < 2) 0.0
+          else lumas.zip(lumas.tail).map { case (a, b) => math.abs(b - a) }.sum / (lumas.size - 1)
+        val durS = avi.durationMs / 1000.0
+        MediaFeatures(id, mtype, payload.length.toLong,
+          Array(avi.width.toFloat, avi.height.toFloat, durS.toFloat,
+            slices.size.toFloat, avi.fps.toFloat,
+            (meanL / 255.0).toFloat, (motion / 255.0).toFloat,
+            math.log10(payload.length.toDouble).toFloat), "ok")
+      }
+
+      /** bounded 64×64 luma sampling grid (same shape as ImageIODecoder's) */
+      private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+        val w = img.getWidth; val h = img.getHeight
+        val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+        var n = 0; var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        if (n == 0) 0.0 else sum / n
+      }
     }
 
     /** Production shape: REAL decode for every modality's decodable layer —
-      * images via ImageIO, audio via javax.sound.sampled, video container
-      * metadata via the ISO-BMFF parser (pixel decode alone remains
-      * environment-stubbed); anything else falls back to the deterministic
-      * stub. */
+      * images via ImageIO, audio via javax.sound.sampled, video via MJPEG
+      * pixel decode (AVI) or ISO-BMFF container metadata (MP4; inter-frame
+      * pixel decode alone remains environment-stubbed); anything else falls
+      * back to the deterministic stub. */
     final class Dispatch(dim: Int = 8) extends MediaDecoder {
       private val image = new ImageIODecoder
       private val audio = new AudioDecoder
@@ -288,8 +348,9 @@ object Multimodal {
 
   /** Frame-sample stage shape (video → every nth "frame" slice of the
     * payload): demonstrates generator-style multimodal fan-out with bounded
-    * output (explode of a size-limited sequence, not a UDTF). The slicing is
-    * the STUB — a real impl would emit decoded frames. */
+    * output (explode of a size-limited sequence, not a UDTF). The slicing
+    * is the STUB for codecs this environment can't open; MJPEG AVI has the
+    * REAL version: [[sampleVideoFrames]]. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, everyNth: Int = 4,
       maxFrames: Int = 16): DataFrame =
     media
@@ -301,4 +362,41 @@ object Multimodal {
           s"transform(sequence(1, _nframes), " +
             s"f -> substring(payload, (f - 1) * $frameBytes * $everyNth + 1, $frameBytes))"))
           .as(Seq("frame_idx", "frame_payload")))
+
+  /** REAL frame sampling for MJPEG AVI payloads ([[graft.etl.binary.RiffAvi]]):
+    * every `everyNth` frame up to `maxFrames`, emitted as standalone JPEG
+    * bytes (each directly `ImageIO.read`-able downstream — the natural
+    * input to an image-embedding stage). Frames the sampler skips are
+    * NEVER copied or decoded — the container parse yields byte slices, so
+    * per-row cost is O(frames kept), not O(clip length). Non-AVI payloads
+    * produce no rows (route them through [[sampleFrames]]' stub shape or a
+    * production codec instead).
+    *
+    * Output: (media_id, frame_idx ORIGINAL index in the clip, width,
+    * height — container-declared, no decode needed — frame_jpeg). */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int = 4, maxFrames: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("frame_jpeg", BinaryType, nullable = false)))
+    implicit val enc = Encoders.row(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          graft.etl.binary.RiffAvi.parse(payload).toSeq.flatMap { avi =>
+            avi.frameSlices.zipWithIndex
+              .collect { case (s, i) if i % everyNth == 0 => (s, i) }
+              .take(maxFrames)
+              .map { case (s, i) =>
+                org.apache.spark.sql.Row(id, i, avi.width, avi.height,
+                  graft.etl.binary.RiffAvi.frame(payload, s))
+              }
+          }
+        }
+      }
+  }
 }

@@ -279,8 +279,28 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     val kept = runtimeKept
     val rows = buckets.iterator
       .filter(b => kept.forall(_.contains(b)))
-      .map(b => snap.bucketRows.getOrElse(b, 0L)).sum
+      .map(estimatedBucketRows).sum
     LakeBucketSource.snapshotStats(rows, readSchema())
+  }
+
+  /** Filter-aware row estimate: the stored rows of exactly the files the
+    * planner will keep (file bounds mirror [[statsKeep]]), plus the full
+    * residual for files without bounds. Still an UPPER bound on matching
+    * rows — never under-prices a side into a wrong broadcast — but a
+    * selective filter on a big table now auto-broadcasts instead of
+    * costing `rowCount × rowBytes`. */
+  private def estimatedBucketRows(b: Int): Long = {
+    val total = snap.bucketRows.getOrElse(b, 0L)
+    val files = snap.bucketFiles.getOrElse(b, Nil)
+    if (pushedFilters.isEmpty || files.isEmpty) return total
+    var known = 0L; var kept = 0L
+    files.foreach { rel =>
+      snap.fileStats.get(rel).foreach { fs =>
+        known += fs.rows
+        if (graft.tables.FileStats.mayMatch(pushedFilters, fs, dataSchema)) kept += fs.rows
+      }
+    }
+    kept + math.max(0L, total - known)
   }
 
   /** RUNTIME BUCKET PRUNING (≙ Iceberg's dynamic partition pruning): a join

@@ -228,8 +228,26 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
   override def estimateStatistics(): Statistics = {
     val kept = runtimeKept
     val rows = snap.bucketRows.collect {
-      case (b, n) if kept.forall(_.contains(b)) => n }.sum
+      case (b, n) if kept.forall(_.contains(b)) => estimatedBucketRows(b, n) }.sum
     LakeBucketSource.snapshotStats(rows, readSchema())
+  }
+
+  /** Filter-aware row estimate mirroring [[statsKeep]] (clean non-tombstone
+    * buckets only): stored rows of the files the planner keeps + full
+    * residual for unbounded files — an upper bound on matching rows, so a
+    * selective filter auto-broadcasts without ever under-pricing. */
+  private def estimatedBucketRows(b: Int, total: Long): Long = {
+    val files = snap.bucketFiles.getOrElse(b, Nil)
+    if (pushedFilters.isEmpty || files.isEmpty ||
+      snap.morBuckets.contains(b) || snap.tombstoneCol.isDefined) return total
+    var known = 0L; var kept = 0L
+    files.foreach { rel =>
+      snap.fileStats.get(rel).foreach { fs =>
+        known += fs.rows
+        if (graft.tables.FileStats.mayMatch(pushedFilters, fs, dataSchema)) kept += fs.rows
+      }
+    }
+    kept + math.max(0L, total - known)
   }
 
   /** runtime (join-driven) bucket pruning, same rule as the bucket scan:

@@ -136,4 +136,61 @@ class MultimodalImageIOSpec extends SparkTestBase {
     assert(feats.forall(_.status == "ok"))
     feats.foreach(f => assert(f.features(0) === (4 + f.media_id % 3).toFloat))
   }
+
+  private def jpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("MJPEG AVI video gets REAL pixel decode: luma and motion are signal " +
+      "statistics of the actual frames") {
+    val dec = new Multimodal.MediaDecoder.VideoContainerDecoder
+    // alternating dark/bright frames: high motion, mid luma
+    val flicker = graft.etl.binary.RiffAvi.build(
+      Seq(20, 235, 20, 235, 20, 235).map(jpeg(32, 24, _)), 32, 24, fps = 5)
+    // constant mid-gray: zero-ish motion
+    val still = graft.etl.binary.RiffAvi.build(
+      Seq.fill(4)(jpeg(32, 24, 128)), 32, 24, fps = 5)
+    val Seq(f, s) = dec.decodeBatch(Seq(
+      (1L, "video", flicker), (2L, "video", still))).toSeq
+    assert(f.status === "ok")
+    assert(f.features(0) === 32f && f.features(1) === 24f)
+    assert(f.features(3) === 6f && f.features(4) === 5f) // frames, fps
+    assert(f.features(5) > 0.3f && f.features(5) < 0.7f) // mid mean luma
+    assert(f.features(6) > 0.5f)                         // flicker = high motion
+    assert(s.status === "ok")
+    assert(math.abs(s.features(5) - 128f / 255f) < 0.05f)
+    assert(s.features(6) < 0.05f)                        // still = no motion
+    // an AVI whose frames are NOT decodable JPEGs fails closed
+    val junkFrames = graft.etl.binary.RiffAvi.build(
+      Seq(Array.tabulate[Byte](100)(_.toByte)), 8, 8)
+    assert(dec.decodeBatch(Seq((3L, "video", junkFrames))).head.status === "error")
+  }
+
+  test("sampleVideoFrames emits every nth REAL frame as standalone JPEGs") {
+    val grays = Seq(10, 40, 70, 100, 130, 160, 190, 220)
+    val avi = graft.etl.binary.RiffAvi.build(grays.map(jpeg(16, 16, _)), 16, 16)
+    val df = Seq((7L, "video", avi)).toDF("media_id", "media_type", "payload")
+    val frames = Multimodal.sampleVideoFrames(df, everyNth = 3, maxFrames = 16)
+      .collect().sortBy(_.getInt(1))
+    // indices 0, 3, 6 of 8 frames
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 3, 6))
+    assert(frames.forall(r => r.getLong(0) === 7L && r.getInt(2) === 16 && r.getInt(3) === 16))
+    // each emitted frame decodes standalone and carries ITS OWN pixels
+    val lumas = frames.map { r =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](4)))
+      img.getRGB(8, 8) & 0xff
+    }
+    assert(math.abs(lumas(0) - 10) <= 8 && math.abs(lumas(1) - 100) <= 8 &&
+      math.abs(lumas(2) - 190) <= 8)
+    // maxFrames caps the fan-out; non-AVI payloads emit nothing
+    assert(Multimodal.sampleVideoFrames(df, everyNth = 1, maxFrames = 2).count() === 2L)
+    val foreign = Seq((8L, "video", Array.tabulate[Byte](64)(_.toByte)))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.sampleVideoFrames(foreign).count() === 0L)
+  }
 }

@@ -118,6 +118,27 @@ class FileStatsSpec extends SparkTestBase {
     assert(pruned >= 3, s"expected cold-bucket files pruned, got $pruned")
   }
 
+  test("estimateStatistics is filter-aware: a selective filter prices only " +
+      "the kept files (broadcast decisions see the pruned magnitude)") {
+    val t = coldBucketTable()
+    val snap = LakeTable.readSnapshot(java.nio.file.Paths.get(t.root), t.currentVersion())
+    val buckets = snap.bucketFiles.keys.toSeq.sorted
+    def rowsWith(filters: Array[sources.Filter]): Long =
+      new LakeBucketScan(t.root, snap, buckets, schema, filters)
+        .estimateStatistics().numRows().getAsLong
+    val full = rowsWith(Array.empty)
+    assert(full === 21L) // 20 wave-1 keys + the hot key
+    val filtered = rowsWith(Array(sources.GreaterThanOrEqual("wv", 100L)))
+    // only files with max(wv) >= 100 survive: at most the hot bucket's
+    // rows, strictly fewer than the table, never zero (upper bound)
+    val hotBucketRows = snap.bucketFiles.collect {
+      case (b, fs) if fs.exists(rel =>
+        snap.fileStats(rel).cols("wv").max.exists(_.toLong >= 100L)) =>
+        snap.bucketRows(b)
+    }.sum
+    assert(filtered >= 1L && filtered <= hotBucketRows && filtered < full)
+  }
+
   test("SQL catalog reads prune files and stay correct vs table.read()") {
     val w = Files.createTempDirectory("fstats-wh").toString
     spark.conf.set("spark.sql.catalog.fscat", classOf[LakeCatalog].getName)
