@@ -83,7 +83,9 @@ object RiffAvi {
           case "LIST" =>
             if (size < 4) return false
             val listType = fourcc(b, body)
-            val ok = walk(body + 4, end, inMovi = listType == "movi",
+            // inMovi PROPAGATES into nested lists: AVI-1.0 interleaved files
+            // group frames in `LIST rec ` chunks inside movi
+            val ok = walk(body + 4, end, inMovi = inMovi || listType == "movi",
               inHdrl = inHdrl || listType == "hdrl" || listType == "strl")
             if (!ok) return false
           case "avih" if inHdrl =>
@@ -128,8 +130,11 @@ object RiffAvi {
 
   /** Deterministic minimal MJPEG-AVI writer: one video stream, each input
     * byte array one `00dc` frame (callers supply the JPEGs — e.g. ImageIO
-    * output in specs). */
-  def build(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int = 10): Array[Byte] = {
+    * output in specs). `recGroups` wraps each frame in an AVI-1.0
+    * interleave `LIST rec ` group — the nested-list movi layout real muxers
+    * emit, which the parser must see through. */
+  def build(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int = 10,
+      recGroups: Boolean = false): Array[Byte] = {
     require(fps > 0, "fps must be positive")
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length & 1
@@ -173,7 +178,9 @@ object RiffAvi {
       .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
     val hdrl = list("hdrl", Seq(chunk("avih", avih.array()),
       list("strl", Seq(chunk("strh", strh.array()), chunk("strf", strf.array())))))
-    val movi = list("movi", frames.map(chunk("00dc", _)))
+    val movi = list("movi",
+      if (recGroups) frames.map(f => list("rec ", Seq(chunk("00dc", f))))
+      else frames.map(chunk("00dc", _)))
     val bodyLen = 4 + hdrl.length + movi.length
     val out = ByteBuffer.allocate(8 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(bodyLen)

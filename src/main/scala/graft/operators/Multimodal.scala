@@ -375,6 +375,8 @@ object Multimodal {
     * Output: (media_id, frame_idx ORIGINAL index in the clip, width,
     * height — container-declared, no decode needed — frame_jpeg). */
   def sampleVideoFrames(media: DataFrame, everyNth: Int = 4, maxFrames: Int = 16): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    require(maxFrames >= 0, s"maxFrames must be non-negative, got $maxFrames")
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),

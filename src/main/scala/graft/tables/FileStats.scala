@@ -77,13 +77,7 @@ object FileStats {
   private[tables] def truncUpper(s: String): Option[String] = {
     if (!s.take(TruncateLen).forall(_ < 128)) return None
     if (s.length <= TruncateLen) return Some(s)
-    val p = s.take(TruncateLen).toCharArray
-    var i = p.length - 1
-    while (i >= 0) {
-      if (p(i) < 127) { p(i) = (p(i) + 1).toChar; return Some(new String(p, 0, i + 1)) }
-      i -= 1
-    }
-    None
+    increment(s.take(TruncateLen)) // one shared increment loop (see below)
   }
 
   /** Harvest bounds for `statsCols` from a parquet footer — the SAME footer
@@ -100,13 +94,33 @@ object FileStats {
     FileStats(rows, cols)
   }
 
+  /** One side of a bound under folding: `Unset` (no block seen yet) is NOT
+    * `Dropped` (some block's bound was unrepresentable) — conflating them
+    * would let a later block RESURRECT a dropped side with a bound that
+    * doesn't cover the earlier block's values, an unsound prune. */
+  private[tables] sealed trait Bound
+  private[tables] case object Unset extends Bound
+  private[tables] case object Dropped extends Bound
+  private[tables] final case class Set_(v: String) extends Bound
+
+  private[tables] def foldBound(acc: Bound, next: Option[String], keepMin: Boolean,
+      dt: DataType): Bound =
+    (acc, next) match {
+      case (Dropped, _) | (_, None) => Dropped // dropped stays dropped, forever
+      case (Unset, Some(n)) => Set_(n)
+      case (Set_(a), Some(n)) =>
+        cmpTyped(dt, a, n) match {
+          case Some(c) => if ((c <= 0) == keepMin) Set_(a) else Set_(n)
+          case None => Dropped
+        }
+    }
+
   private def harvestColumn(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
       name: String, dt: DataType): Option[ColStats] = {
-    var min: Option[String] = None
-    var max: Option[String] = None
+    var min: Bound = Unset
+    var max: Bound = Unset
     var nulls: Option[Long] = Some(0L)
-    var sawValues = false
     blocks.foreach { block =>
       if (block.getRowCount > 0) {
         val chunk = block.getColumns.asScala.find(_.getPath.toDotString == name)
@@ -116,11 +130,10 @@ object FileStats {
         nulls =
           if (st.isNumNullsSet) nulls.map(_ + st.getNumNulls) else None
         if (st.hasNonNullValue) {
-          sawValues = true
           extract(st, dt) match {
             case Some((lo, hi)) =>
-              min = fold(min, lo, keepMin = true, dt)
-              max = fold(max, hi, keepMin = false, dt)
+              min = foldBound(min, lo, keepMin = true, dt)
+              max = foldBound(max, hi, keepMin = false, dt)
             case None => return None // unrepresentable bounds in this block
           }
         } else if (!(st.isNumNullsSet && st.getNumNulls == block.getRowCount)) {
@@ -129,9 +142,12 @@ object FileStats {
         }
       }
     }
-    // string bounds may be independently unrepresentable (non-ASCII side)
-    if (sawValues && min.isEmpty && max.isEmpty && nulls.isEmpty) None
-    else Some(ColStats(min, max, nulls))
+    def side(b: Bound): Option[String] = b match {
+      case Set_(v) => Some(v)
+      case _ => None
+    }
+    if (side(min).isEmpty && side(max).isEmpty && nulls.isEmpty) None
+    else Some(ColStats(side(min), side(max), nulls))
   }
 
   /** (lower, upper) bound candidates from one block's statistics; for
@@ -155,18 +171,6 @@ object FileStats {
         val hi = new String(s.genericGetMax.getBytes, java.nio.charset.StandardCharsets.UTF_8)
         Some((truncLower(lo), truncUpper(hi)))
       case _ => None // physical/logical type mismatch: don't guess
-    }
-
-  private def fold(acc: Option[String], next: Option[String], keepMin: Boolean,
-      dt: DataType): Option[String] =
-    (acc, next) match {
-      case (_, None) => None // one block lost this side: the file has no bound
-      case (None, n) => n
-      case (Some(a), Some(n)) =>
-        cmpTyped(dt, a, n) match {
-          case Some(c) => if ((c <= 0) == keepMin) Some(a) else Some(n)
-          case None => None
-        }
     }
 
   /** Typed compare of a stored bound against another stored bound or a

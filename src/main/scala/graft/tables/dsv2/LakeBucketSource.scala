@@ -364,9 +364,10 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
-    val kept: Int => Seq[String] = b =>
-      snap.bucketFiles.getOrElse(b, Nil).filter(statsKeep)
-    val allRel = buckets.sorted.filter(keep).flatMap(kept(_)).distinct
+    // one bounds evaluation per file: O(files × filters) once, not per use
+    val keptFiles: Map[Int, Seq[String]] = buckets.filter(keep).map(b =>
+      b -> snap.bucketFiles.getOrElse(b, Nil).filter(statsKeep)).toMap
+    val allRel = buckets.sorted.filter(keep).flatMap(keptFiles(_)).distinct
     LakeBucketScan.statsPrunedFiles.addAndGet(
       buckets.filter(keep).map(b => snap.bucketFiles.getOrElse(b, Nil).size).sum
         - allRel.size)
@@ -374,7 +375,7 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
     buckets.sorted.zipWithIndex.map { case (b, idx) =>
       val files =
         if (!keep(b)) Array.empty[PartitionedFile] // runtime-pruned: no I/O
-        else kept(b).map { rel =>
+        else keptFiles(b).map { rel =>
           PartitionedFile(
             partitionValues = InternalRow(b),
             filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),

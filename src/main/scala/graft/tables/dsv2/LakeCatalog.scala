@@ -286,13 +286,15 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
     val keep: Int => Boolean = b => runtimeKept.forall(_.contains(b))
     val buckets = snap.bucketFiles.keys.toSeq.sorted
       .filter(b => keep(b) && snap.bucketFiles(b).nonEmpty)
-    val kept: Int => Seq[String] = b => snap.bucketFiles(b).filter(statsKeep(b, _))
-    val allRel = buckets.flatMap(kept(_)).distinct
+    // one bounds evaluation per file: O(files × filters) once, not per use
+    val keptFiles: Map[Int, Seq[String]] = buckets.map(b =>
+      b -> snap.bucketFiles(b).filter(statsKeep(b, _))).toMap
+    val allRel = buckets.flatMap(keptFiles(_)).distinct
     LakeBucketScan.statsPrunedFiles.addAndGet(
       buckets.map(snap.bucketFiles(_).size).sum - allRel.size)
     val lens = LakeBucketSource.statLengths(root, allRel, conf)
     buckets.zipWithIndex.map { case (b, idx) =>
-      val files = kept(b).map { rel =>
+      val files = keptFiles(b).map { rel =>
         PartitionedFile(
           partitionValues = InternalRow.empty,
           filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),

@@ -47,6 +47,17 @@ class RiffAviSpec extends AnyFunSuite {
     assert(math.abs(centerGray(decoded(1)) - 220) <= 8)
   }
 
+  test("AVI-1.0 'rec ' interleave groups: frames inside nested movi lists " +
+      "are collected") {
+    val frames = Seq(60, 180, 90).map(jpegFrame(16, 16, _))
+    val avi = RiffAvi.build(frames, 16, 16, recGroups = true)
+    val info = RiffAvi.parse(avi).get
+    assert(info.frameSlices.size === 3)
+    info.frameSlices.zip(frames).foreach { case (s, orig) =>
+      assert(RiffAvi.frame(avi, s).toSeq === orig.toSeq)
+    }
+  }
+
   test("odd-length frames keep word alignment (parser sees all frames)") {
     // raw byte frames of odd sizes exercise the RIFF pad byte on both sides
     val odd = Seq(Array[Byte](1), Array[Byte](2, 3, 4), Array[Byte](5, 6, 7, 8, 9))

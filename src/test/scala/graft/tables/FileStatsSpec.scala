@@ -67,6 +67,26 @@ class FileStatsSpec extends SparkTestBase {
     assert(m(sources.Not(sources.EqualTo("wv", 15L))))
   }
 
+  test("foldBound: a side dropped in one row group stays dropped — a later " +
+      "group must not resurrect an unsound bound") {
+    import org.apache.spark.sql.types.StringType
+    // block 1's max was unrepresentable (None); block 2 has "m": the file
+    // max must be Dropped, not "m" (which wouldn't cover block 1's values)
+    val afterDrop = FileStats.foldBound(FileStats.Unset, None, keepMin = false, StringType)
+    assert(afterDrop === FileStats.Dropped)
+    assert(FileStats.foldBound(afterDrop, Some("m"), keepMin = false, StringType)
+      === FileStats.Dropped)
+    // the mirror order: a set bound meeting a dropped block also drops
+    val set = FileStats.foldBound(FileStats.Unset, Some("m"), keepMin = false, StringType)
+    assert(set === FileStats.Set_("m"))
+    assert(FileStats.foldBound(set, None, keepMin = false, StringType) === FileStats.Dropped)
+    // normal folding still takes the larger max / smaller min
+    assert(FileStats.foldBound(set, Some("z"), keepMin = false, StringType)
+      === FileStats.Set_("z"))
+    assert(FileStats.foldBound(FileStats.Set_("m"), Some("a"), keepMin = true, StringType)
+      === FileStats.Set_("a"))
+  }
+
   test("commits harvest per-file bounds into the persisted snapshot") {
     val t = newTable()
     t.merge(Seq(("a", 5L, "a5"), ("b", 7L, "b7"), ("c", 3L, "c3"))
