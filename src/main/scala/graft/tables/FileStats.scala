@@ -45,7 +45,7 @@ object FileStats {
 
   private[tables] def supported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType => true
+        FloatType | DoubleType | StringType | TimestampType => true
     case _ => false
   }
 
@@ -130,7 +130,7 @@ object FileStats {
         nulls =
           if (st.isNumNullsSet) nulls.map(_ + st.getNumNulls) else None
         if (st.hasNonNullValue) {
-          extract(st, dt) match {
+          extract(st, dt, chunk.getPrimitiveType.getLogicalTypeAnnotation) match {
             case Some((lo, hi)) =>
               min = foldBound(min, lo, keepMin = true, dt)
               max = foldBound(max, hi, keepMin = false, dt)
@@ -152,8 +152,21 @@ object FileStats {
 
   /** (lower, upper) bound candidates from one block's statistics; for
     * strings the sides truncate independently (None = that side dropped). */
-  private def extract(st: Statistics[_], dt: DataType): Option[(Option[String], Option[String])] =
+  private def extract(st: Statistics[_], dt: DataType,
+      ann: org.apache.parquet.schema.LogicalTypeAnnotation)
+      : Option[(Option[String], Option[String])] =
     (st, dt) match {
+      case (s: LongStatistics, TimestampType) =>
+        // only micros-from-epoch UTC-adjusted int64 (what Spark writes
+        // under outputTimestampType=TIMESTAMP_MICROS); INT96 carries no
+        // usable stats and any other unit/NTZ annotation is not this type
+        ann match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC &&
+                t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some((Some(s.getMin.toString), Some(s.getMax.toString)))
+          case _ => None
+        }
       case (s: IntStatistics, ByteType | ShortType | IntegerType) =>
         Some((Some(s.getMin.toString), Some(s.getMax.toString)))
       case (s: LongStatistics, LongType) =>
@@ -201,6 +214,18 @@ object FileStats {
           case s: CharSequence => Some(stored.compareTo(s.toString))
           case _ => None
         }
+      case TimestampType =>
+        // bounds are stored as micros-from-epoch; convert the filter value
+        // with Spark's OWN conversions (the writer's inverse) so timezone
+        // semantics can never diverge
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        val micros = other match {
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+          case s: String => s.toLong // stored-vs-stored (foldBound)
+          case _ => return None
+        }
+        Some(java.lang.Long.compare(stored.toLong, micros))
       case _ => None
     } catch { case _: NumberFormatException => None }
 

@@ -135,6 +135,14 @@ final class LakeTable private (
   // shuffle-partition cap per operation.
   spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+  // Timestamps as parquet-standard annotated int64 micros instead of the
+  // legacy INT96 default: INT96 column chunks carry NO statistics, so a
+  // TIMESTAMP order column (the natural CDC cutoff filter) could never
+  // harvest file bounds for planning-time skipping. Session-wide like the
+  // SPJ confs above (documented side effect, README): Spark reads both
+  // encodings transparently, and files written before a table was opened
+  // simply have no ts bounds — never pruned, still correct.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   val BucketCol = "_gbucket"
   val SubSplitCol = "_gsubsplit"

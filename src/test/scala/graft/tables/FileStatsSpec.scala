@@ -107,6 +107,33 @@ class FileStatsSpec extends SparkTestBase {
     assert(snap.fileStats.values.map(_.rows).sum === snap.rowCount)
   }
 
+  test("timestamp bounds: the ts order column harvests micros bounds and " +
+      "prunes time-range reads") {
+    val tsSchema = StructType.fromDDL("k STRING, ts TIMESTAMP, v STRING")
+    val t = LakeTable.createOrOpen(spark, Files.createTempDirectory("fstats-ts").toString,
+      tsSchema, keyCols = Seq("k"), orderCols = Seq("ts"), numBuckets = 4)
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    t.merge((0 until 20).map(i =>
+        (s"w1-$i", at(f"2024-01-01 00:00:$i%02d"), s"v$i")).toDF("k", "ts", "v"), "b1")
+    t.merge(Seq(("hot", at("2024-06-01 00:00:00"), "hotv")).toDF("k", "ts", "v"), "b2")
+    val snap = LakeTable.readSnapshot(java.nio.file.Paths.get(t.root), t.currentVersion())
+    val tsBounds = snap.fileStats.values.flatMap(_.cols.get("ts")).toSeq
+    assert(tsBounds.nonEmpty && tsBounds.forall(cs => cs.min.isDefined && cs.max.isDefined),
+      "ts column harvested no bounds — is the writer emitting INT96 instead of " +
+        "annotated TIMESTAMP_MICROS?")
+    // the CDC staple: everything after a cutoff — cold buckets' files prune
+    val before = LakeBucketScan.statsPrunedFiles.get()
+    val got = bucketScanDF(t).filter(col("ts") >= lit(at("2024-05-01 00:00:00")))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(got === Set(("hot", "hotv")))
+    assert(LakeBucketScan.statsPrunedFiles.get() - before >= 3)
+    // a range inside the cold region stays correct through pruning
+    val mid = bucketScanDF(t)
+      .filter(col("ts").between(at("2024-01-01 00:00:05"), at("2024-01-01 00:00:07")))
+      .select("k").as[String].collect().toSet
+    assert(mid === Set("w1-5", "w1-6", "w1-7"))
+  }
+
   // ------------------------------------------------------------- the prune
 
   /** 20 wave-1 keys (wv 0-19) spread over all buckets, then ONE wave-2 key
