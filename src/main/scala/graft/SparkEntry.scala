@@ -706,6 +706,36 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
           |FROM graft_sql.q48tbl WHERE event_id >= 500""".stripMargin)
+    }),
+
+    // K1 FULL SQL LIFECYCLE e2e WITH a DuckDB oracle: CREATE TABLE through
+    // the catalog DDL, two INSERT INTO … SELECT waves (each executes as an
+    // exactly-LWW merge via the V1Write bridge — same write path as the
+    // typed API), SELECT back the resolved state. Zero typed-API calls: a
+    // SQL-only user gets the whole engine.
+    "q49_sql_insert" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.tables.dsv2.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$sqlWarehouse/q49tbl"))
+      s.sql(
+        """CREATE TABLE graft_sql.q49tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q49_events")
+      s.sql("""INSERT INTO graft_sql.q49tbl
+              |SELECT * FROM q49_events WHERE event_id % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_sql.q49tbl
+              |SELECT * FROM q49_events WHERE event_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q49tbl""".stripMargin)
     })
   )
 
@@ -1423,6 +1453,8 @@ object SparkEntry {
       // filter (the predicate applies to the RESOLVED state; pruning must
       // be invisible)
       "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 500"),
+      // two SQL INSERT waves LWW-merge to the same final state as one load
+      "q49_sql_insert" -> lwwSql,
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

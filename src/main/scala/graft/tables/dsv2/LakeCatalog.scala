@@ -46,10 +46,13 @@ import graft.tables.{LakeTable, TableSnapshot}
   * row), snapshot statistics, and runtime (join-driven) bucket pruning all
   * apply.
   *
-  * Writes go through the typed API ([[graft.tables.LakeTable.merge]] — LWW
-  * tables need keyed merges, not blind INSERTs), except DDL: CREATE TABLE
-  * (with `keys`/`orders`/`buckets`/`tombstone` table properties), DROP
-  * TABLE, and RENAME TABLE are supported here.
+  * Writes: `INSERT INTO lake.t SELECT …` executes as an exactly-LWW MERGE
+  * through the same write path as the typed API (see
+  * [[LakeSqlTable.newWriteBuilder]]) — duplicate keys resolve against
+  * stored state instead of appending blindly; INSERT OVERWRITE and writes
+  * through a `VERSION AS OF` pin are rejected. DDL: CREATE TABLE (with
+  * `keys`/`orders`/`buckets`/`tombstone` table properties), DROP TABLE,
+  * and RENAME TABLE.
   */
 final class LakeCatalog extends TableCatalog {
 
@@ -112,7 +115,8 @@ final class LakeCatalog extends TableCatalog {
     }
     require(Files.exists(root.resolve(s"meta/v$v.json")),
       s"version $v of ${ident.name()} is not retained (expired or never existed)")
-    new LakeSqlTable(ident, root.toString, LakeTable.readSnapshot(root, v))
+    new LakeSqlTable(ident, root.toString, LakeTable.readSnapshot(root, v),
+      timeTravelPin = true)
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -171,13 +175,50 @@ final class LakeCatalog extends TableCatalog {
 
 /** One lake table pinned to one snapshot, exposed to SQL with the LOGICAL
   * schema (no bucket column) and full read semantics. */
-final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot)
-    extends Table with SupportsRead {
+final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
+    timeTravelPin: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"${ident.name()}@v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** SQL DML-write: `INSERT INTO lake.t SELECT …` is an exactly-LWW MERGE —
+    * the V1Write bridge hands the whole source DataFrame to
+    * [[graft.tables.LakeTable.merge]] on the driver, so a SQL insert takes
+    * the SAME write path (stats pass, auto-salt, SPJ/classic/MOR routing,
+    * snapshot commit) as the typed API; duplicate keys LWW-resolve against
+    * stored state instead of blindly appending. INSERT OVERWRITE is not a
+    * keyed-table operation and is rejected (no TRUNCATE/OVERWRITE
+    * capability declared, and the relation double-checks). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "INSERT OVERWRITE is not supported on a keyed LWW table — " +
+                    "write through INSERT INTO (keyed merge) or the typed API")
+                // a handle pinned by VERSION AS OF must not write at all;
+                // an unpinned handle merges against the CURRENT table (the
+                // merge's own OCC handles racing writers) even if versions
+                // advanced between SQL analysis and execution
+                require(!timeTravelPin,
+                  s"cannot INSERT into ${ident.name()} VERSION AS OF ${snap.version} — " +
+                    "writes only target the current table")
+                val table = LakeTable.open(data.sparkSession, root)
+                table.merge(data,
+                  s"sql-insert-${java.lang.Long.toHexString(System.nanoTime())}")
+              }
+            }
+        }
+    }
 
   /** surfaced so EXPLAIN/DESCRIBE shows the layout SQL users join on */
   override def partitioning(): Array[Transform] =

@@ -115,4 +115,40 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(joined.collect().map(_.toSeq).toSet ===
       Set(Seq("k3", "v3"), Seq("k42", "v42")))
   }
+
+  test("INSERT INTO executes as an LWW merge: duplicates resolve, state " +
+      "matches the typed API, lineage advances") {
+    val t = makeTable("t6")
+    spark.sql("INSERT INTO lakecat.t6 VALUES ('a', 1, 'a1'), ('b', 1, 'b1')")
+    // second insert: a newer 'a' shadows, a stale 'a' loses, 'c' lands
+    spark.sql(
+      "INSERT INTO lakecat.t6 VALUES ('a', 3, 'a3'), ('a', 0, 'stale'), ('c', 1, 'c1')")
+    val got = spark.sql("SELECT k, wv, v FROM lakecat.t6").collect().map(_.toSeq).toSet
+    assert(got === Set(Seq("a", 3L, "a3"), Seq("b", 1L, "b1"), Seq("c", 1L, "c1")))
+    assert(got === t.read().collect().map(_.toSeq).toSet)
+    // each INSERT committed one version through the normal merge path
+    assert(t.currentVersion() === 2L)
+    // INSERT INTO ... SELECT (the bulk shape) also merges
+    spark.sql("SELECT 'd' AS k, CAST(9 AS BIGINT) AS wv, 'd9' AS v")
+      .createOrReplaceTempView("t6_src")
+    spark.sql("INSERT INTO lakecat.t6 SELECT * FROM t6_src")
+    assert(spark.sql("SELECT v FROM lakecat.t6 WHERE k = 'd'")
+      .as[String].collect().toSeq === Seq("d9"))
+  }
+
+  test("INSERT OVERWRITE is rejected before any data is touched") {
+    val t = makeTable("t7")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Exception](
+      spark.sql("INSERT OVERWRITE lakecat.t7 VALUES ('z', 9, 'z9')"))
+    assert(messages(e).exists(m =>
+      m.contains("INSERT OVERWRITE is not supported") || m.contains("TableCapability") ||
+        m.contains("does not support") || m.contains("truncate")),
+      s"unexpected error: ${messages(e).mkString(" | ")}")
+    // overwrite rejected BEFORE any data was touched
+    assert(spark.sql("SELECT v FROM lakecat.t7 WHERE k = 'a'")
+      .as[String].collect().toSeq === Seq("a1"))
+  }
 }
