@@ -736,6 +736,39 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
           |FROM graft_sql.q49tbl""".stripMargin)
+    }),
+
+    // K1 SQL DELETE e2e WITH a DuckDB oracle: DELETE FROM writes LWW
+    // tombstones (ordered events, not physical erases), so deleted keys
+    // hide, a later INSERT with a higher ordering resurrects, and the
+    // never-revived key stays gone — the whole flow in plain SQL.
+    "q50_sql_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.tables.dsv2.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$sqlWarehouse/q50tbl"))
+      s.sql(
+        """CREATE TABLE graft_sql.q50tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE, deleted BOOLEAN)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16', 'tombstone'='deleted')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q50_events")
+      s.sql("""INSERT INTO graft_sql.q50tbl
+              |SELECT user_id, ts, event_id, event_type, value, false
+              |FROM q50_events""".stripMargin)
+      s.sql("DELETE FROM graft_sql.q50tbl WHERE user_id IN (1, 7, 13)")
+      s.sql(
+        """INSERT INTO graft_sql.q50tbl VALUES
+          |  (1, TIMESTAMP '2030-01-01 00:00:00', 10000000, 'revive', 1.0, false),
+          |  (7, TIMESTAMP '2030-01-01 00:00:00', 10000001, 'revive', 2.0, false)""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q50tbl""".stripMargin)
     })
   )
 
@@ -1455,6 +1488,18 @@ object SparkEntry {
       "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 500"),
       // two SQL INSERT waves LWW-merge to the same final state as one load
       "q49_sql_insert" -> lwwSql,
+      // SQL deletes hide users 1/7/13; the 2030-dated revive rows beat every
+      // tombstone for 1 and 7; 13 stays gone
+      "q50_sql_delete" ->
+        """WITH ev AS (
+          |  SELECT user_id, ts, event_id, event_type, value FROM events
+          |  UNION ALL SELECT 1, TIMESTAMP '2030-01-01 00:00:00', 10000000, 'revive', 1.0
+          |  UNION ALL SELECT 7, TIMESTAMP '2030-01-01 00:00:00', 10000001, 'revive', 2.0)
+          |SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+          |WHERE rn = 1 AND user_id <> 13""".stripMargin,
       // bit-exact ANN oracle: identical left-to-right double arithmetic
       // (list_reduce is sequential by definition; normalize-then-dot matches
       // the Spark column expressions op for op)

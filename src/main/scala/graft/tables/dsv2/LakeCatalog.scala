@@ -178,7 +178,8 @@ final class LakeCatalog extends TableCatalog {
 final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     timeTravelPin: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"${ident.name()}@v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
@@ -233,6 +234,75 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSqlScanBuilder(root, snap)
+
+  // ------------------------------------------------------ SQL DELETE FROM
+
+  /** SQL DML-delete: `DELETE FROM lake.t WHERE key = …` writes CDC
+    * TOMBSTONES through the normal LWW merge — the delete is an event in
+    * the table's ordering, not a physical erase, so out-of-order stream
+    * arrivals keep converging (a stale upsert still loses to it; a
+    * genuinely newer upsert resurrects the key, exactly the
+    * [[graft.tables.TableSnapshot.tombstoneCol]] contract).
+    *
+    * Supported exactly where the translation is sound, rejected loudly
+    * otherwise (Spark then refuses the DELETE instead of silently doing
+    * the wrong thing):
+    *  - the table has a tombstone column (a delete needs a place to live);
+    *  - the WHERE clause conjuncts are all `key = v` / `key IN (…)` on the
+    *    single key column (bucket-prunable point semantics — a predicate
+    *    delete over payload columns is a scan-and-rewrite, not a keyed
+    *    CDC event);
+    *  - the LAST order column is integral, so the tombstone can be ordered
+    *    immediately after the observed winner (winner's tuple with its
+    *    last element + 1 — a writer beyond that ordering still wins).
+    * Deleting an absent (or already-deleted) key is a no-op that commits
+    * nothing. */
+  private def deletableKeys(filters: Array[sources.Filter]): Option[Seq[Any]] = {
+    if (snap.tombstoneCol.isEmpty || snap.keyCols.size != 1 || filters.isEmpty)
+      return None
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val lastOrdIntegral = schema(snap.orderCols.last).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!lastOrdIntegral) return None
+    val key = snap.keyCols.head
+    // conjunctive key sets; any untranslatable conjunct rejects the DELETE
+    val sets = filters.map {
+      case sources.EqualTo(a, v) if a == key && v != null => Set(v)
+      case sources.In(a, vs) if a == key => vs.filter(_ != null).toSet
+      case _ => return None
+    }
+    Some(sets.reduce(_ intersect _).toSeq)
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    !timeTravelPin && deletableKeys(filters).isDefined
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(!timeTravelPin,
+      s"cannot DELETE from ${ident.name()} VERSION AS OF ${snap.version}")
+    val keys = deletableKeys(filters).getOrElse(throw new UnsupportedOperationException(
+      "DELETE on a lake table needs a tombstone column and a WHERE clause of " +
+        "key equality / IN conjuncts (with an integral last order column); " +
+        s"got [${filters.mkString(", ")}]"))
+    if (keys.isEmpty) return
+    val spark = SparkSession.active
+    val table = LakeTable.open(spark, root)
+    val keyCol = snap.keyCols.head
+    val lastOrd = snap.orderCols.last
+    val tomb = snap.tombstoneCol.get
+    // visible winners only: an absent or already-deleted key is a no-op
+    val winners = keys.map(v => table.read(Map(keyCol -> v)))
+      .reduce(_ unionByName _)
+    import org.apache.spark.sql.functions.{col, lit}
+    val tombstones = winners
+      .withColumn(tomb, lit(true))
+      .withColumn(lastOrd, col(lastOrd) + lit(1)) // just past the winner
+    if (!tombstones.isEmpty)
+      table.merge(tombstones,
+        s"sql-delete-${java.lang.Long.toHexString(System.nanoTime())}")
+  }
 }
 
 final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)

@@ -136,6 +136,52 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[String].collect().toSeq === Seq("d9"))
   }
 
+  test("DELETE FROM writes LWW tombstones: keys hide, stale upserts stay " +
+      "dead, newer upserts resurrect") {
+    val t = makeTable("t8", tombstone = true)
+    spark.sql(
+      "INSERT INTO lakecat.t8 VALUES ('a', 10, 'a10', false), " +
+        "('b', 10, 'b10', false), ('c', 10, 'c10', false)")
+    spark.sql("DELETE FROM lakecat.t8 WHERE k = 'a'")
+    def keysVisible = spark.sql("SELECT k FROM lakecat.t8").as[String].collect().toSet
+    assert(keysVisible === Set("b", "c"))
+    assert(t.read().select("k").as[String].collect().toSet === Set("b", "c"))
+    // the tombstone is an ORDERED event: a stale upsert (wv 10 < tombstone
+    // wv 11) loses; a newer one (wv 20) resurrects the key
+    spark.sql("INSERT INTO lakecat.t8 VALUES ('a', 10, 'stale', false)")
+    assert(keysVisible === Set("b", "c"))
+    spark.sql("INSERT INTO lakecat.t8 VALUES ('a', 20, 'back', false)")
+    assert(keysVisible === Set("a", "b", "c"))
+    assert(spark.sql("SELECT v FROM lakecat.t8 WHERE k = 'a'")
+      .as[String].collect().toSeq === Seq("back"))
+    // IN-list deletes; deleting an absent key commits nothing
+    val vBefore = t.currentVersion()
+    spark.sql("DELETE FROM lakecat.t8 WHERE k IN ('b', 'c')")
+    assert(keysVisible === Set("a"))
+    spark.sql("DELETE FROM lakecat.t8 WHERE k = 'never-existed'")
+    assert(t.currentVersion() === vBefore + 1) // only the IN-delete committed
+    // a delete of an already-deleted key is also a no-op
+    spark.sql("DELETE FROM lakecat.t8 WHERE k = 'b'")
+    assert(t.currentVersion() === vBefore + 1)
+  }
+
+  test("DELETE is rejected where the tombstone translation is unsound") {
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // no tombstone column
+    val t9 = makeTable("t9")
+    t9.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    val e1 = intercept[Exception](spark.sql("DELETE FROM lakecat.t9 WHERE k = 'a'"))
+    assert(messages(e1).exists(m => m.contains("DELETE") || m.contains("delete")),
+      s"unexpected: ${messages(e1).mkString(" | ")}")
+    // a payload predicate is not a keyed CDC event
+    val t10 = makeTable("t10", tombstone = true)
+    spark.sql("INSERT INTO lakecat.t10 VALUES ('a', 1, 'a1', false)")
+    val e2 = intercept[Exception](spark.sql("DELETE FROM lakecat.t10 WHERE v = 'a1'"))
+    assert(messages(e2).exists(m => m.contains("DELETE") || m.contains("delete")))
+    assert(spark.sql("SELECT k FROM lakecat.t10").as[String].collect().toSeq === Seq("a"))
+  }
+
   test("INSERT OVERWRITE is rejected before any data is touched") {
     val t = makeTable("t7")
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
