@@ -590,11 +590,7 @@ object SparkEntry {
     // current read the full LWW state, both aggregated SQL-side.
     "q42_sql_catalog" -> ((s, dir) => {
       import graft.tables.LakeTable
-      s.conf.set("spark.sql.catalog.graft_sql",
-        classOf[graft.tables.dsv2.LakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$sqlWarehouse/q42tbl"))
+      freshSqlCatalogTable(s, "q42tbl")
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       val table = LakeTable.createOrOpen(s, s"$sqlWarehouse/q42tbl", ev.schema,
@@ -689,11 +685,7 @@ object SparkEntry {
     // whose tiebreaker is past the threshold).
     "q48_stats_skip_read" -> ((s, dir) => {
       import graft.tables.LakeTable
-      s.conf.set("spark.sql.catalog.graft_sql",
-        classOf[graft.tables.dsv2.LakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$sqlWarehouse/q48tbl"))
+      freshSqlCatalogTable(s, "q48tbl")
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       val table = LakeTable.createOrOpen(s, s"$sqlWarehouse/q48tbl", ev.schema,
@@ -714,11 +706,7 @@ object SparkEntry {
     // typed API), SELECT back the resolved state. Zero typed-API calls: a
     // SQL-only user gets the whole engine.
     "q49_sql_insert" -> ((s, dir) => {
-      s.conf.set("spark.sql.catalog.graft_sql",
-        classOf[graft.tables.dsv2.LakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$sqlWarehouse/q49tbl"))
+      freshSqlCatalogTable(s, "q49tbl")
       s.sql(
         """CREATE TABLE graft_sql.q49tbl (
           |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
@@ -743,11 +731,7 @@ object SparkEntry {
     // hide, a later INSERT with a higher ordering resurrects, and the
     // never-revived key stays gone — the whole flow in plain SQL.
     "q50_sql_delete" -> ((s, dir) => {
-      s.conf.set("spark.sql.catalog.graft_sql",
-        classOf[graft.tables.dsv2.LakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$sqlWarehouse/q50tbl"))
+      freshSqlCatalogTable(s, "q50tbl")
       s.sql(
         """CREATE TABLE graft_sql.q50tbl (
           |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
@@ -776,6 +760,16 @@ object SparkEntry {
     * CatalogManager after first resolution, so its warehouse conf must not
     * change between invocations in the same session */
   private lazy val sqlWarehouse: String = tempWorkDir("graft-sql-warehouse")
+
+  /** Register the SQL catalog over [[sqlWarehouse]] and reset one table dir
+    * (the per-run cleanup every catalog e2e query needs). */
+  private def freshSqlCatalogTable(s: SparkSession, table: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_sql",
+      classOf[graft.tables.dsv2.LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$sqlWarehouse/$table"))
+  }
 
   /** Temp work dir for the e2e queries (q16/q30/q33): the returned DataFrame
     * is evaluated AFTER the query lambda returns, so the dir cannot be

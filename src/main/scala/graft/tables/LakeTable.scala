@@ -536,6 +536,40 @@ final class LakeTable private (
       else hit)
   }
 
+  /** BATCH point read: the visible winners of a SET of key values on a
+    * single-key table — one bucket-pruned scan per DISTINCT bucket the
+    * values hash into (≤ min(#values, B) scans), each filtered to just its
+    * own values so the key predicate pushes into parquet. The multi-key
+    * sibling of [[read(keyEquals)]]; what SQL `DELETE … WHERE k IN (…)`
+    * resolves winners through. */
+  def readKeys(values: Seq[Any]): DataFrame = {
+    val s = snapshot()
+    require(s.keyCols.size == 1, s"readKeys needs a single-key table, got ${s.keyCols}")
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val keyCol = s.keyCols.head
+    val dt = schema(keyCol).dataType
+    def bucketOf(v: Any): Int = {
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)), 42L)
+        .eval(null).asInstanceOf[Long]
+      math.floorMod(h, s.numBuckets.toLong).toInt
+    }
+    val empty =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val perBucket = values.filter(_ != null).groupBy(bucketOf).toSeq.sortBy(_._1)
+      .map { case (bucket, vs) =>
+        val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => s"$root/$rel")
+        if (files.isEmpty) empty
+        else {
+          val hit = spark.read.schema(schema).parquet(files: _*)
+            .filter(col(keyCol).isin(vs.map(lit(_)): _*))
+          if (s.morBuckets.contains(bucket)) Dedup.latestByKey(hit, s.keyCols, s.orderCols)
+          else hit
+        }
+      }
+    visible(s, perBucket.foldLeft(empty)(_ unionByName _))
+  }
+
   /** CO-LOCATED READ: the same resolved current state as [[read]], but
     * served from the partitioning-reporting DSv2 scan with the bucket
     * column (`_gbucket`) RETAINED, so Catalyst still knows the rows are
@@ -710,6 +744,18 @@ final class LakeTable private (
       })
 
   /** MERGE INTO: LWW upsert of `batch` under exactly-once semantics.
+    *
+    * CONTRACT: `batch` must be DETERMINISTIC across re-executions. The
+    * classic copy-on-write path evaluates it twice (touched-bucket stats
+    * pass, then the merge write); a batch whose rows differ between the
+    * two runs (rand()/LIMIT-over-unordered/sampling sources) could land
+    * rows in a bucket the stats pass never saw, whose existing files the
+    * commit then replaces without carrying their rows into the rewrite.
+    * Deliberately NOT defended here with caching — the stream replay's
+    * decode batches are deterministic by construction and caching them
+    * measurably halves throughput (BASELINE.md codec matrix: merge-cache
+    * 44.1 s vs 21.9 s) — but every NON-deterministic entry point must pin
+    * its input first (the SQL INSERT bridge localCheckpoints, LakeCatalog).
     *
     * @param batchId   human-readable replay id (lineage key)
     * @param salted    route the in-batch dedup through the two-phase salted

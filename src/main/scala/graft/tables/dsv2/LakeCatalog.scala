@@ -214,8 +214,15 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
                   s"cannot INSERT into ${ident.name()} VERSION AS OF ${snap.version} — " +
                     "writes only target the current table")
                 val table = LakeTable.open(data.sparkSession, root)
-                table.merge(data,
+                // PIN the source before merging: merge() evaluates its batch
+                // twice (stats pass + write) and requires determinism — a SQL
+                // source can be anything (rand() ordering, sampling), so
+                // materialize it once; both merge scans then read the same
+                // checkpointed blocks
+                val pinned = data.localCheckpoint(true)
+                try table.merge(pinned,
                   s"sql-insert-${java.lang.Long.toHexString(System.nanoTime())}")
+                finally pinned.unpersist()
               }
             }
         }
@@ -254,7 +261,13 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     *    CDC event);
     *  - the LAST order column is integral, so the tombstone can be ordered
     *    immediately after the observed winner (winner's tuple with its
-    *    last element + 1 — a writer beyond that ordering still wins).
+    *    last element + 1 — a writer beyond that ordering still wins; a
+    *    winner already AT the type's maximum fails loudly rather than
+    *    wrapping). The tombstone CONSUMES that ordering slot: a producer
+    *    that later emits exactly the same tuple ties it, and LWW tie
+    *    resolution is unspecified — streams that can emit dense
+    *    same-timestamp sequences should delete through the CDC stream
+    *    with an ordering slot they own.
     * Deleting an absent (or already-deleted) key is a no-op that commits
     * nothing. */
   private def deletableKeys(filters: Array[sources.Filter]): Option[Seq[Any]] = {
@@ -267,13 +280,24 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     }
     if (!lastOrdIntegral) return None
     val key = snap.keyCols.head
+    // set ops need VALUE equality; Array[Byte] (a BINARY key) compares by
+    // reference, so normalize through an immutable view and map back
+    def norm(v: Any): Any = v match {
+      case a: Array[Byte] => a.toSeq
+      case x => x
+    }
+    val originals = scala.collection.mutable.LinkedHashMap[Any, Any]()
     // conjunctive key sets; any untranslatable conjunct rejects the DELETE
     val sets = filters.map {
-      case sources.EqualTo(a, v) if a == key && v != null => Set(v)
-      case sources.In(a, vs) if a == key => vs.filter(_ != null).toSet
+      case sources.EqualTo(a, v) if a == key && v != null =>
+        originals.getOrElseUpdate(norm(v), v); Set(norm(v))
+      case sources.In(a, vs) if a == key =>
+        vs.filter(_ != null).map { v =>
+          originals.getOrElseUpdate(norm(v), v); norm(v)
+        }.toSet
       case _ => return None
     }
-    Some(sets.reduce(_ intersect _).toSeq)
+    Some(sets.reduce(_ intersect _).toSeq.map(originals))
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
@@ -289,20 +313,46 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     if (keys.isEmpty) return
     val spark = SparkSession.active
     val table = LakeTable.open(spark, root)
-    val keyCol = snap.keyCols.head
+    val schema = StructType.fromDDL(snap.schemaDdl)
     val lastOrd = snap.orderCols.last
-    val tomb = snap.tombstoneCol.get
-    // visible winners only: an absent or already-deleted key is a no-op
-    val winners = keys.map(v => table.read(Map(keyCol -> v)))
-      .reduce(_ unionByName _)
-    import org.apache.spark.sql.functions.{col, lit}
-    val tombstones = winners
-      .withColumn(tomb, lit(true))
-      .withColumn(lastOrd, col(lastOrd) + lit(1)) // just past the winner
-    if (!tombstones.isEmpty)
-      table.merge(tombstones,
-        s"sql-delete-${java.lang.Long.toHexString(System.nanoTime())}")
+    val ordIdx = schema.fieldIndex(lastOrd)
+    val tombIdx = schema.fieldIndex(snap.tombstoneCol.get)
+    // visible winners, ONE bucket-pruned scan per distinct bucket, COLLECTED:
+    // a keyed DELETE's key list is small by construction (bulk retirement
+    // belongs in the CDC stream), and a literal tombstone batch is
+    // deterministic across merge's two scans with no re-execution of the
+    // point reads. Absent / already-deleted keys simply have no winner row
+    // and the DELETE commits nothing.
+    val winners = table.readKeys(keys).collect()
+    if (winners.isEmpty) return
+    val tombstones = winners.map { row =>
+      val vals = row.toSeq.toArray
+      val bumped = vals(ordIdx) match {
+        case l: Long =>
+          require(l != Long.MaxValue, overflowMsg(row)); java.lang.Long.valueOf(l + 1)
+        case i: Int =>
+          require(i != Int.MaxValue, overflowMsg(row)); java.lang.Integer.valueOf(i + 1)
+        case s: Short =>
+          require(s != Short.MaxValue, overflowMsg(row)); java.lang.Short.valueOf((s + 1).toShort)
+        case b: Byte =>
+          require(b != Byte.MaxValue, overflowMsg(row)); java.lang.Byte.valueOf((b + 1).toByte)
+        case other => throw new IllegalStateException(
+          s"non-integral order value $other slipped past canDeleteWhere")
+      }
+      vals(ordIdx) = bumped // ordered just past the winner
+      vals(tombIdx) = java.lang.Boolean.TRUE
+      org.apache.spark.sql.Row(vals: _*)
+    }
+    table.merge(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(tombstones: _*)), schema),
+      s"sql-delete-${java.lang.Long.toHexString(System.nanoTime())}")
   }
+
+  private def overflowMsg(row: org.apache.spark.sql.Row): String =
+    s"cannot DELETE from ${ident.name()}: a winner's last order value is at " +
+      s"its type's maximum — no tombstone can be ordered past it ($row)"
 }
 
 final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)

@@ -21,6 +21,10 @@ class LakeCatalogSpec extends SparkTestBase {
     w
   }
 
+  /** flatten an exception chain's messages (cause-recursive) */
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+
   private def makeTable(name: String, tombstone: Boolean = false): LakeTable = {
     val ddl = if (tombstone) "k STRING, wv BIGINT, v STRING, deleted BOOLEAN"
     else "k STRING, wv BIGINT, v STRING"
@@ -79,8 +83,6 @@ class LakeCatalogSpec extends SparkTestBase {
 
   test("identifier segments cannot escape the warehouse; bad key properties fail at CREATE") {
     warehouse // force catalog registration
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     // a backtick-quoted `..` must not resolve to the warehouse's parent
     val e = intercept[Exception](spark.sql("DROP TABLE lakecat.`..`"))
     assert(messages(e).exists(m =>
@@ -166,8 +168,6 @@ class LakeCatalogSpec extends SparkTestBase {
   }
 
   test("DELETE is rejected where the tombstone translation is unsound") {
-    def messages(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     // no tombstone column
     val t9 = makeTable("t9")
     t9.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
@@ -185,8 +185,6 @@ class LakeCatalogSpec extends SparkTestBase {
   test("INSERT OVERWRITE is rejected before any data is touched") {
     val t = makeTable("t7")
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
-    def messages(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     val e = intercept[Exception](
       spark.sql("INSERT OVERWRITE lakecat.t7 VALUES ('z', 9, 'z9')"))
     assert(messages(e).exists(m =>
