@@ -68,6 +68,33 @@ class RiffAviSpec extends AnyFunSuite {
       RiffAvi.frame(avi, s).toSeq == o.toSeq })
   }
 
+  test("fuzz: parse never throws — random bytes, truncations, and single-byte " +
+      "mutations of a valid AVI all return None or a well-formed result") {
+    val rnd = new java.util.Random(0xC0FFEE)
+    // pure random payloads
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      RiffAvi.parse(b) // must not throw
+    }
+    val good = RiffAvi.build(Seq(jpegFrame(8, 8, 100), jpegFrame(8, 8, 200)), 8, 8)
+    // every truncation point of a valid file
+    (0 until good.length by 7).foreach { n =>
+      RiffAvi.parse(good.take(n)) // must not throw
+    }
+    // single-byte mutations; when a parse still succeeds, its frame slices
+    // must stay in bounds (the robustness contract: never over-read)
+    (0 until 300).foreach { _ =>
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      RiffAvi.parse(m).foreach { info =>
+        info.frameSlices.foreach { case (off, len) =>
+          assert(off >= 0 && len >= 0 && off + len <= m.length)
+        }
+      }
+    }
+  }
+
   test("hostile bytes: truncated, foreign, and non-video payloads -> None") {
     val good = RiffAvi.build(Seq(jpegFrame(8, 8, 100)), 8, 8)
     assert(RiffAvi.parse(null) === None)
