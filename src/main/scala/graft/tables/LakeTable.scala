@@ -1427,6 +1427,39 @@ final class LakeTable private (
     }
   }
 
+  /** ROLLBACK (≙ Iceberg `rollback_to_snapshot` / Delta RESTORE): make the
+    * table's CURRENT state identical to retained `version` again, committed
+    * as a NEW version — history only moves forward, so the undone versions
+    * stay time-travel-readable until [[expire]] retires them and a
+    * concurrent reader never observes the pointer moving backwards.
+    *
+    * The FULL snapshot state is restored, INCLUDING the exactly-once ledger
+    * (`txns`/`appliedBatches`): the rolled-back batches are genuinely not in
+    * the table anymore, so a checkpointed stream that re-delivers them must
+    * re-apply, not no-op. Data directories need no copying — the target's
+    * files are still on disk because the target version is retained, and the
+    * new head referencing them keeps them alive through future [[expire]]s.
+    *
+    * Rollback changes logical state, so it does NOT rebase over concurrent
+    * commits (what "current" means would be ambiguous); run it between
+    * batches like [[rebucket]]. A no-op when already at `version`.
+    * @return the new head version (== current when nothing to do) */
+  def rollback(version: Long): Long = {
+    val cur = snapshot()
+    require(version <= cur.version,
+      s"cannot roll back to $version: table is at ${cur.version}")
+    if (version == cur.version) return cur.version
+    require(Files.exists(Paths.get(root, "meta", s"v$version.json")),
+      s"version $version is not retained (expired or never existed) at $root")
+    val target = readSnapshot(Paths.get(root), version)
+    val next = target.copy(
+      version = cur.version + 1,
+      totals = target.totals.updated("rollbacks",
+        target.totals.getOrElse("rollbacks", 0L) + 1L))
+    commit(next)
+    next.version
+  }
+
   /** Retire old versions: delete snapshot metadata older than the most
     * recent `keepVersions` and remove `commit-<v>` directories that no
     * retained snapshot references (time travel within the retained window

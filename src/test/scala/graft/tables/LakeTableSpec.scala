@@ -549,6 +549,39 @@ class LakeTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { t.readAt(v1) }
   }
 
+  test("rollback restores a retained version as a NEW head, ledger included, " +
+      "and survives a later expire") {
+    val t = newTable(buckets = 4)
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1",
+      txn = Some(("app", 1L)))
+    val good = t.currentVersion()
+    t.merge(Seq(("a", 2L, "bad"), ("c", 1L, "bad")).toDF("k", "wv", "v"), "b2",
+      txn = Some(("app", 2L)))
+    val bad = t.currentVersion()
+    // restore: new head, content identical to `good`, bad head still readable
+    val head = t.rollback(good)
+    assert(head === bad + 1)
+    assert(t.currentVersion() === head)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows(t.read()) === rows(t.readAt(good)))
+    assert(rows(t.readAt(bad)) !== rows(t.read()))
+    assert(t.snapshot().totals.getOrElse("rollbacks", 0L) === 1L)
+    // the LEDGER rolled back too: re-delivering the undone batch re-applies
+    assert(t.merge(Seq(("a", 2L, "good2"), ("c", 1L, "good2")).toDF("k", "wv", "v"),
+      "b2", txn = Some(("app", 2L))) === 2L)
+    assert(rows(t.read()) ===
+      Seq(("a", 2L, "good2"), ("b", 1L, "b1"), ("c", 1L, "good2")))
+    // expire after rollback: the restored head keeps its (old) data dirs alive
+    t.expire(keepVersions = 1)
+    assert(rows(t.read()) ===
+      Seq(("a", 2L, "good2"), ("b", 1L, "b1"), ("c", 1L, "good2")))
+    // no-op and guard-rail paths
+    assert(t.rollback(t.currentVersion()) === t.currentVersion())
+    intercept[IllegalArgumentException](t.rollback(t.currentVersion() + 1))
+    intercept[IllegalArgumentException](t.rollback(good)) // expired above
+  }
+
   test("changelog read: new-or-updated rows between versions, zero-shuffle " +
       "plan, metadata-only bucket pruning, MOR + schema evolution covered") {
     import org.apache.spark.sql.functions.{col, lit}
