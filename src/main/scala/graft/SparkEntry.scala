@@ -753,6 +753,73 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
           |FROM graft_sql.q50tbl""".stripMargin)
+    }),
+
+    // K1 SQL UPDATE e2e WITH a DuckDB oracle (row-level DML through the
+    // delta-based API): matched winners stream through per-task delta
+    // writers into staged parquet, the driver commits ONE LWW merge, and
+    // rows whose SET leaves the ordering untouched are auto-slotted
+    // immediately after their pre-image (last order column + 1) so the
+    // rewrite wins the fold.
+    "q51_sql_update" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q51tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q51tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q51_events")
+      s.sql("INSERT INTO graft_sql.q51tbl SELECT * FROM q51_events")
+      s.sql(
+        """UPDATE graft_sql.q51tbl
+          |SET event_type = upper(event_type), value = value * 2
+          |WHERE user_id % 3 = 0""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q51tbl""".stripMargin)
+    }),
+
+    // K1 SQL MERGE INTO e2e WITH a DuckDB oracle: matched deletes write LWW
+    // tombstones, matched updates auto-bump past their pre-image, and
+    // not-matched inserts land at the source's ordering — all one merge
+    // batch through the same exactly-LWW write path.
+    "q52_sql_merge" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q52tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q52tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE, deleted BOOLEAN)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16', 'tombstone'='deleted')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q52_events")
+      s.sql("""INSERT INTO graft_sql.q52tbl
+              |SELECT user_id, ts, event_id, event_type, value, false
+              |FROM q52_events""".stripMargin)
+      s.sql(
+        """SELECT user_id, count(*) AS cnt FROM q52_events GROUP BY user_id
+          |UNION ALL
+          |SELECT user_id + 1000000, count(*) FROM q52_events
+          |GROUP BY user_id HAVING user_id % 5 = 0""".stripMargin)
+        .createOrReplaceTempView("q52_src")
+      s.sql(
+        """MERGE INTO graft_sql.q52tbl t USING q52_src s ON t.user_id = s.user_id
+          |WHEN MATCHED AND s.user_id % 10 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET
+          |  event_type = 'merged', value = CAST(s.cnt AS DOUBLE)
+          |WHEN NOT MATCHED THEN INSERT
+          |  (user_id, ts, event_id, event_type, value, deleted) VALUES
+          |  (s.user_id, TIMESTAMP '2030-01-01 00:00:00', 0, 'inserted',
+          |   CAST(s.cnt AS DOUBLE), false)""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q52tbl""".stripMargin)
     })
   )
 
@@ -1482,6 +1549,31 @@ object SparkEntry {
       "q48_stats_skip_read" -> (lwwSql + " AND event_id >= 500"),
       // two SQL INSERT waves LWW-merge to the same final state as one load
       "q49_sql_insert" -> lwwSql,
+      // SQL UPDATE rewrites each matched WINNER: unchanged-ordering rows are
+      // auto-slotted one event_id past their pre-image, so the oracle is
+      // winners-then-transform with the bump visible in last_event_id
+      "q51_sql_update" ->
+        """SELECT user_id,
+          |  CASE WHEN user_id % 3 = 0 THEN event_id + 1 ELSE event_id END AS last_event_id,
+          |  CASE WHEN user_id % 3 = 0 THEN upper(event_type) ELSE event_type END AS last_event_type,
+          |  CASE WHEN user_id % 3 = 0 THEN value * 2 ELSE value END AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1""".stripMargin,
+      // SQL MERGE: matched user_id%10=0 deleted (tombstoned), other matched
+      // winners updated with the auto-bump, synthetic +1000000 users inserted
+      "q52_sql_merge" ->
+        """WITH w AS (
+          |  SELECT user_id, event_id FROM (
+          |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1),
+          |c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+          |SELECT w.user_id, w.event_id + 1 AS last_event_id,
+          |  'merged' AS last_event_type, CAST(c.cnt AS DOUBLE) AS last_value
+          |FROM w JOIN c ON w.user_id = c.user_id WHERE w.user_id % 10 <> 0
+          |UNION ALL
+          |SELECT c.user_id + 1000000, CAST(0 AS BIGINT), 'inserted', CAST(c.cnt AS DOUBLE)
+          |FROM c WHERE c.user_id % 5 = 0""".stripMargin,
       // SQL deletes hide users 1/7/13; the 2030-dated revive rows beat every
       // tombstone for 1 and 7; 13 stays gone
       "q50_sql_delete" ->

@@ -179,10 +179,20 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     timeTravelPin: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"${ident.name()}@v${snap.version}"
-  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+
+  /** SQL-facing schema: key and ORDER columns are declared REQUIRED — the
+    * Iceberg identifier-field contract (iceberg-format: identifier fields
+    * "must be required"). Spark's row-level DML refuses nullable row IDs,
+    * and declaring them buys enforcement for free: ANSI store assignment
+    * (the default) wraps SQL INSERT sources in AssertNotNull, so a null
+    * key/ordering value fails the statement loudly instead of landing.
+    * The TYPED API still tolerates null keys (they fold as one LWW group);
+    * a table carrying them belongs to the typed surface, not SQL DML. */
+  override def schema(): StructType = LakeSqlTable.sqlSchema(snap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
@@ -241,6 +251,31 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSqlScanBuilder(root, snap)
+
+  // ------------------------------------- SQL UPDATE / MERGE INTO / DELETE
+
+  /** Row-level SQL DML through the delta-based API — see
+    * [[LakeRowLevelOperation]] for the full semantics (ordered CDC events
+    * through the exactly-LWW merge). Key-equality DELETEs still short-cut
+    * to [[deleteWhere]] via Spark's metadata-only-delete optimizer rule;
+    * everything else (predicate deletes, UPDATE, MERGE INTO) plans a
+    * row-level scan + delta write. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!timeTravelPin,
+      s"cannot ${info.command} ${ident.name()} VERSION AS OF ${snap.version} — " +
+        "writes only target the current table")
+    if (info.command == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      require(snap.tombstoneCol.isDefined,
+        s"DELETE on ${ident.name()} needs a tombstone column " +
+          "(TBLPROPERTIES('tombstone'='col')) — deletes are CDC events in the " +
+          "table's LWW ordering, not physical erases")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new LakeRowLevelOperation(root, snap, info.command)
+    }
+  }
 
   // ------------------------------------------------------ SQL DELETE FROM
 
@@ -355,10 +390,21 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
       s"its type's maximum — no tombstone can be ordered past it ($row)"
 }
 
+object LakeSqlTable {
+  /** see [[LakeSqlTable.schema]] — required key/order columns */
+  private[dsv2] def sqlSchema(snap: TableSnapshot): StructType = {
+    val ids = (snap.keyCols ++ snap.orderCols).toSet
+    StructType(StructType.fromDDL(snap.schemaDdl).fields.map(f =>
+      if (ids.contains(f.name)) f.copy(nullable = false) else f))
+  }
+}
+
 final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)
     extends ScanBuilder with LakePushdownSupport {
 
-  protected val dataSchema = StructType.fromDDL(snap.schemaDdl)
+  // mirrors the table's SQL-facing nullability so scan output attributes
+  // line up with the relation's (row-level DML resolves row IDs there)
+  protected val dataSchema = LakeSqlTable.sqlSchema(snap)
 
   override def build(): Scan =
     new LakeSqlScan(root, snap, requiredData, pushedFilters())

@@ -1,0 +1,299 @@
+package graft.tables.dsv2
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.{LakeTable, TableSnapshot}
+
+/** Row-level SQL DML — `UPDATE`, `MERGE INTO`, and arbitrary-predicate
+  * `DELETE` — on lake tables, via Spark's DELTA-BASED row-level operation
+  * API (`SupportsRowLevelOperations` + `SupportsDelta`, the Iceberg
+  * `SparkPositionDeltaWrite` pattern re-keyed for an LWW table).
+  *
+  * Everything lands as ORDERED CDC EVENTS through the same exactly-LWW
+  * [[graft.tables.LakeTable.merge]] as the typed API and the stream:
+  *
+  *  - the operation's scan serves RESOLVED WINNERS (merge-on-read layers
+  *    folded, tombstoned keys hidden — [[LakeSqlScanBuilder]]), so matched
+  *    rows are exactly the table's visible state;
+  *  - `rowId = keyCols ++ orderCols`: the keys identify the logical row,
+  *    and carrying the ORDER columns hands the writer each row's pre-image
+  *    ordering tuple — which decides whether a rewritten row needs an
+  *    ordering bump to win the LWW fold;
+  *  - an UPDATE that leaves the ordering columns unchanged gets the
+  *    [[LakeSqlTable.deleteWhere]] contract automatically: the new row is
+  *    ordered immediately after its pre-image (last order column + 1,
+  *    integral required, type-max fails loudly). An UPDATE that explicitly
+  *    advances the ordering is taken at its word; one that REGRESSES it is
+  *    rejected (the written row would lose the fold to the row it claims to
+  *    update — silently doing nothing is worse than erroring);
+  *  - MERGE's not-matched INSERTs are plain events: they carry the
+  *    source's own ordering and LWW-resolve against stored state — so an
+  *    insert ordered OLDER than a retained tombstone stays shadowed, the
+  *    same out-of-order contract the CDC stream keeps;
+  *  - deletes synthesize TOMBSTONES (pre-image ordering + 1) and need a
+  *    tombstone column, like the metadata-delete path. Key-equality deletes
+  *    still take that cheaper path: Spark's
+  *    `OptimizeMetadataOnlyDeleteFromTable` swaps the row-level plan back
+  *    to [[LakeSqlTable.deleteWhere]] whenever `canDeleteWhere` accepts.
+  *
+  * Scale shape: matched rows stream through per-task [[LakeDmlDeltaWriter]]s
+  * that stage plain parquet under `<root>/staging/` (never collected to the
+  * driver); the driver-side commit then runs ONE normal merge over the
+  * staged batch — stats pass, auto-salting, SPJ/classic routing, snapshot
+  * commit, OCC — so a 100 TB-table UPDATE costs a filtered scan plus a merge
+  * of exactly the rewritten rows. Updating KEY columns is rejected (it would
+  * be an insert of a new key plus a silent survival of the old one; use
+  * DELETE + INSERT).
+  */
+final class LakeRowLevelOperation(root: String, snap: TableSnapshot,
+    cmd: Command) extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+  override def description(): String = s"LakeDml($cmd, v=${snap.version})"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSqlScanBuilder(root, snap)
+
+  override def rowId(): Array[NamedReference] =
+    (snap.keyCols ++ snap.orderCols).map(Expressions.column).toArray
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new LakeDmlWrite(root, snap, cmd)
+    }
+}
+
+final class LakeDmlWrite(root: String, snap: TableSnapshot, cmd: Command)
+    extends DeltaWrite {
+  override def description(): String = s"LakeDmlWrite($cmd)"
+  override def toBatch: DeltaBatchWrite = new LakeDmlBatchWrite(root, snap, cmd)
+}
+
+final case class LakeDmlCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
+    extends DeltaBatchWrite {
+
+  /** staging lives OUTSIDE data/ so [[graft.tables.LakeTable.expire]]'s
+    * commit-dir sweep never considers it; crashed statements' orphans are
+    * reclaimed by expire's staging sweep once stale */
+  private val stagingRel =
+    s"staging/dml-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    Files.createDirectories(Paths.get(root, stagingRel))
+    LakeDmlWriterFactory(s"$root/$stagingRel", snap.schemaDdl,
+      snap.keyCols, snap.orderCols, snap.tombstoneCol)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val files = messages.collect { case LakeDmlCommitMessage(fs) => fs }.flatten
+        .map(f => s"$root/$stagingRel/$f")
+      if (files.nonEmpty) {
+        val schema = StructType.fromDDL(snap.schemaDdl)
+        val batch = spark.read.schema(schema).parquet(files.toSeq: _*)
+        LakeTable.open(spark, root).merge(batch,
+          s"sql-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}")
+      }
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val dir = Paths.get(root, stagingRel)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}
+
+final case class LakeDmlWriterFactory(stagingDir: String, schemaDdl: String,
+    keyCols: Seq[String], orderCols: Seq[String], tombstoneCol: Option[String])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new LakeDmlDeltaWriter(stagingDir, partitionId, taskId,
+      StructType.fromDDL(schemaDdl), keyCols, orderCols, tombstoneCol)
+}
+
+/** Per-task delta writer: transforms Spark's update/delete/insert calls into
+  * LWW-ordered event rows and stages them as ONE parquet file per task
+  * (through Spark's own `ParquetWriteSupport`, so staged bytes use the same
+  * encoding the table's read path expects). Row layouts (pinned by Spark's
+  * delta-write planning): `row` = full table row in table-column order;
+  * `id` = the pre-image's `rowId` projection, keys then order columns. */
+final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
+    schema: StructType, keyCols: Seq[String], orderCols: Seq[String],
+    tombstoneCol: Option[String]) extends DeltaWriter[InternalRow] {
+
+  private val nKeys = keyCols.size
+  private val keyIdx = keyCols.map(schema.fieldIndex)
+  private val ordIdx = orderCols.map(schema.fieldIndex)
+  private val lastOrdIdx = ordIdx.last
+  private val tombIdx = tombstoneCol.map(schema.fieldIndex)
+  private val ordTypes = orderCols.map(c => schema(schema.fieldIndex(c)).dataType)
+
+  private def bound(i: Int) = BoundReference(i, schema(i).dataType, nullable = true)
+  // row-side projections bind into the full table row; id-side into the
+  // (keys ++ orders) rowId layout
+  private val rowKeyProj = UnsafeProjection.create(keyIdx.map(bound))
+  private val rowOrdProj = UnsafeProjection.create(ordIdx.map(bound))
+  private val idKeyProj = UnsafeProjection.create(
+    keyCols.indices.map(j => BoundReference(j, schema(keyIdx(j)).dataType, nullable = true)))
+  private val idOrdProj = UnsafeProjection.create(
+    orderCols.indices.map(j =>
+      BoundReference(nKeys + j, schema(ordIdx(j)).dataType, nullable = true)))
+  private val ordCompare = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+
+  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  private var writer: ParquetWriter[InternalRow] = _
+  private var rows = 0L
+
+  private def out(): ParquetWriter[InternalRow] = {
+    if (writer == null) {
+      import org.apache.spark.sql.internal.SQLConf
+      val conf = new Configuration()
+      ParquetWriteSupport.setSchema(schema, conf)
+      // the conf entries ParquetWriteSupport.init / the schema converter
+      // read; a DataFrame write gets these from the session, a raw writer
+      // must pin them (values = the engine's shipped write configuration:
+      // annotated int64 micros, no legacy layout, proleptic-Gregorian
+      // timestamps)
+      Seq(
+        SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> "false",
+        SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key -> "TIMESTAMP_MICROS",
+        SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key -> "CORRECTED",
+        SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key -> "CORRECTED",
+        SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
+          SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.defaultValueString,
+        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+          SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString,
+        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key ->
+          SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.defaultValueString
+      ).foreach { case (k, v) => conf.set(k, v) }
+      writer = new LakeDmlDeltaWriter.Builder(new HPath(s"$stagingDir/$fileName"))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writer
+  }
+
+  /** ordering bump: the event slot immediately after the pre-image */
+  private def bumped(v: Any): Any = v match {
+    case l: java.lang.Long =>
+      require(l != Long.MaxValue, overflowMsg); java.lang.Long.valueOf(l + 1)
+    case i: java.lang.Integer =>
+      require(i != Int.MaxValue, overflowMsg); java.lang.Integer.valueOf(i + 1)
+    case s: java.lang.Short =>
+      require(s != Short.MaxValue, overflowMsg); java.lang.Short.valueOf((s + 1).toShort)
+    case b: java.lang.Byte =>
+      require(b != Byte.MaxValue, overflowMsg); java.lang.Byte.valueOf((b + 1).toByte)
+    case other => throw new UnsupportedOperationException(
+      s"row-level ${if (tombIdx.isDefined) "DML" else "UPDATE"} needs an integral " +
+        s"last order column to place the rewritten row after its pre-image; " +
+        s"'${orderCols.last}' holds ${if (other == null) "NULL" else other.getClass.getSimpleName}")
+  }
+
+  private def overflowMsg: String =
+    s"cannot order a rewritten row past its pre-image: last order column " +
+      s"'${orderCols.last}' is at its type's maximum"
+
+  private def toMutable(row: InternalRow): GenericInternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) = if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def insert(row: InternalRow): Unit = { out().write(row); rows += 1 }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    if (rowKeyProj(row) != idKeyProj(id))
+      throw new UnsupportedOperationException(
+        s"updating key columns (${keyCols.mkString(", ")}) is not supported on a " +
+          "keyed LWW table — the old key's row would silently survive; " +
+          "DELETE the old key and INSERT the new one")
+    val cmp = ordCompare.compare(rowOrdProj(row), idOrdProj(id))
+    if (cmp < 0)
+      throw new UnsupportedOperationException(
+        s"UPDATE assigns an ordering (${orderCols.mkString(", ")}) OLDER than the " +
+          "row it updates — the written event would lose the LWW fold to its own " +
+          "pre-image; advance the ordering columns or leave them unchanged")
+    val event =
+      if (cmp > 0) row // caller advanced the ordering: taken at its word
+      else { // unchanged ordering: slot the rewrite immediately after the pre-image
+        val m = toMutable(row)
+        m.update(lastOrdIdx,
+          bumped(if (m.isNullAt(lastOrdIdx)) null
+                 else m.get(lastOrdIdx, schema(lastOrdIdx).dataType)))
+        m
+      }
+    out().write(event); rows += 1
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val ti = tombIdx.getOrElse(throw new UnsupportedOperationException(
+      "row-level DELETE needs a tombstone column " +
+        "(TBLPROPERTIES('tombstone'='col') / createOrOpen(tombstoneCol)) — " +
+        "without one a delete has no event to carry through the LWW fold"))
+    val vals = new Array[Any](schema.length)
+    keyIdx.zipWithIndex.foreach { case (si, j) =>
+      vals(si) = if (id.isNullAt(j)) null else id.get(j, schema(si).dataType)
+    }
+    ordIdx.zipWithIndex.foreach { case (si, j) =>
+      vals(si) = if (id.isNullAt(nKeys + j)) null else id.get(nKeys + j, schema(si).dataType)
+    }
+    vals(lastOrdIdx) = bumped(vals(lastOrdIdx))
+    vals(ti) = java.lang.Boolean.TRUE
+    out().write(new GenericInternalRow(vals)); rows += 1
+  }
+
+  private var committed = false
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    committed = true
+    LakeDmlCommitMessage(if (rows > 0) Seq(fileName) else Nil)
+  }
+
+  override def abort(): Unit = close()
+
+  /** close after commit leaves the staged file for the driver-side merge;
+    * close without commit (task failure/abort) reclaims it */
+  override def close(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    if (!committed) Files.deleteIfExists(Paths.get(stagingDir, fileName))
+  }
+}
+
+object LakeDmlDeltaWriter {
+  private final class Builder(path: HPath)
+      extends ParquetWriter.Builder[InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+}

@@ -167,19 +167,20 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(t.currentVersion() === vBefore + 1)
   }
 
-  test("DELETE is rejected where the tombstone translation is unsound") {
-    // no tombstone column
+  test("DELETE without a tombstone column is rejected; payload-predicate " +
+      "deletes route through the row-level path (LakeDmlSpec pins its semantics)") {
+    // no tombstone column: rejected at analysis, loudly
     val t9 = makeTable("t9")
     t9.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
     val e1 = intercept[Exception](spark.sql("DELETE FROM lakecat.t9 WHERE k = 'a'"))
-    assert(messages(e1).exists(m => m.contains("DELETE") || m.contains("delete")),
+    assert(messages(e1).exists(_.contains("tombstone")),
       s"unexpected: ${messages(e1).mkString(" | ")}")
-    // a payload predicate is not a keyed CDC event
+    // a payload predicate can't be a metadata delete, but the delta-based
+    // row-level plan handles it: the matched winner is tombstoned
     val t10 = makeTable("t10", tombstone = true)
     spark.sql("INSERT INTO lakecat.t10 VALUES ('a', 1, 'a1', false)")
-    val e2 = intercept[Exception](spark.sql("DELETE FROM lakecat.t10 WHERE v = 'a1'"))
-    assert(messages(e2).exists(m => m.contains("DELETE") || m.contains("delete")))
-    assert(spark.sql("SELECT k FROM lakecat.t10").as[String].collect().toSeq === Seq("a"))
+    spark.sql("DELETE FROM lakecat.t10 WHERE v = 'a1'")
+    assert(spark.sql("SELECT k FROM lakecat.t10").as[String].collect().isEmpty)
   }
 
   test("INSERT OVERWRITE is rejected before any data is touched") {

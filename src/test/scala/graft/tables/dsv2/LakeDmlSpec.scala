@@ -1,0 +1,190 @@
+package graft.tables.dsv2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.tables.LakeTable
+
+/** Row-level SQL DML (UPDATE / MERGE INTO / predicate DELETE) through the
+  * delta-based row-level-operation API: every statement lands as ordered
+  * CDC events through the exactly-LWW merge, so DML interleaves soundly
+  * with stream upserts and out-of-order arrivals. */
+class LakeDmlSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("lake-dml-warehouse").toString
+    spark.conf.set("spark.sql.catalog.dml", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dml.warehouse", w)
+    w
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+
+  private def makeTable(name: String, tombstone: Boolean = false): LakeTable = {
+    val ddl = if (tombstone) "k STRING, wv BIGINT, v STRING, n BIGINT, deleted BOOLEAN"
+    else "k STRING, wv BIGINT, v STRING, n BIGINT"
+    LakeTable.createOrOpen(spark, s"$warehouse/$name", StructType.fromDDL(ddl),
+      Seq("k"), Seq("wv"), 4,
+      tombstoneCol = if (tombstone) Some("deleted") else None)
+  }
+
+  private def state(name: String): Set[(String, Long, String, Long)] =
+    spark.sql(s"SELECT k, wv, v, n FROM dml.$name").as[(String, Long, String, Long)]
+      .collect().toSet
+
+  test("UPDATE with unchanged ordering auto-bumps past the pre-image and wins " +
+      "the LWW fold; a stale stream event then still loses to it") {
+    val t = makeTable("u1")
+    t.merge(Seq(("a", 10L, "a1", 1L), ("b", 10L, "b1", 2L), ("c", 10L, "c1", 3L))
+      .toDF("k", "wv", "v", "n"), "b1")
+    spark.sql("UPDATE dml.u1 SET v = upper(v), n = n + 100 WHERE k <> 'c'")
+    assert(state("u1") === Set(
+      ("a", 11L, "A1", 101L), ("b", 11L, "B1", 102L), ("c", 10L, "c1", 3L)))
+    // the update is an ordered event: a late stream row at the OLD ordering
+    // loses to it (the CDC out-of-order contract)
+    t.merge(Seq(("a", 10L, "stale", 0L)).toDF("k", "wv", "v", "n"), "late")
+    assert(state("u1").contains(("a", 11L, "A1", 101L)))
+    // and the statement went through the normal merge: lineage recorded it
+    assert(t.snapshot().appliedBatches.exists(_.startsWith("sql-update-")))
+  }
+
+  test("UPDATE that explicitly advances the ordering is taken at its word; " +
+      "one that regresses it fails loudly") {
+    val t = makeTable("u2")
+    t.merge(Seq(("a", 10L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")
+    spark.sql("UPDATE dml.u2 SET wv = 50, v = 'a50' WHERE k = 'a'")
+    assert(state("u2") === Set(("a", 50L, "a50", 1L)))
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml.u2 SET wv = 7, v = 'old' WHERE k = 'a'")
+    }
+    assert(messages(e).exists(_.contains("OLDER than the row it updates")))
+    assert(state("u2") === Set(("a", 50L, "a50", 1L))) // nothing landed
+  }
+
+  test("UPDATE of a key column is rejected (the old key would silently survive)") {
+    val t = makeTable("u3")
+    t.merge(Seq(("a", 1L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml.u3 SET k = 'z' WHERE k = 'a'")
+    }
+    assert(messages(e).exists(_.contains("updating key columns")))
+    assert(state("u3") === Set(("a", 1L, "a1", 1L)))
+  }
+
+  test("predicate DELETE (non-key WHERE) tombstones through the delta path; " +
+      "key-equality DELETE still takes the metadata path") {
+    val t = makeTable("d1", tombstone = true)
+    t.merge(Seq(("a", 1L, "a1", 5L, false), ("b", 1L, "b1", 50L, false),
+      ("c", 1L, "c1", 500L, false)).toDF("k", "wv", "v", "n", "deleted"), "b1")
+    // payload predicate — only the row-level path can plan this
+    spark.sql("DELETE FROM dml.d1 WHERE n >= 50 AND v LIKE 'b%'")
+    assert(spark.sql("SELECT k FROM dml.d1").as[String].collect().toSet === Set("a", "c"))
+    // the tombstone is ordered after the deleted winner: a stale upsert at
+    // the old ordering cannot resurrect the key
+    t.merge(Seq(("b", 1L, "zombie", 0L, false)).toDF("k", "wv", "v", "n", "deleted"), "late")
+    assert(spark.sql("SELECT k FROM dml.d1").as[String].collect().toSet === Set("a", "c"))
+    // a genuinely newer upsert does resurrect (LWW contract)
+    t.merge(Seq(("b", 9L, "back", 1L, false)).toDF("k", "wv", "v", "n", "deleted"), "new")
+    assert(spark.sql("SELECT k FROM dml.d1").as[String].collect().toSet === Set("a", "b", "c"))
+  }
+
+  test("DELETE without a tombstone column fails at analysis with a clear message") {
+    val t = makeTable("d2")
+    t.merge(Seq(("a", 1L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml.d2 WHERE n = 1")
+    }
+    assert(messages(e).exists(_.contains("tombstone")))
+  }
+
+  test("MERGE INTO: matched update / matched delete / not-matched insert all " +
+      "land as one LWW merge batch") {
+    val t = makeTable("m1", tombstone = true)
+    t.merge(Seq(("a", 10L, "a1", 1L, false), ("b", 10L, "b1", 2L, false),
+      ("d", 10L, "d1", 4L, false)).toDF("k", "wv", "v", "n", "deleted"), "b1")
+    Seq(("a", "newA", 100L), ("c", "newC", 300L), ("d", "drop", 0L))
+      .toDF("k", "v", "n").createOrReplaceTempView("src")
+    spark.sql("""
+      MERGE INTO dml.m1 t USING src s ON t.k = s.k
+      WHEN MATCHED AND s.v = 'drop' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+      WHEN NOT MATCHED THEN INSERT (k, wv, v, n, deleted) VALUES (s.k, 1, s.v, s.n, false)
+    """)
+    assert(state("m1") === Set(
+      ("a", 11L, "newA", 100L), // matched update: auto-bumped ordering
+      ("b", 10L, "b1", 2L),     // untouched
+      ("c", 1L, "newC", 300L))) // not-matched insert at the source's ordering
+    // d was tombstoned at wv 11; its pre-image stays shadowed
+    t.merge(Seq(("d", 10L, "stale", 0L, false)).toDF("k", "wv", "v", "n", "deleted"), "late")
+    assert(!state("m1").exists(_._1 == "d"))
+    assert(t.snapshot().appliedBatches.exists(_.startsWith("sql-merge-")))
+  }
+
+  test("MERGE INTO a clean table equals the typed merge of the same events " +
+      "(randomized fold equality)") {
+    val rnd = new scala.util.Random(42)
+    val keys = (0 until 40).map(i => s"k$i")
+    val base = keys.map(k => (k, rnd.nextInt(50).toLong + 1L, s"$k-base",
+      rnd.nextInt(1000).toLong))
+    val updates = rnd.shuffle(keys).take(25)
+      .map(k => (k, s"$k-upd", rnd.nextInt(1000).toLong))
+    val inserts = (100 until 115).map(i => (s"k$i", s"k$i-ins", i.toLong))
+
+    val sqlT = makeTable("m2")
+    sqlT.merge(base.toDF("k", "wv", "v", "n"), "b1")
+    (updates.map { case (k, v, n) => (k, v, n) } ++ inserts)
+      .toDF("k", "v", "n").createOrReplaceTempView("src2")
+    spark.sql("""
+      MERGE INTO dml.m2 t USING src2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+      WHEN NOT MATCHED THEN INSERT (k, wv, v, n) VALUES (s.k, 1, s.v, s.n)
+    """)
+
+    // oracle: the same events through the typed API (update events at the
+    // winner's ordering + 1, inserts at wv=1)
+    val oracle = makeTable("m2o")
+    oracle.merge(base.toDF("k", "wv", "v", "n"), "b1")
+    val baseWv = base.map(r => r._1 -> r._2).toMap
+    val events =
+      updates.map { case (k, v, n) => (k, baseWv(k) + 1L, v, n) } ++
+        inserts.map { case (k, v, n) => (k, 1L, v, n) }
+    oracle.merge(events.toDF("k", "wv", "v", "n"), "b2")
+    assert(state("m2") === oracle.read().as[(String, Long, String, Long)].collect().toSet)
+  }
+
+  test("DML on a VERSION AS OF pin is rejected") {
+    val t = makeTable("p1", tombstone = true)
+    t.merge(Seq(("a", 1L, "a1", 1L, false)).toDF("k", "wv", "v", "n", "deleted"), "b1")
+    val v = t.currentVersion()
+    t.merge(Seq(("a", 2L, "a2", 2L, false)).toDF("k", "wv", "v", "n", "deleted"), "b2")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE dml.p1 VERSION AS OF $v SET v = 'x' WHERE k = 'a'")
+    }
+    // rejected either by our pin guard or by Spark's own analysis of
+    // time-travel DML targets — both are loud
+    assert(messages(e).nonEmpty)
+    assert(state("p1") === Set(("a", 2L, "a2", 2L)))
+  }
+
+  test("staging is cleaned up after both success and failure") {
+    val t = makeTable("s1")
+    t.merge(Seq(("a", 10L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")
+    spark.sql("UPDATE dml.s1 SET v = 'x' WHERE k = 'a'")
+    intercept[Exception] {
+      spark.sql("UPDATE dml.s1 SET wv = 1, v = 'old' WHERE k = 'a'") // regressing: fails
+    }
+    val staging = java.nio.file.Paths.get(s"$warehouse/s1/staging")
+    val leftovers =
+      if (!Files.exists(staging)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(staging).iterator().asScala.toSeq
+      }
+    assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
+  }
+}
