@@ -820,6 +820,36 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
           |FROM graft_sql.q52tbl""".stripMargin)
+    }),
+
+    // K1 SQL MAINTENANCE PROCEDURES e2e WITH a DuckDB oracle: two insert
+    // waves, then `CALL system.rollback` undoes the second as a NEW head
+    // commit, `CALL system.compact` is a clean-table no-op, and
+    // `CALL system.expire_snapshots(keep_last => 1)` retires the undone
+    // history WITHOUT touching the head's data files (rollback keeps the
+    // restored version's files alive) — the final read must be exactly the
+    // wave-1 LWW winners.
+    "q53_sql_maintenance" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q53tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q53tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q53_events")
+      s.sql("INSERT INTO graft_sql.q53tbl SELECT * FROM q53_events WHERE event_id % 2 = 0")
+      val v1 = graft.tables.LakeTable.open(s, s"$sqlWarehouse/q53tbl").currentVersion()
+      s.sql("INSERT INTO graft_sql.q53tbl SELECT * FROM q53_events WHERE event_id % 2 = 1")
+      s.sql(s"CALL graft_sql.system.rollback('q53tbl', $v1)")
+      s.sql("CALL graft_sql.system.compact('q53tbl')")
+      s.sql("CALL graft_sql.system.expire_snapshots('q53tbl', keep_last => 1)")
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q53tbl""".stripMargin)
     })
   )
 
@@ -1574,6 +1604,15 @@ object SparkEntry {
           |UNION ALL
           |SELECT c.user_id + 1000000, CAST(0 AS BIGINT), 'inserted', CAST(c.cnt AS DOUBLE)
           |FROM c WHERE c.user_id % 5 = 0""".stripMargin,
+      // CALL rollback undoes the odd-event_id insert wave; compact + expire
+      // must not change logical state — final state is wave-1 LWW winners
+      "q53_sql_maintenance" ->
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events WHERE event_id % 2 = 0)
+          |WHERE rn = 1""".stripMargin,
       // SQL deletes hide users 1/7/13; the 2030-dated revive rows beat every
       // tombstone for 1 and 7; 13 stays gone
       "q50_sql_delete" ->

@@ -52,9 +52,11 @@ import graft.tables.{LakeTable, TableSnapshot}
   * stored state instead of appending blindly; INSERT OVERWRITE and writes
   * through a `VERSION AS OF` pin are rejected. DDL: CREATE TABLE (with
   * `keys`/`orders`/`buckets`/`tombstone` table properties), DROP TABLE,
-  * and RENAME TABLE.
+  * and RENAME TABLE. Maintenance runs through SQL stored procedures
+  * (`CALL lake.system.compact('t')` … — see [[LakeProcedures]]).
   */
-final class LakeCatalog extends TableCatalog {
+final class LakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -72,15 +74,8 @@ final class LakeCatalog extends TableCatalog {
     * escape the warehouse (`..`) or collapse to it (empty, `.`, separators):
     * a backtick-quoted `..` identifier must not let DROP/RENAME reach
     * directories the catalog does not own */
-  private def tableRoot(ident: Identifier): JPath = {
-    val segs = ident.namespace() :+ ident.name()
-    segs.foreach { s =>
-      require(s.nonEmpty && s != "." && s != ".." &&
-        !s.contains('/') && !s.contains('\\'),
-        s"illegal table identifier segment '$s'")
-    }
-    Paths.get(warehouse, segs: _*)
-  }
+  private def tableRoot(ident: Identifier): JPath =
+    LakeCatalog.resolveRoot(warehouse, (ident.namespace() :+ ident.name()).toSeq)
 
   private def isTable(p: JPath): Boolean = Files.exists(p.resolve("meta/VERSION"))
 
@@ -171,6 +166,19 @@ final class LakeCatalog extends TableCatalog {
     Files.createDirectories(to.getParent)
     Files.move(from, to)
   }
+
+  // ------------------------------------------- CALL lake.system.<proc>(…)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(warehouse, ident).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+          s"— available: ${LakeProcedures.list(LakeProcedures.Namespace)
+            .map(_.name()).mkString(", ")} (namespace 'system')"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.list(namespace)
 }
 
 /** One lake table pinned to one snapshot, exposed to SQL with the LOGICAL
@@ -388,6 +396,21 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
   private def overflowMsg(row: org.apache.spark.sql.Row): String =
     s"cannot DELETE from ${ident.name()}: a winner's last order value is at " +
       s"its type's maximum — no tombstone can be ordered past it ($row)"
+}
+
+object LakeCatalog {
+  /** identifier segments become path segments — reject anything that could
+    * escape the warehouse (`..`) or collapse to it (empty, `.`, separators):
+    * a backtick-quoted `..` identifier must not let DROP/RENAME/CALL reach
+    * directories the catalog does not own */
+  private[dsv2] def resolveRoot(warehouse: String, segs: Seq[String]): JPath = {
+    segs.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+        s"illegal table identifier segment '$s'")
+    }
+    Paths.get(warehouse, segs: _*)
+  }
 }
 
 object LakeSqlTable {

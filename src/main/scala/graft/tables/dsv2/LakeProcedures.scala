@@ -1,0 +1,174 @@
+package graft.tables.dsv2
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tables.LakeTable
+
+/** SQL MAINTENANCE PROCEDURES (`CALL lake.system.<proc>(…)`) — the
+  * stored-procedure surface of [[LakeCatalog]], mirroring Iceberg's Spark
+  * procedures (`rewrite_data_files`, `expire_snapshots`,
+  * `rollback_to_snapshot`) over the lake table's own maintenance API:
+  *
+  * {{{
+  *   CALL lake.system.compact(table => 'accounts')
+  *   CALL lake.system.expire_snapshots('accounts', keep_last => 5)
+  *   CALL lake.system.rollback('accounts', 7)
+  *   CALL lake.system.purge_tombstones('accounts')
+  *   CALL lake.system.rebucket('accounts', 64)
+  * }}}
+  *
+  * Each procedure opens the table under the catalog's warehouse, runs the
+  * corresponding [[graft.tables.LakeTable]] maintenance operation
+  * (compact / expire / rollback / purgeTombstones / rebucket — all of which
+  * carry their own OCC story: compaction and purges rebase over racing
+  * ingest merges, rebucket re-runs, rollback refuses to guess), and returns
+  * a one-row result through Spark's `LocalScan` procedure protocol.
+  * Positional and named (`param => value`) arguments both work; Spark's
+  * analyzer coerces argument types and fills declared defaults.
+  *
+  * Scale note: these are DRIVER-coordinated maintenance commands — the
+  * heavy lifting (bucket rewrites) runs as the same zero-shuffle
+  * storage-partitioned Spark jobs the typed API plans; only the one-row
+  * result is local.
+  */
+private[dsv2] object LakeProcedures {
+
+  /** procedures live in ONE namespace, `<catalog>.system` */
+  val Namespace: Array[String] = Array("system")
+
+  private val all: Seq[String] =
+    Seq("compact", "expire_snapshots", "rollback", "purge_tombstones", "rebucket")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace) || namespace.isEmpty)
+      all.map(Identifier.of(Namespace, _)).toArray
+    else Array.empty
+
+  def load(warehouse: String, ident: Identifier): Option[UnboundProcedure] = {
+    if (!ident.namespace().sameElements(Namespace)) return None
+    val p = ident.name() match {
+      case "compact" => new LakeProcedure(warehouse, "compact",
+        "rewrite every merge-on-read bucket into a single resolved layer",
+        Seq(tableParam),
+        StructType(Seq(
+          StructField("compacted_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val n = t.compact()
+          Seq[Any](n, t.snapshot().version)
+        }
+      }
+      case "expire_snapshots" => new LakeProcedure(warehouse, "expire_snapshots",
+        "retire snapshot metadata and unreferenced data directories older " +
+          "than the most recent keep_last versions",
+        Seq(tableParam,
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("2").build()),
+        StructType(Seq(
+          StructField("expired_snapshots", IntegerType, nullable = false),
+          StructField("data_dirs_removed", IntegerType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val (meta, data) = t.expire(args.getInt(1))
+          Seq[Any](meta, data)
+        }
+      }
+      case "rollback" => new LakeProcedure(warehouse, "rollback",
+        "restore a retained snapshot's full state as a NEW head version " +
+          "(history only moves forward; no data copied)",
+        Seq(tableParam,
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val target = args.getLong(1)
+          Seq[Any](target, t.rollback(target))
+        }
+      }
+      case "purge_tombstones" => new LakeProcedure(warehouse, "purge_tombstones",
+        "physically drop tombstoned keys whose delete versions are expired " +
+          "from time travel (GDPR-style erasure)",
+        Seq(tableParam),
+        StructType(Seq(
+          StructField("purged_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val n = t.purgeTombstones()
+          Seq[Any](n, t.snapshot().version)
+        }
+      }
+      case "rebucket" => new LakeProcedure(warehouse, "rebucket",
+        "rewrite the table into a new hash-bucket count in one commit " +
+          "(layout evolution; full-table rewrite)",
+        Seq(tableParam,
+          ProcedureParameter.in("buckets", IntegerType).build()),
+        StructType(Seq(
+          StructField("buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val n = args.getInt(1)
+          t.rebucket(n)
+          Seq[Any](n, t.snapshot().version)
+        }
+      }
+      case _ => null
+    }
+    Option(p)
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("table name under the catalog warehouse (dots separate namespaces)")
+      .build()
+}
+
+/** One maintenance procedure: unbound == bound (parameters are fixed; the
+  * analyzer coerces argument types to them and fills defaults). `call`
+  * resolves the table exactly like [[LakeCatalog.loadTable]] — same
+  * identifier validation, same warehouse — then hands the one-row result
+  * back as a [[LocalScan]], the shape Spark's `InvokeProcedures` rule turns
+  * into a LocalRelation. */
+private[dsv2] abstract class LakeProcedure(warehouse: String, procName: String,
+    desc: String, params: Seq[ProcedureParameter], resultSchema: StructType)
+    extends UnboundProcedure with BoundProcedure {
+
+  def run(table: LakeTable, args: InternalRow): Seq[Any]
+
+  override def name(): String = procName
+  override def description(): String = desc
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  // every procedure commits table state — never constant-foldable
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val tableName = input.getUTF8String(0).toString
+    val segs = tableName.split('.').toSeq
+    val root = LakeCatalog.resolveRoot(warehouse, segs)
+    require(java.nio.file.Files.exists(root.resolve("meta/VERSION")),
+      s"no lake table '$tableName' under warehouse $warehouse")
+    val table = LakeTable.open(SparkSession.active, root.toString)
+    val out = run(table, input)
+    val row: InternalRow = new GenericInternalRow(out.map {
+      case s: String => UTF8String.fromString(s)
+      case x => x.asInstanceOf[Any]
+    }.toArray)
+    java.util.List.of[Scan](new LakeProcedureResult(resultSchema, row)).iterator()
+  }
+}
+
+private final class LakeProcedureResult(schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+  override def description(): String = s"LakeProcedureResult(${schema.simpleString})"
+}

