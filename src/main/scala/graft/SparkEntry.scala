@@ -846,9 +846,11 @@ object SparkEntry {
       s.sql(s"CALL graft_sql.system.rollback('q53tbl', $v1)")
       s.sql("CALL graft_sql.system.compact('q53tbl')")
       s.sql("CALL graft_sql.system.expire_snapshots('q53tbl', keep_last => 1)")
+      // explicit schema evolution: metadata-only; every stored row reads NULL
+      s.sql("ALTER TABLE graft_sql.q53tbl ADD COLUMNS (note STRING)")
       s.sql(
         """SELECT user_id, event_id AS last_event_id,
-          |  event_type AS last_event_type, value AS last_value
+          |  event_type AS last_event_type, value AS last_value, note
           |FROM graft_sql.q53tbl""".stripMargin)
     })
   )
@@ -1605,10 +1607,12 @@ object SparkEntry {
           |SELECT c.user_id + 1000000, CAST(0 AS BIGINT), 'inserted', CAST(c.cnt AS DOUBLE)
           |FROM c WHERE c.user_id % 5 = 0""".stripMargin,
       // CALL rollback undoes the odd-event_id insert wave; compact + expire
-      // must not change logical state — final state is wave-1 LWW winners
+      // must not change logical state; ALTER ADD COLUMNS reads NULL on every
+      // stored row — final state is wave-1 LWW winners + a NULL note
       "q53_sql_maintenance" ->
         """SELECT user_id, event_id AS last_event_id,
-          |  event_type AS last_event_type, value AS last_value
+          |  event_type AS last_event_type, value AS last_value,
+          |  CAST(NULL AS VARCHAR) AS note
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           |        ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events WHERE event_id % 2 = 0)

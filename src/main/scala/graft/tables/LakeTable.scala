@@ -9,7 +9,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.operators.Dedup
 
@@ -1458,6 +1458,41 @@ final class LakeTable private (
         target.totals.getOrElse("rollbacks", 0L) + 1L))
     commit(next)
     next.version
+  }
+
+  /** EXPLICIT schema evolution (≙ Iceberg `ALTER TABLE … ADD COLUMNS`): add
+    * new NULLABLE columns as a metadata-only commit — no data file is
+    * touched; files written before the change read the new columns as null,
+    * exactly like the implicit merge-batch evolution path
+    * ([[merge]] schema-union). Columns are forced nullable (a NOT NULL
+    * addition would invalidate every stored row), appended at the end, and
+    * adding an already-present column is an idempotent no-op when the type
+    * matches and an error when it doesn't.
+    *
+    * Metadata-only and commutative with every other commit kind, so it
+    * rebases over ANY interleaved writer (the union is recomputed against
+    * the fresh snapshot each attempt).
+    * @return the table version carrying the evolved schema */
+  def addColumns(cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val committed = occCommit(snapshot())(_ => true) { base =>
+      val cur = StructType.fromDDL(base.schemaDdl)
+      cols.foreach { f =>
+        cur.fields.find(_.name == f.name).foreach { ex =>
+          require(ex.dataType == f.dataType,
+            s"column '${f.name}' already exists with type ${ex.dataType.sql} — " +
+              s"cannot add it as ${f.dataType.sql}")
+        }
+      }
+      val fresh = cols.filterNot(f => cur.fieldNames.contains(f.name))
+      if (fresh.isEmpty) None
+      else Some(base.copy(
+        version = base.version + 1,
+        schemaDdl = StructType(cur.fields ++ fresh.map(_.copy(nullable = true))).toDDL,
+        totals = base.totals.updated("schema_changes",
+          base.totals.getOrElse("schema_changes", 0L) + 1L)))
+    }
+    committed.map(_.version).getOrElse(currentVersion())
   }
 
   /** Retire old versions: delete snapshot metadata older than the most

@@ -147,10 +147,33 @@ final class LakeCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported: schema evolves by merging batches " +
-        "carrying new nullable columns (LakeTable.merge)")
+  /** `ALTER TABLE lake.t ADD COLUMNS (c TYPE, …)` — explicit schema
+    * evolution as a metadata-only commit ([[graft.tables.LakeTable
+    * .addColumns]]): new columns must be nullable (stored rows read them as
+    * null) and top-level, and append at the end — the same contract the
+    * implicit merge-batch evolution path keeps. Every other ALTER (rename/
+    * drop/retype/reposition, property changes) is rejected: a keyed LWW
+    * table's identity and history hang off its columns. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN '${a.fieldNames().mkString(".")}' is not supported")
+        require(a.isNullable,
+          s"ADD COLUMN '${a.fieldNames().head}' must be nullable — stored rows " +
+            "predate the column and read it as NULL")
+        require(a.position() == null,
+          "ADD COLUMN … FIRST/AFTER is not supported: new columns append at the end")
+        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — only ADD COLUMNS evolves a " +
+          "lake table (rows evolve through merges; layout through rebucket)")
+    }
+    LakeTable.open(SparkSession.active, root.toString).addColumns(adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = tableRoot(ident)

@@ -196,4 +196,29 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT v FROM lakecat.t7 WHERE k = 'a'")
       .as[String].collect().toSeq === Seq("a1"))
   }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, old rows read null") {
+    val t = makeTable("t11")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    spark.sql("ALTER TABLE lakecat.t11 ADD COLUMNS (score DOUBLE, tag STRING)")
+    // stored row reads the new columns as null (no file was rewritten)
+    val row = spark.sql("SELECT k, v, score, tag FROM lakecat.t11").head()
+    assert(row.getString(0) === "a" && row.getString(1) === "a1")
+    assert(row.isNullAt(2) && row.isNullAt(3))
+    // the evolved schema accepts SQL inserts carrying the new columns
+    spark.sql("INSERT INTO lakecat.t11 VALUES ('b', 1, 'b1', 0.5, 'x')")
+    assert(spark.sql("SELECT tag FROM lakecat.t11 WHERE k = 'b'")
+      .as[String].head() === "x")
+    // adding an existing column with a DIFFERENT type fails loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE lakecat.t11 ADD COLUMNS (score STRING)"))
+    assert(messages(e).exists(m => m.contains("already exists")),
+      s"unexpected: ${messages(e).mkString(" | ")}")
+    // everything but ADD COLUMNS is rejected
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE lakecat.t11 DROP COLUMN tag"))
+    assert(messages(e2).exists(m =>
+      m.contains("unsupported ALTER TABLE") || m.contains("DROP COLUMN")),
+      s"unexpected: ${messages(e2).mkString(" | ")}")
+  }
 }
