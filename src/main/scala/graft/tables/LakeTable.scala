@@ -1475,6 +1475,9 @@ final class LakeTable private (
     * @return the table version carrying the evolved schema */
   def addColumns(cols: Seq[StructField]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val dups = cols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dups.isEmpty,
+      s"ADD COLUMNS lists column(s) ${dups.mkString(", ")} more than once")
     val committed = occCommit(snapshot())(_ => true) { base =>
       val cur = StructType.fromDDL(base.schemaDdl)
       cols.foreach { f =>
@@ -1528,6 +1531,17 @@ final class LakeTable private (
     //      commit landing mid-sweep protects its files.
     val dataDir = Paths.get(root, "data")
     var commitsRemoved = 0
+    def inflightMarker(n: String): Boolean = {
+      val m = meta.resolve(s"inflight-$n")
+      Files.exists(m) && {
+        val fresh = try
+          System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
+            InflightMarkerTtlMs
+        catch { case _: java.io.IOException => true }
+        if (!fresh) Files.deleteIfExists(m) // crashed writer: reclaim
+        fresh
+      }
+    }
     if (Files.isDirectory(dataDir)) {
       // None = some v*.json was unreadable (deleted by a racing expire, or
       // MID-WRITE by a racing commit — Files.write is not atomic): the
@@ -1545,17 +1559,6 @@ final class LakeTable private (
           }.toSeq
         if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
       }
-      def inflight(n: String): Boolean = {
-        val m = meta.resolve(s"inflight-$n")
-        Files.exists(m) && {
-          val fresh = try
-            System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
-              InflightMarkerTtlMs
-          catch { case _: java.io.IOException => true }
-          if (!fresh) Files.deleteIfExists(m) // crashed writer: reclaim
-          fresh
-        }
-      }
       val candidates = Files.list(dataDir).iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
@@ -1565,11 +1568,28 @@ final class LakeTable private (
       referencedNow().foreach { referenced =>
         candidates.foreach { p =>
           val n = p.getFileName.toString
-          if (!referenced.contains(s"data/$n") && !inflight(n)) {
+          if (!referenced.contains(s"data/$n") && !inflightMarker(n)) {
             deleteRecursively(p); commitsRemoved += 1
           }
         }
       }
+    }
+    // 3. sweep DML staging (<root>/staging/dml-*) from crashed statements:
+    //    these dirs are NEVER referenced by a snapshot (the row-level write
+    //    merges them and deletes on commit/abort), so the only live-window
+    //    protection is the statement's own inflight marker — same TTL
+    //    protocol as data dirs. A marker-less or stale dir is a crash
+    //    orphan; a >TTL-old statement losing its staging fails loudly at
+    //    its merge, never silently wrong.
+    val stagingDir = Paths.get(root, "staging")
+    if (Files.isDirectory(stagingDir)) {
+      Files.list(stagingDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("dml-")).toSeq
+        .foreach { p =>
+          if (!inflightMarker(p.getFileName.toString)) {
+            deleteRecursively(p); commitsRemoved += 1
+          }
+        }
     }
     (metaRemoved, commitsRemoved)
   }

@@ -217,12 +217,15 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
 
   /** SQL-facing schema: key and ORDER columns are declared REQUIRED — the
     * Iceberg identifier-field contract (iceberg-format: identifier fields
-    * "must be required"). Spark's row-level DML refuses nullable row IDs,
-    * and declaring them buys enforcement for free: ANSI store assignment
-    * (the default) wraps SQL INSERT sources in AssertNotNull, so a null
-    * key/ordering value fails the statement loudly instead of landing.
-    * The TYPED API still tolerates null keys (they fold as one LWW group);
-    * a table carrying them belongs to the typed surface, not SQL DML. */
+    * "must be required") — but only when the snapshot's file bounds PROVE
+    * the table stores no null in them (see [[LakeSqlTable.sqlSchema]]).
+    * Spark's row-level DML refuses nullable row IDs, and declaring them
+    * buys enforcement for free: ANSI store assignment (the default) wraps
+    * SQL INSERT sources in AssertNotNull, so a null key/ordering value
+    * fails the statement loudly instead of landing. The TYPED API still
+    * tolerates null keys (they fold as one LWW group); a table carrying
+    * them reads correctly through SQL (nullable schema) and belongs to the
+    * typed surface for writes, not SQL DML. */
   override def schema(): StructType = LakeSqlTable.sqlSchema(snap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -393,19 +396,9 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     if (winners.isEmpty) return
     val tombstones = winners.map { row =>
       val vals = row.toSeq.toArray
-      val bumped = vals(ordIdx) match {
-        case l: Long =>
-          require(l != Long.MaxValue, overflowMsg(row)); java.lang.Long.valueOf(l + 1)
-        case i: Int =>
-          require(i != Int.MaxValue, overflowMsg(row)); java.lang.Integer.valueOf(i + 1)
-        case s: Short =>
-          require(s != Short.MaxValue, overflowMsg(row)); java.lang.Short.valueOf((s + 1).toShort)
-        case b: Byte =>
-          require(b != Byte.MaxValue, overflowMsg(row)); java.lang.Byte.valueOf((b + 1).toByte)
-        case other => throw new IllegalStateException(
-          s"non-integral order value $other slipped past canDeleteWhere")
-      }
-      vals(ordIdx) = bumped // ordered just past the winner
+      // ordered just past the winner (shared slot-after rule; integrality
+      // was pre-checked by canDeleteWhere, type-max still fails loudly)
+      vals(ordIdx) = OrderBump.bump(vals(ordIdx), lastOrd, s"a DELETE of $row")
       vals(tombIdx) = java.lang.Boolean.TRUE
       org.apache.spark.sql.Row(vals: _*)
     }
@@ -416,9 +409,6 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
       s"sql-delete-${java.lang.Long.toHexString(System.nanoTime())}")
   }
 
-  private def overflowMsg(row: org.apache.spark.sql.Row): String =
-    s"cannot DELETE from ${ident.name()}: a winner's last order value is at " +
-      s"its type's maximum — no tombstone can be ordered past it ($row)"
 }
 
 object LakeCatalog {
@@ -437,11 +427,26 @@ object LakeCatalog {
 }
 
 object LakeSqlTable {
-  /** see [[LakeSqlTable.schema]] — required key/order columns */
+  /** see [[LakeSqlTable.schema]] — key/order columns become REQUIRED, but
+    * only when the table's own file bounds PROVE no stored null: every data
+    * file carries harvested stats ([[graft.tables.FileStats]]) with
+    * `nullCount == 0` for the column. Anything short of proof (a file
+    * without stats, an unsupported-type key such as BINARY, a genuine null)
+    * keeps the column nullable — declaring non-null over data that holds
+    * null is SILENTLY wrong (the optimizer folds `k IS NULL` to false and
+    * codegen elides null checks), while staying nullable merely makes
+    * Spark's row-level DML reject the table loudly at analysis (nullable
+    * row IDs), pointing null-keyed tables to the typed API that supports
+    * them. Cost: one in-memory map lookup per (file × id-column) at
+    * analysis time — metadata scale, no I/O. */
   private[dsv2] def sqlSchema(snap: TableSnapshot): StructType = {
     val ids = (snap.keyCols ++ snap.orderCols).toSet
+    val allFiles = snap.bucketFiles.values.flatten.toSeq
+    def provablyNonNull(c: String): Boolean = allFiles.forall(rel =>
+      snap.fileStats.get(rel).exists(_.cols.get(c).exists(_.nullCount.contains(0L))))
     StructType(StructType.fromDDL(snap.schemaDdl).fields.map(f =>
-      if (ids.contains(f.name)) f.copy(nullable = false) else f))
+      if (ids.contains(f.name) && provablyNonNull(f.name)) f.copy(nullable = false)
+      else f))
   }
 }
 

@@ -91,12 +91,19 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
     extends DeltaBatchWrite {
 
   /** staging lives OUTSIDE data/ so [[graft.tables.LakeTable.expire]]'s
-    * commit-dir sweep never considers it; crashed statements' orphans are
-    * reclaimed by expire's staging sweep once stale */
-  private val stagingRel =
-    s"staging/dml-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}"
+    * commit-dir sweep never considers it; an `inflight-<dir>` marker (the
+    * same TTL protocol the data dirs use) protects the live statement from
+    * expire's staging sweep, and crashed statements' marker-less or stale
+    * orphans are reclaimed by that sweep */
+  private val stagingName =
+    s"dml-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}"
+  private val stagingRel = s"staging/$stagingName"
+  private val marker = Paths.get(root, "meta", s"inflight-$stagingName")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // marker FIRST: the staging dir must never exist unprotected
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, Array.emptyByteArray)
     Files.createDirectories(Paths.get(root, stagingRel))
     LakeDmlWriterFactory(s"$root/$stagingRel", snap.schemaDdl,
       snap.keyCols, snap.orderCols, snap.tombstoneCol)
@@ -105,6 +112,12 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
+      // restart the marker's staleness clock: the (arbitrarily long)
+      // executor write phase is over, the TTL now only has to cover the
+      // driver-side merge of the staged batch
+      try Files.setLastModifiedTime(marker,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
       val files = messages.collect { case LakeDmlCommitMessage(fs) => fs }.flatten
         .map(f => s"$root/$stagingRel/$f")
       if (files.nonEmpty) {
@@ -124,6 +137,7 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
       import scala.jdk.CollectionConverters._
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    Files.deleteIfExists(marker)
   }
 }
 
@@ -199,24 +213,8 @@ final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Lon
   }
 
   /** ordering bump: the event slot immediately after the pre-image */
-  private def bumped(v: Any): Any = v match {
-    case l: java.lang.Long =>
-      require(l != Long.MaxValue, overflowMsg); java.lang.Long.valueOf(l + 1)
-    case i: java.lang.Integer =>
-      require(i != Int.MaxValue, overflowMsg); java.lang.Integer.valueOf(i + 1)
-    case s: java.lang.Short =>
-      require(s != Short.MaxValue, overflowMsg); java.lang.Short.valueOf((s + 1).toShort)
-    case b: java.lang.Byte =>
-      require(b != Byte.MaxValue, overflowMsg); java.lang.Byte.valueOf((b + 1).toByte)
-    case other => throw new UnsupportedOperationException(
-      s"row-level ${if (tombIdx.isDefined) "DML" else "UPDATE"} needs an integral " +
-        s"last order column to place the rewritten row after its pre-image; " +
-        s"'${orderCols.last}' holds ${if (other == null) "NULL" else other.getClass.getSimpleName}")
-  }
-
-  private def overflowMsg: String =
-    s"cannot order a rewritten row past its pre-image: last order column " +
-      s"'${orderCols.last}' is at its type's maximum"
+  private def bumped(v: Any): Any =
+    OrderBump.bump(v, orderCols.last, "a rewritten row")
 
   private def toMutable(row: InternalRow): GenericInternalRow = {
     val vals = new Array[Any](schema.length)
@@ -254,11 +252,27 @@ final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Lon
     out().write(event); rows += 1
   }
 
+  /** a tombstone row carries NULL in every payload column, so the stored
+    * schema must allow that — checked once, before the first tombstone is
+    * staged, with a statement-level error instead of a parquet write
+    * failure mid-job */
+  private lazy val deletablePayload: Unit = {
+    val idOrTomb = (keyCols ++ orderCols ++ tombstoneCol).toSet
+    val blockers = schema.fields.filter(f => !idOrTomb.contains(f.name) && !f.nullable)
+    if (blockers.nonEmpty) throw new UnsupportedOperationException(
+      s"row-level DELETE writes tombstones with NULL payload, but column(s) " +
+        s"${blockers.map(_.name).mkString(", ")} are NOT NULL in the table " +
+        "schema — tombstone-carrying tables need nullable payload columns")
+  }
+
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val ti = tombIdx.getOrElse(throw new UnsupportedOperationException(
       "row-level DELETE needs a tombstone column " +
         "(TBLPROPERTIES('tombstone'='col') / createOrOpen(tombstoneCol)) — " +
-        "without one a delete has no event to carry through the LWW fold"))
+        "without one a delete has no event to carry through the LWW fold. " +
+        "A plain DELETE is rejected at analysis; a MERGE INTO delete clause " +
+        "surfaces here at execution"))
+    deletablePayload
     val vals = new Array[Any](schema.length)
     keyIdx.zipWithIndex.foreach { case (si, j) =>
       vals(si) = if (id.isNullAt(j)) null else id.get(j, schema(si).dataType)
@@ -296,4 +310,31 @@ object LakeDmlDeltaWriter {
     override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
       new ParquetWriteSupport
   }
+}
+
+/** The LWW "slot immediately after the pre-image" rule, shared by every
+  * delete/rewrite surface (row-level DML here, the metadata-delete path in
+  * [[LakeSqlTable.deleteWhere]]): integral last order column, +1, loud
+  * failure at the type's maximum rather than a silent wrap. Accepts boxed
+  * values (both call sites hold them boxed). */
+private[dsv2] object OrderBump {
+  def bump(v: Any, col: String, what: String): Any = v match {
+    case l: java.lang.Long => guard(l != Long.MaxValue, col, what)
+      java.lang.Long.valueOf(l + 1)
+    case i: java.lang.Integer => guard(i != Int.MaxValue, col, what)
+      java.lang.Integer.valueOf(i + 1)
+    case s: java.lang.Short => guard(s != Short.MaxValue, col, what)
+      java.lang.Short.valueOf((s + 1).toShort)
+    case b: java.lang.Byte => guard(b != Byte.MaxValue, col, what)
+      java.lang.Byte.valueOf((b + 1).toByte)
+    case other => throw new UnsupportedOperationException(
+      s"ordering $what needs an integral last order column to take the slot " +
+        s"after its pre-image; '$col' holds " +
+        (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }
+
+  private def guard(ok: Boolean, col: String, what: String): Unit =
+    if (!ok) throw new UnsupportedOperationException(
+      s"cannot order $what past its pre-image: last order column '$col' is " +
+        "at its type's maximum")
 }

@@ -151,6 +151,8 @@ private[dsv2] abstract class LakeProcedure(warehouse: String, procName: String,
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0),
+      s"CALL $procName: the 'table' argument must not be NULL")
     val tableName = input.getUTF8String(0).toString
     val segs = tableName.split('.').toSeq
     val root = LakeCatalog.resolveRoot(warehouse, segs)

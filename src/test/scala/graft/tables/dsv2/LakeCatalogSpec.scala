@@ -197,6 +197,22 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[String].collect().toSeq === Seq("a1"))
   }
 
+  test("a typed table holding a NULL key reads correctly through SQL") {
+    val t = makeTable("t12")
+    t.merge(Seq((null.asInstanceOf[String], 1L, "n1"), ("a", 1L, "a1"))
+      .toDF("k", "wv", "v"), "b1")
+    // the key column must resolve NULLABLE (file bounds show a stored null),
+    // so IS NULL is not constant-folded away and the row surfaces
+    assert(spark.sql("SELECT v FROM lakecat.t12 WHERE k IS NULL")
+      .as[String].collect().toSeq === Seq("n1"))
+    assert(spark.sql("SELECT count(*) AS n FROM lakecat.t12").head().getLong(0) === 2L)
+    // a table with PROVEN non-null keys still declares them required
+    val t13 = makeTable("t13")
+    t13.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    assert(!spark.table("lakecat.t13").schema("k").nullable)
+    assert(spark.table("lakecat.t12").schema("k").nullable)
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only evolution, old rows read null") {
     val t = makeTable("t11")
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")

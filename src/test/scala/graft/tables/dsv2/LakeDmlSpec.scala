@@ -187,4 +187,39 @@ class LakeDmlSpec extends SparkTestBase {
       }
     assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
   }
+
+  test("row-level DELETE on a table with a NOT NULL payload column fails " +
+      "with a statement-level error, not a parquet write failure") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("wv", LongType),
+      StructField("v", StringType, nullable = false),
+      StructField("deleted", BooleanType)))
+    val t = LakeTable.createOrOpen(spark, s"$warehouse/nn1", schema,
+      Seq("k"), Seq("wv"), 4, tombstoneCol = Some("deleted"))
+    t.merge(Seq(("a", 1L, "a1", false)).toDF("k", "wv", "v", "deleted"), "b1")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml.nn1 WHERE v = 'a1'")
+    }
+    assert(messages(e).exists(_.contains("NULL payload")),
+      s"unexpected: ${messages(e).mkString(" | ")}")
+  }
+
+  test("expire sweeps crashed DML staging orphans but spares marker-protected ones") {
+    val t = makeTable("sw1")
+    t.merge(Seq(("a", 1L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")
+    val root = java.nio.file.Paths.get(s"$warehouse/sw1")
+    // a crash orphan: staging dir, stale (auto-deleted) marker long gone
+    val orphan = root.resolve("staging/dml-update-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-00000-1.parquet"), Array[Byte](1, 2, 3))
+    // a live statement: fresh inflight marker protects its staging
+    val live = root.resolve("staging/dml-merge-cafe")
+    Files.createDirectories(live)
+    Files.write(root.resolve("meta/inflight-dml-merge-cafe"), Array.emptyByteArray)
+    t.expire(keepVersions = 2)
+    assert(!Files.exists(orphan), "stale orphan should be swept")
+    assert(Files.exists(live), "marker-protected staging must survive")
+    Files.deleteIfExists(root.resolve("meta/inflight-dml-merge-cafe"))
+  }
 }

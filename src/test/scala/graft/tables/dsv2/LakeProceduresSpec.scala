@@ -110,5 +110,10 @@ class LakeProceduresSpec extends SparkTestBase {
       spark.sql("CALL proccat.system.compact('nope')").collect())
     assert((Option(e3.getMessage) ++ Option(e3.getCause).flatMap(c => Option(c.getMessage)))
       .exists(_.contains("no lake table")))
+    val e4 = intercept[Exception](
+      spark.sql("CALL proccat.system.compact(CAST(NULL AS STRING))").collect())
+    assert((Option(e4.getMessage) ++ Option(e4.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("must not be NULL")),
+      s"unexpected: ${e4.getMessage} / ${Option(e4.getCause).map(_.getMessage)}")
   }
 }
