@@ -188,6 +188,49 @@ class LakeDmlSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
   }
 
+  test("UPDATE's delta write is exchange-free: matched rows stream from the " +
+      "filtered scan straight into per-task staging (100 TB shape)") {
+    val t = makeTable("pl1")
+    t.merge((1 to 200).map(i => (s"k$i", 1L, s"v$i", i.toLong))
+      .toDF("k", "wv", "v", "n"), "b1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql("UPDATE dml.pl1 SET v = 'x' WHERE n % 2 = 0")
+      // listener events are async: poll for the WriteDelta command's plan
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var delta: Option[org.apache.spark.sql.execution.SparkPlan] = None
+      while (delta.isEmpty && System.nanoTime() < deadline) {
+        import scala.jdk.CollectionConverters._
+        delta = plans.iterator().asScala.find(_.toString.contains("WriteDelta"))
+        if (delta.isEmpty) Thread.sleep(50)
+      }
+      val p = delta.getOrElse(fail("no WriteDelta execution captured"))
+      // expand AQE wrappers, then assert zero shuffle exchanges anywhere
+      // between the row-level scan and the delta write
+      def flatten(n: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = n.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case other => Seq(other)
+      }.flatten
+      val nodes = flatten(p)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"unexpected exchange in the delta-write plan:\n$p")
+      assert(spark.sql("SELECT count(*) AS c FROM dml.pl1 WHERE v = 'x'")
+        .head().getLong(0) === 100L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("row-level DELETE on a table with a NOT NULL payload column fails " +
       "with a statement-level error, not a parquet write failure") {
     import org.apache.spark.sql.types._
