@@ -1475,19 +1475,25 @@ final class LakeTable private (
     * @return the table version carrying the evolved schema */
   def addColumns(cols: Seq[StructField]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
-    val dups = cols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    // case-INSENSITIVE name checks throughout: Spark resolves columns
+    // case-insensitively by default, so a schema carrying both `value` and
+    // `Value` makes every reference AMBIGUOUS — and there is no DROP COLUMN
+    // to undo a committed duplicate
+    val dups = cols.groupBy(_.name.toLowerCase)
+      .collect { case (n, fs) if fs.size > 1 => n }
     require(dups.isEmpty,
       s"ADD COLUMNS lists column(s) ${dups.mkString(", ")} more than once")
     val committed = occCommit(snapshot())(_ => true) { base =>
       val cur = StructType.fromDDL(base.schemaDdl)
       cols.foreach { f =>
-        cur.fields.find(_.name == f.name).foreach { ex =>
-          require(ex.dataType == f.dataType,
-            s"column '${f.name}' already exists with type ${ex.dataType.sql} — " +
-              s"cannot add it as ${f.dataType.sql}")
+        cur.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { ex =>
+          require(ex.dataType == f.dataType && ex.name == f.name,
+            s"column '${f.name}' collides with existing '${ex.name}' " +
+              s"(${ex.dataType.sql}) — cannot add it as ${f.dataType.sql}")
         }
       }
-      val fresh = cols.filterNot(f => cur.fieldNames.contains(f.name))
+      val fresh = cols.filterNot(f =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       if (fresh.isEmpty) None
       else Some(base.copy(
         version = base.version + 1,
@@ -1581,14 +1587,14 @@ final class LakeTable private (
     //    protocol as data dirs. A marker-less or stale dir is a crash
     //    orphan; a >TTL-old statement losing its staging fails loudly at
     //    its merge, never silently wrong.
+    // swept orphans are NOT counted in commitsRemoved: the return contract
+    // is (metadata files, commit dirs), and staging was never committed data
     val stagingDir = Paths.get(root, "staging")
     if (Files.isDirectory(stagingDir)) {
       Files.list(stagingDir).iterator().asScala
         .filter(_.getFileName.toString.startsWith("dml-")).toSeq
         .foreach { p =>
-          if (!inflightMarker(p.getFileName.toString)) {
-            deleteRecursively(p); commitsRemoved += 1
-          }
+          if (!inflightMarker(p.getFileName.toString)) deleteRecursively(p)
         }
     }
     (metaRemoved, commitsRemoved)

@@ -166,6 +166,10 @@ final class LakeCatalog extends TableCatalog
             "predate the column and read it as NULL")
         require(a.position() == null,
           "ADD COLUMN … FIRST/AFTER is not supported: new columns append at the end")
+        require(a.defaultValue() == null,
+          s"ADD COLUMN '${a.fieldNames().head}' … DEFAULT is not supported — " +
+            "stored rows read an added column as NULL; accepting a default " +
+            "and silently dropping it would be worse")
         StructField(a.fieldNames().head, a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — only ADD COLUMNS evolves a " +
@@ -225,8 +229,13 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     * fails the statement loudly instead of landing. The TYPED API still
     * tolerates null keys (they fold as one LWW group); a table carrying
     * them reads correctly through SQL (nullable schema) and belongs to the
-    * typed surface for writes, not SQL DML. */
-  override def schema(): StructType = LakeSqlTable.sqlSchema(snap)
+    * typed surface for writes, not SQL DML.
+    *
+    * Computed ONCE per table handle (Spark calls schema() many times during
+    * resolution, and every scan builder needs it): the per-file null-count
+    * probes are immutable for a pinned snapshot. */
+  private lazy val sqlFacingSchema: StructType = LakeSqlTable.sqlSchema(snap)
+  override def schema(): StructType = sqlFacingSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
@@ -284,7 +293,7 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
       "version" -> snap.version.toString).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSqlScanBuilder(root, snap)
+    new LakeSqlScanBuilder(root, snap, sqlFacingSchema)
 
   // ------------------------------------- SQL UPDATE / MERGE INTO / DELETE
 
@@ -307,7 +316,7 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
           "table's LWW ordering, not physical erases")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new LakeRowLevelOperation(root, snap, info.command)
+        new LakeRowLevelOperation(root, snap, info.command, sqlFacingSchema)
     }
   }
 
@@ -342,6 +351,9 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
   private def deletableKeys(filters: Array[sources.Filter]): Option[Seq[Any]] = {
     if (snap.tombstoneCol.isEmpty || snap.keyCols.size != 1 || filters.isEmpty)
       return None
+    // bumping an order column that IS the key would tombstone a different
+    // logical row — route to the row-level path, which rejects it loudly
+    if (snap.keyCols.contains(snap.orderCols.last)) return None
     val schema = StructType.fromDDL(snap.schemaDdl)
     val lastOrdIntegral = schema(snap.orderCols.last).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -450,12 +462,13 @@ object LakeSqlTable {
   }
 }
 
-final class LakeSqlScanBuilder(root: String, snap: TableSnapshot)
-    extends ScanBuilder with LakePushdownSupport {
+final class LakeSqlScanBuilder(root: String, snap: TableSnapshot,
+    sqlFacingSchema: StructType) extends ScanBuilder with LakePushdownSupport {
 
   // mirrors the table's SQL-facing nullability so scan output attributes
-  // line up with the relation's (row-level DML resolves row IDs there)
-  protected val dataSchema = LakeSqlTable.sqlSchema(snap)
+  // line up with the relation's (row-level DML resolves row IDs there);
+  // passed in pre-computed — see LakeSqlTable.sqlFacingSchema
+  protected val dataSchema = sqlFacingSchema
 
   override def build(): Scan =
     new LakeSqlScan(root, snap, requiredData, pushedFilters())

@@ -62,13 +62,14 @@ import graft.tables.{LakeTable, TableSnapshot}
   * DELETE + INSERT).
   */
 final class LakeRowLevelOperation(root: String, snap: TableSnapshot,
-    cmd: Command) extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+    cmd: Command, sqlFacingSchema: StructType)
+    extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
 
   override def command(): Command = cmd
   override def description(): String = s"LakeDml($cmd, v=${snap.version})"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSqlScanBuilder(root, snap)
+    new LakeSqlScanBuilder(root, snap, sqlFacingSchema)
 
   override def rowId(): Array[NamedReference] =
     (snap.keyCols ++ snap.orderCols).map(Expressions.column).toArray
@@ -132,11 +133,8 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
 
   private def cleanup(): Unit = {
-    val dir = Paths.get(root, stagingRel)
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      Paths.get(root, stagingRel).toFile)
     Files.deleteIfExists(marker)
   }
 }
@@ -212,9 +210,21 @@ final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Lon
     writer
   }
 
-  /** ordering bump: the event slot immediately after the pre-image */
-  private def bumped(v: Any): Any =
+  /** ordering bump: the event slot immediately after the pre-image. Guarded
+    * against a degenerate layout where the LAST ORDER column is also a KEY
+    * column (createOrOpen allows the overlap; plain merges are fine with
+    * it) — there the bump would rewrite the KEY, staging the event under a
+    * DIFFERENT logical row, so every bump-needing path fails loudly
+    * instead. */
+  private def bumped(v: Any): Any = {
+    if (keyCols.contains(orderCols.last))
+      throw new UnsupportedOperationException(
+        s"cannot auto-slot past the pre-image: last order column " +
+          s"'${orderCols.last}' is also a key column, so bumping it would " +
+          "move the event to a different key — advance a non-key ordering " +
+          "explicitly or write through the typed API")
     OrderBump.bump(v, orderCols.last, "a rewritten row")
+  }
 
   private def toMutable(row: InternalRow): GenericInternalRow = {
     val vals = new Array[Any](schema.length)

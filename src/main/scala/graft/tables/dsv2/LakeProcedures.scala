@@ -151,8 +151,13 @@ private[dsv2] abstract class LakeProcedure(warehouse: String, procName: String,
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): JIterator[Scan] = {
-    require(!input.isNullAt(0),
-      s"CALL $procName: the 'table' argument must not be NULL")
+    // every parameter is semantically mandatory (keep_last merely has a
+    // default); a NULL slot would otherwise unbox to 0 silently — e.g.
+    // rollback('t', NULL) reading version 0 and "emptying" the table
+    params.indices.foreach { i =>
+      require(!input.isNullAt(i),
+        s"CALL $procName: argument '${params(i).name()}' must not be NULL")
+    }
     val tableName = input.getUTF8String(0).toString
     val segs = tableName.split('.').toSeq
     val root = LakeCatalog.resolveRoot(warehouse, segs)

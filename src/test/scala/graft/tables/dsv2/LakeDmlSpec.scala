@@ -248,6 +248,29 @@ class LakeDmlSpec extends SparkTestBase {
       s"unexpected: ${messages(e).mkString(" | ")}")
   }
 
+  test("bump paths refuse a layout whose last order column is also a key — " +
+      "the bump would move the event to a different logical row") {
+    val t = LakeTable.createOrOpen(spark, s"$warehouse/ko1",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v STRING, deleted BOOLEAN"),
+      Seq("id"), Seq("id"), 4, tombstoneCol = Some("deleted"))
+    t.merge(Seq((1L, "a", false), (2L, "b", false)).toDF("id", "v", "deleted"), "b1")
+    // the metadata path refuses (routes row-level), the row-level path
+    // errors loudly — and crucially, id=1 must NOT tombstone id=2
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml.ko1 WHERE id = 1")
+    }
+    assert(messages(e).exists(m =>
+      m.contains("also a key column") || m.contains("different key")),
+      s"unexpected: ${messages(e).mkString(" | ")}")
+    assert(spark.sql("SELECT id FROM dml.ko1").as[Long].collect().toSet ===
+      Set(1L, 2L), "no row may be affected by the refused delete")
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE dml.ko1 SET v = 'x' WHERE id = 1") // unchanged ordering → bump
+    }
+    assert(messages(e2).exists(_.contains("also a key column")))
+  }
+
   test("expire sweeps crashed DML staging orphans but spares marker-protected ones") {
     val t = makeTable("sw1")
     t.merge(Seq(("a", 1L, "a1", 1L)).toDF("k", "wv", "v", "n"), "b1")

@@ -115,5 +115,14 @@ class LakeProceduresSpec extends SparkTestBase {
     assert((Option(e4.getMessage) ++ Option(e4.getCause).flatMap(c => Option(c.getMessage)))
       .exists(_.contains("must not be NULL")),
       s"unexpected: ${e4.getMessage} / ${Option(e4.getCause).map(_.getMessage)}")
+    // a NULL numeric arg must error, not unbox to 0 (rollback('t', NULL)
+    // would otherwise restore the EMPTY initial snapshot silently)
+    makeTable("pc7").merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    val e5 = intercept[Exception](
+      spark.sql("CALL proccat.system.rollback('pc7', CAST(NULL AS BIGINT))").collect())
+    assert((Option(e5.getMessage) ++ Option(e5.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("must not be NULL")))
+    assert(LakeTable.open(spark, s"$warehouse/pc7").read().count() === 1L,
+      "the refused rollback must not have emptied the table")
   }
 }
