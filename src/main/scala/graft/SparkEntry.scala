@@ -852,6 +852,36 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value, note
           |FROM graft_sql.q53tbl""".stripMargin)
+    }),
+
+    // K1 SQL METADATA TABLES e2e WITH a DuckDB oracle (Iceberg's
+    // inspection-table analog, `db.t.history` / `db.t.files`): three
+    // insert waves, then `history` must carry one row per retained version
+    // whose stored_rows is the running distinct-key count (upsert-only COW
+    // resolves fully, so stored == logical), and the head's per-file
+    // footer row counts from `files` must sum to the same number. Both are
+    // snapshot metadata served as driver-side LocalScans — zero executor
+    // tasks, O(versions)+O(files) rows at any table size.
+    "q54_metadata_tables" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q54tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q54tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q54_events")
+      // split by USER so each wave grows the keyspace: stored_rows must
+      // step up per version, not saturate at wave 1
+      (0 until 3).foreach { k =>
+        s.sql(s"INSERT INTO graft_sql.q54tbl SELECT * FROM q54_events WHERE user_id % 3 = $k")
+      }
+      s.sql(
+        """SELECT h.version, h.stored_rows,
+          |  (SELECT sum(f.rows) FROM graft_sql.q54tbl.files f) AS head_file_rows
+          |FROM graft_sql.q54tbl.history h""".stripMargin)
     })
   )
 
@@ -1617,6 +1647,18 @@ object SparkEntry {
           |        ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events WHERE event_id % 2 = 0)
           |WHERE rn = 1""".stripMargin,
+      // metadata-table history: version v holds the distinct keys of insert
+      // waves 0..v-1 (upsert-only COW: stored == logical); the head's
+      // per-file footer row counts sum to the full distinct-key count
+      "q54_metadata_tables" ->
+        """WITH ev AS (SELECT user_id, user_id % 3 AS g FROM events),
+          |v AS (SELECT CAST(n AS BIGINT) AS version
+          |      FROM (VALUES (0),(1),(2),(3)) t(n))
+          |SELECT v.version,
+          |  (SELECT count(DISTINCT user_id) FROM ev WHERE ev.g < v.version)
+          |    AS stored_rows,
+          |  (SELECT count(DISTINCT user_id) FROM ev) AS head_file_rows
+          |FROM v""".stripMargin,
       // SQL deletes hide users 1/7/13; the 2030-dated revive rows beat every
       // tombstone for 1 and 7; 13 stays gone
       "q50_sql_delete" ->

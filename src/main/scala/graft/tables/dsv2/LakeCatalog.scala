@@ -92,26 +92,52 @@ final class LakeCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    if (!isTable(root)) {
+      metadataParent(ident) match {
+        case Some(parent) =>
+          return LakeMetadataTables.load(ident, parent, ident.name(), None)
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     val version = LakeCdfSource.currentVersion(root.toString)
     new LakeSqlTable(ident, root.toString,
       LakeTable.readSnapshot(root, version))
   }
 
+  /** Iceberg-style metadata-table resolution: `lake.t.history` /
+    * `lake.t.files` — the identifier's NAMESPACE is a lake table and its
+    * NAME one of [[LakeMetadataTables.Names]]. Only consulted when no real
+    * table exists at the full path (and [[createTable]] refuses to create
+    * one inside a table directory, so nothing can shadow these). */
+  private def metadataParent(ident: Identifier): Option[JPath] =
+    if (ident.namespace().nonEmpty && LakeMetadataTables.Names(ident.name())) {
+      val parent = LakeCatalog.resolveRoot(warehouse, ident.namespace().toSeq)
+      if (isTable(parent)) Some(parent) else None
+    } else None
+
   /** SQL time travel: `VERSION AS OF <v>` pins the table to a retained
     * snapshot — the same contract as [[graft.tables.LakeTable.readAt]]. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val metaParent = if (isTable(root)) None else metadataParent(ident)
+    if (!isTable(root) && metaParent.isEmpty) throw new NoSuchTableException(ident)
     val v = try version.toLong
     catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"VERSION AS OF expects a table version number, got '$version'")
     }
-    require(Files.exists(root.resolve(s"meta/v$v.json")),
-      s"version $v of ${ident.name()} is not retained (expired or never existed)")
-    new LakeSqlTable(ident, root.toString, LakeTable.readSnapshot(root, v),
-      timeTravelPin = true)
+    metaParent match {
+      case Some(parent) =>
+        require(Files.exists(parent.resolve(s"meta/v$v.json")),
+          s"version $v of ${ident.namespace().mkString(".")} is not retained " +
+            "(expired or never existed)")
+        LakeMetadataTables.load(ident, parent, ident.name(), Some(v))
+      case None =>
+        require(Files.exists(root.resolve(s"meta/v$v.json")),
+          s"version $v of ${ident.name()} is not retained (expired or never existed)")
+        new LakeSqlTable(ident, root.toString, LakeTable.readSnapshot(root, v),
+          timeTravelPin = true)
+    }
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -123,6 +149,16 @@ final class LakeCatalog extends TableCatalog
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val root = tableRoot(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    // never create a table INSIDE another table's directory: it would write
+    // foreign files into that table's root and (for names like 'history')
+    // shadow the metadata-table resolution
+    (1 until (ident.namespace().length + 1)).foreach { n =>
+      val ancestor = LakeCatalog.resolveRoot(warehouse,
+        (ident.namespace() :+ ident.name()).take(n).toSeq)
+      require(!isTable(ancestor),
+        s"cannot create ${ident.name()}: '${ancestor.getFileName}' along its " +
+          "namespace path is an existing lake table — tables cannot nest")
+    }
     require(partitions.isEmpty,
       "PARTITIONED BY is not supported: lake tables hash-bucket on their key " +
         "columns — set TBLPROPERTIES('buckets'='N') instead")
