@@ -87,9 +87,15 @@ private[dsv2] object LakeMetadataTables {
     finally st.close()
   }
 
-  private[dsv2] def historyRows(root: JPath, upTo: Option[Long]): Array[InternalRow] =
+  private[dsv2] def historyRows(root: JPath, upTo: Option[Long]): Array[InternalRow] = {
+    // never read past the PUBLISHED head: a racing writer's v<N+1>.json
+    // exists (CREATE_NEW) before its bytes are complete — the VERSION
+    // pointer only swaps after the json is durable, so capping at the
+    // pointer is what makes listing-while-ingesting safe
+    val head = LakeCdfSource.currentVersion(root.toString)
+    val cap = upTo.fold(head)(math.min(_, head))
     retainedVersions(root)
-      .filter(v => upTo.forall(v <= _))
+      .filter(_ <= cap)
       .map { v =>
         val s = LakeTable.readSnapshot(root, v)
         new GenericInternalRow(Array[Any](
@@ -101,6 +107,7 @@ private[dsv2] object LakeMetadataTables {
           s.totals.getOrElse("batches", 0L) + s.appliedBatches.size,
           UTF8String.fromString(s.schemaDdl)))
       }.toArray
+  }
 
   private[dsv2] def partitionsRows(root: JPath, version: Long): Array[InternalRow] = {
     val s = LakeTable.readSnapshot(root, version)
