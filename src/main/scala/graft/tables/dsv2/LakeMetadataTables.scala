@@ -124,15 +124,33 @@ private[dsv2] object LakeMetadataTables {
 
   private[dsv2] def filesRows(root: JPath, version: Long): Array[InternalRow] = {
     val s = LakeTable.readSnapshot(root, version)
-    s.bucketFiles.toSeq.sortBy(_._1).flatMap { case (bucket, rels) =>
-      rels.map { rel =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(rel),
-          bucket,
-          s.fileStats.get(rel).map(_.rows).orNull,
-          Files.size(root.resolve(rel))))
-      }
-    }.toArray
+    val all = s.bucketFiles.toSeq.sortBy(_._1)
+      .flatMap { case (bucket, rels) => rels.map(bucket -> _) }
+    // stat in parallel with a bounded daemon pool (same shape as
+    // LakeBucketSource's planning stat): a large table lists tens of
+    // thousands of files, and a sequential stat loop against a slow
+    // filesystem would turn a metadata query into minutes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, all.size)),
+      (r: Runnable) => { val t = new Thread(r, "lake-meta-stat"); t.setDaemon(true); t })
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.traverse(all) { case (bucket, rel) =>
+        Future {
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(rel),
+            bucket,
+            s.fileStats.get(rel).map(_.rows).orNull,
+            Files.size(root.resolve(rel)))): InternalRow
+        }
+      }, 5.minutes).toArray
+    } catch {
+      case _: java.util.concurrent.TimeoutException => throw new java.io.IOException(
+        s"timed out (5 min) statting ${all.size} data files under $root — " +
+          "filesystem unreachable or pathologically slow")
+    } finally pool.shutdown()
   }
 }
 
