@@ -882,6 +882,41 @@ object SparkEntry {
         """SELECT h.version, h.stored_rows,
           |  (SELECT sum(f.rows) FROM graft_sql.q54tbl.files f) AS head_file_rows
           |FROM graft_sql.q54tbl.history h""".stripMargin)
+    }),
+
+    // INCREMENTALLY-MAINTAINED MATERIALIZED VIEW (≙ Materialize / Flink
+    // dynamic table) end-to-end WITH a DuckDB oracle: a per-event_type
+    // aggregate view over a tombstone lake table, refreshed after each of
+    // three CDC waves from the TYPED changelog's exact retractions —
+    // count/sum fold incrementally, min/max recompute only groups that saw
+    // a retraction, groups whose live count hits zero vanish. Final view
+    // contents must equal full recomputation over the final LWW state.
+    // Sums run over an exact integer-derived column (cents) so cross-engine
+    // equality is bit-exact; avg is one IEEE division of exact integers.
+    "q55_materialized_view" -> ((s, dir) => {
+      import graft.tables.{AggSpec, LakeTable, MaterializedView}
+      val work = tempWorkDir("graft-q55")
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "error").as("deleted"))
+      val table = LakeTable.createOrOpen(s, s"$work/table", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16,
+        tombstoneCol = Some("deleted"))
+      val mv = MaterializedView.createOrOpen(s, s"$work/mv", table,
+        groupCols = Seq("event_type"),
+        aggs = Seq(AggSpec("count", "*", "cnt"),
+          AggSpec("sum", "cents", "sum_cents"),
+          AggSpec("min", "cents", "min_cents"),
+          AggSpec("max", "cents", "max_cents"),
+          AggSpec("avg", "cents", "avg_cents")))
+      (0 to 2).foreach { w =>
+        table.merge(ev.filter(col("event_id") % 3 === w), s"wave$w",
+          txn = Some(("q55", w.toLong)), mor = w == 1)
+        mv.refresh()
+      }
+      mv.read().select(col("event_type").as("grp"), col("cnt"), col("sum_cents"),
+        col("min_cents"), col("max_cents"), col("avg_cents"))
     })
   )
 
@@ -1659,6 +1694,20 @@ object SparkEntry {
           |    AS stored_rows,
           |  (SELECT count(DISTINCT user_id) FROM ev) AS head_file_rows
           |FROM v""".stripMargin,
+      // materialized view = plain GROUP BY over the final LWW state (deletes
+      // hidden); incremental maintenance must be invisible. cents is an
+      // exact integer (floor(value*100)); avg is one IEEE division.
+      "q55_materialized_view" ->
+        """WITH final AS (
+          |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |  WHERE rn = 1 AND event_type <> 'error')
+          |SELECT event_type AS grp, count(*) AS cnt,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |  min(cents) AS min_cents, max(cents) AS max_cents,
+          |  CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
+          |FROM final GROUP BY event_type""".stripMargin,
       // SQL deletes hide users 1/7/13; the 2030-dated revive rows beat every
       // tombstone for 1 and 7; 13 stays gone
       "q50_sql_delete" ->

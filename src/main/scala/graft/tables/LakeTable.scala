@@ -1682,10 +1682,18 @@ final class LakeTable private (
     def map[B](f: A => B): Seq[B] = {
       if (s.size <= 1) return s.map(f)
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, s.size))
+      import scala.concurrent.duration._
+      // daemon threads + a bounded wait: a hung filesystem fails the commit
+      // with a diagnosable error instead of wedging the driver forever
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, s.size),
+        (r: Runnable) => { val t = new Thread(r, "lake-stat"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(Future.sequence(s.map(a => Future(f(a)))), Duration.Inf)
+      try Await.result(Future.sequence(s.map(a => Future(f(a)))), 10.minutes)
+      catch { case _: concurrent.TimeoutException =>
+        throw new java.io.IOException(
+          s"timed out after 10 minutes statting ${s.size} files under $root")
+      }
       finally pool.shutdown()
     }
   }
