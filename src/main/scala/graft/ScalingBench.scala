@@ -104,6 +104,17 @@ object ScalingBench {
     // the raw string into the artifact's "mode" field
     require(mode == "threads" || mode == "procs",
       s"SPARK_GRAFT_SCALE_MODE must be 'threads' or 'procs', got '$mode'")
+    // fail BEFORE the minutes-long input generation: the in-process worker
+    // builds executor commands with Spark's launcher, whose Scala-version
+    // probe only knows dist layouts via $SPARK_SCALA_VERSION (normally
+    // exported by spark-class's load-spark-env.sh, which never runs here) —
+    // without it every executor launch dies with
+    // "Cannot find any build directories"
+    if (mode == "procs")
+      require(sys.env.contains("SPARK_SCALA_VERSION"),
+        "SPARK_GRAFT_SCALE_MODE=procs needs SPARK_SCALA_VERSION (e.g. 2.13): " +
+          "the worker's executor-command builder cannot infer it from a " +
+          "dist-layout SPARK_HOME outside spark-class")
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "3072").toInt
     val runs = plan.map { cpus =>
       val builder = SparkSession.builder()
