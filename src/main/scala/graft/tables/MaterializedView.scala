@@ -213,8 +213,17 @@ final class MaterializedView private (
       }
       Seq(rows, retracted) ++ per
     }
+    // PIN the per-group deltas: the plan below references them from three
+    // places (the broadcast group probe, the outer join, and transitively
+    // every union branch) and Spark re-evaluates a shared subtree per
+    // branch — without pinning, the changelog join would run 3-4× per
+    // refresh. The pinned set is tiny (≤ one row per changed group), so the
+    // cache cost is nil; both pins materialize in ONE pass (incr's count
+    // below), and lineage is kept (plain persist, no checkpoint), so task
+    // retry on a real cluster recomputes instead of failing.
     val deltas = changes.groupBy(groupCols.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- old state for the touched groups, in two broadcast-able steps
     // (a broadcast right-outer with the small side as build is not a plan
@@ -258,10 +267,15 @@ final class MaterializedView private (
             (coalesce(oldCol(nnCol(a)), lit(0L)) + dlCol(d(nnCol(a)))).as(nnCol(a)))
       }
     }
+    // pinned for the same reason as `deltas`: dead/live/recompute all branch
+    // from it. The count() materializes BOTH pins in one pass (the broadcast
+    // build inside this plan populates the deltas cache; the probe reads it).
     val incr = joined.select(
       groupCols.map(g => dlCol(g).as(g)) ++
         Seq(newRows.as(RowsCol), dlCol(DRetractedCol).as(DRetractedCol)) ++
         incrCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incr.count()
 
     // groups whose live-row count reached zero vanish (tombstone delete)
     val dead = incr.filter(col(RowsCol) <= 0L)
@@ -283,8 +297,17 @@ final class MaterializedView private (
           .unionByName(rec.select(stateRow(to): _*))
       }
 
-    state.merge(upserts.unionByName(dead), batchId = s"mv-$from-$to",
-      txn = Some((TxnApp, to)))
+    // MERGE-ON-READ into the state: the batch here is the whole refresh
+    // pipeline (changelog join + delta aggregation + recompute), which the
+    // classic copy-on-write path would EVALUATE TWICE (its touched-bucket
+    // stats pass, then the write — measured 2× the refresh wall). The
+    // one-job MOR path evaluates it once and writes ∝ touched groups
+    // instead of rewriting every touched state bucket; the state table's
+    // per-bucket layer bound auto-compacts hot buckets, so a continuously
+    // maintained view never accumulates unbounded read debt.
+    try state.merge(upserts.unionByName(dead), batchId = s"mv-$from-$to",
+      txn = Some((TxnApp, to)), mor = true)
+    finally { incr.unpersist(); deltas.unpersist() }
     ()
   }
 
@@ -292,15 +315,23 @@ final class MaterializedView private (
     * been expired from the base's history: one full recompute, plus
     * tombstones for state groups that no longer exist. */
   private def fullRebuild(to: Long): Unit = {
+    // pinned: both the upsert rows and the vanished-group anti-join branch
+    // from this full base aggregation — unpinned it would scan the base
+    // twice (tiny result: one row per group)
     val full = base.readAt(to)
       .groupBy(groupCols.map(col): _*)
       .agg(recomputeAggExprs.head, recomputeAggExprs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.count()
     val vanished = state.read().alias("o")
       .join(full.alias("f"), groupJoinCond("o", "f"), "left_anti")
       .select(groupCols.map(col): _*)
     val rows = full.select(stateRow(to): _*)
       .unionByName(vanished.select(tombstoneRowFromGroupsOnly(to): _*))
-    state.merge(rows, batchId = s"mv-full-$to", txn = Some((TxnApp, to)))
+    // same one-evaluation MOR rationale as the incremental path (the batch
+    // is a full base aggregation — doubly worth not computing twice)
+    try state.merge(rows, batchId = s"mv-full-$to", txn = Some((TxnApp, to)), mor = true)
+    finally full.unpersist()
     ()
   }
 
