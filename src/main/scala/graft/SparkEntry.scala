@@ -917,6 +917,34 @@ object SparkEntry {
       }
       mv.read().select(col("event_type").as("grp"), col("cnt"), col("sum_cents"),
         col("min_cents"), col("max_cents"), col("avg_cents"))
+    }),
+
+    // K1 STREAMING SINK (`writeStream.format("lake")`) end-to-end WITH a
+    // DuckDB oracle: the events table written as per-wave parquet files,
+    // tailed by the standard file source and sunk through the plain
+    // DataStreamWriter into a lake table — each micro-batch executes the
+    // exactly-LWW merge (the same write path as the typed API and SQL
+    // INSERT), so the final table must equal the per-key LWW winners over
+    // ALL events regardless of how the stream sliced them into batches.
+    "q56_stream_sink" -> ((s, dir) => {
+      val work = tempWorkDir("graft-q56")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      (0 until 3).foreach { k =>
+        ev.filter(col("event_id") % 3 === k).coalesce(1)
+          .write.mode("append").parquet(s"$work/in")
+      }
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+        .writeStream.format(graft.tables.dsv2.LakeSinkProvider.Name)
+        .option("root", s"$work/table")
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("keys", "user_id").option("orders", "ts,event_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      graft.tables.LakeTable.open(s, s"$work/table").read()
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
     })
   )
 
@@ -1104,6 +1132,8 @@ object SparkEntry {
     Map(
       "q01_lww_dedup" -> lwwSql,
       "q02_lww_dedup_salted" -> lwwSql,
+      // the streaming lake sink converges on the same global LWW state
+      "q56_stream_sink" -> lwwSql,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,
