@@ -83,7 +83,12 @@ final case class TableSnapshot(
       * Bounded at [[FileStats.MaxStatsCols]] columns; files without an
       * entry are simply never pruned. Persisted entries are normalized to
       * the live file set at serialization time. */
-    fileStats: Map[String, FileStats] = Map.empty)
+    fileStats: Map[String, FileStats] = Map.empty,
+    /** wall-clock commit stamp (epoch millis) powering `TIMESTAMP AS OF`
+      * time travel — stamped by the commit path at publish time; 0 on
+      * ledgers written before the field existed (readers fall back to the
+      * snapshot file's mtime, see [[LakeTable.committedAt]]). */
+    committedAtMillis: Long = 0L)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -1787,7 +1792,8 @@ final class LakeTable private (
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     try
-      Files.write(meta.resolve(s"v${s.version}.json"), snapshotJson(s),
+      Files.write(meta.resolve(s"v${s.version}.json"),
+        snapshotJson(s.copy(committedAtMillis = System.currentTimeMillis())),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1863,7 +1869,8 @@ object LakeTable {
         retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L,
         morBuckets = Nil, bucketLayers = Map.empty, maxLayers = maxLayers,
         tombstoneCol = tombstoneCol)
-      Files.write(meta.resolve("v0.json"), snapshotJson(s0),
+      Files.write(meta.resolve("v0.json"),
+        snapshotJson(s0.copy(committedAtMillis = System.currentTimeMillis())),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       val tmp = meta.resolve("VERSION.tmp.0")
       Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
@@ -1919,6 +1926,7 @@ object LakeTable {
     val tot = o.putObject("totals")
     s.totals.toSeq.sortBy(_._1).foreach { case (k, v) => tot.put(k, v) }
     o.put("rowCount", s.rowCount)
+    o.put("committedAtMillis", s.committedAtMillis)
     val mb = o.putArray("morBuckets"); s.morBuckets.foreach(mb.add)
     val bl = o.putObject("bucketLayers")
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
@@ -2001,6 +2009,20 @@ object LakeTable {
             }.toMap
             rel -> FileStats(f.get("rows").asLong(), cols)
           }.toMap
-        })
+        },
+      committedAtMillis =
+        if (node.has("committedAtMillis")) node.get("committedAtMillis").asLong()
+        else 0L)
+  }
+
+  /** Commit wall-clock of a retained version (epoch millis). Ledgers
+    * written before the stamp existed carry 0 in the json; fall back to the
+    * snapshot file's mtime, which the CREATE_NEW write fixed at commit
+    * time. */
+  private[graft] def committedAt(root: JPath, version: Long): Long = {
+    val s = readSnapshot(root, version)
+    if (s.committedAtMillis > 0L) s.committedAtMillis
+    else Files.getLastModifiedTime(
+      root.resolve("meta").resolve(s"v$version.json")).toMillis
   }
 }

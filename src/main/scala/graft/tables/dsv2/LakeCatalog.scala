@@ -30,6 +30,8 @@ import graft.tables.{LakeTable, TableSnapshot}
   *
   *   SELECT * FROM lake.accounts WHERE pubkey = x'…'    -- resolved LWW state
   *   SELECT * FROM lake.accounts VERSION AS OF 7        -- time travel
+  *   SELECT * FROM lake.accounts TIMESTAMP AS OF '2026-08-19 10:00:00'
+  *                                        -- last version committed <= t
   *   CREATE TABLE lake.t (k STRING, wv BIGINT, v STRING)
   *     TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='8')
   *   SHOW TABLES IN lake
@@ -140,10 +142,34 @@ final class LakeCatalog extends TableCatalog
     }
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported (the table ledger keys on versions); " +
-        "use VERSION AS OF <v>")
+  /** SQL time travel by wall-clock: `TIMESTAMP AS OF <t>` resolves to the
+    * LAST retained version whose commit stamp is at or before `t` (Spark
+    * hands the literal as epoch MICROseconds, session-timezone-resolved),
+    * then pins it exactly like `VERSION AS OF`. Versions expired by
+    * retention cannot be resolved — same contract as the version form. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = tableRoot(ident)
+    val metaParent = if (isTable(root)) None else metadataParent(ident)
+    if (!isTable(root) && metaParent.isEmpty) throw new NoSuchTableException(ident)
+    val target = metaParent.getOrElse(root)
+    val tsMillis = Math.floorDiv(timestamp, 1000L)
+    // cap at the PUBLISHED head: a racing writer's v<N+1>.json may exist
+    // (CREATE_NEW) before its bytes are durable — same guard as history
+    val head = LakeCdfSource.currentVersion(target.toString)
+    val retained = LakeMetadataTables.retainedVersions(target).filter(_ <= head)
+    val v = retained.filter(v => LakeTable.committedAt(target, v) <= tsMillis)
+      .maxOption
+      .getOrElse {
+        val earliest = retained.minOption
+          .map(v => java.time.Instant.ofEpochMilli(LakeTable.committedAt(target, v)))
+        throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF: no retained version of ${ident.name()} was committed " +
+            s"at or before ${java.time.Instant.ofEpochMilli(tsMillis)}" +
+            earliest.fold("")(e => s" (earliest retained commit: $e)") +
+            "; older snapshots may have been expired")
+      }
+    loadTable(ident, v.toString)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {

@@ -50,6 +50,7 @@ private[dsv2] object LakeMetadataTables {
 
   private[dsv2] val historySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
     StructField("stored_rows", LongType, nullable = false),
     StructField("data_files", IntegerType, nullable = false),
     StructField("num_buckets", IntegerType, nullable = false),
@@ -75,7 +76,7 @@ private[dsv2] object LakeMetadataTables {
     StructField("size_bytes", LongType, nullable = false)))
 
   /** every retained version number under `meta/` (ascending) */
-  private def retainedVersions(root: JPath): Seq[Long] = {
+  private[dsv2] def retainedVersions(root: JPath): Seq[Long] = {
     val meta = root.resolve("meta")
     val st = Files.list(meta)
     try st.iterator().asScala
@@ -98,8 +99,12 @@ private[dsv2] object LakeMetadataTables {
       .filter(_ <= cap)
       .map { v =>
         val s = LakeTable.readSnapshot(root, v)
+        val committedMillis =
+          if (s.committedAtMillis > 0L) s.committedAtMillis
+          else LakeTable.committedAt(root, v) // pre-stamp ledger: file mtime
         new GenericInternalRow(Array[Any](
           s.version,
+          committedMillis * 1000L, // TimestampType carries epoch micros
           s.rowCount,
           s.bucketFiles.valuesIterator.map(_.size).sum,
           s.numBuckets,

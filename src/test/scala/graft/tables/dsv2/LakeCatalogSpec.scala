@@ -54,6 +54,36 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(ks === Set("a"))
   }
 
+  test("TIMESTAMP AS OF resolves the last version committed at or before t") {
+    val t = makeTable("t_ts")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    val root = java.nio.file.Paths.get(warehouse, "t_ts")
+    Thread.sleep(5) // v2's wall-clock stamp must land strictly after v1's
+    t.merge(Seq(("a", 2L, "a2")).toDF("k", "wv", "v"), "b2")
+    val v2 = t.currentVersion()
+    val t1 = LakeTable.committedAt(root, v1)
+    val t2 = LakeTable.committedAt(root, v2)
+    assert(t2 > t1, "commit stamps must increase across commits")
+    // timestamp_micros keeps the literal exact (no session-timezone or
+    // float-rounding dependence); +500us stays inside the stamp's millisecond
+    def asOf(millis: Long): Seq[String] =
+      spark.sql("SELECT v FROM lakecat.t_ts TIMESTAMP AS OF " +
+        s"timestamp_micros(${millis * 1000 + 500})").as[String].collect().toSeq
+    assert(asOf(t1) === Seq("a1")) // exactly at v1's commit
+    assert(asOf(t2 - 1) === Seq("a1")) // just before v2
+    assert(asOf(t2) === Seq("a2")) // at v2 = head
+    assert(asOf(t2 + 60000) === Seq("a2")) // future ts resolves to head
+    val e = intercept[Exception](asOf(100L)) // long before the table existed
+    assert(messages(e).exists(_.contains("no retained version")))
+    // the history metadata table surfaces the same stamps
+    val stamps = spark.sql(
+      "SELECT version, committed_at FROM lakecat.t_ts.history ORDER BY version")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(stamps.keySet === Set(0L, v1, v2))
+    assert(stamps(v1) === t1 && stamps(v2) === t2)
+  }
+
   test("VERSION AS OF pins a retained snapshot") {
     val t = makeTable("t3")
     t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
