@@ -945,6 +945,31 @@ object SparkEntry {
       graft.tables.LakeTable.open(s, s"$work/table").read()
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    // K1 SORT-ORDER CLUSTERING e2e WITH a DuckDB oracle (Iceberg's
+    // `rewrite_data_files(strategy => 'sort')` analog): load the events
+    // table, `CALL system.cluster` on the value column with a small
+    // per-file row cap, then serve a RANGE predicate through the SQL
+    // catalog. Correctness: clustering is a logical no-op (the rewrite is
+    // the same LWW resolve a compaction runs), so the slice equals the
+    // in-range LWW winners. Scale: the rewrite itself is the zero-shuffle
+    // per-bucket resolve + task-local sort (PlanSpec-pinned), and the
+    // range read prunes to the few slice files whose bounds overlap
+    // (ClusterSpec-pinned) — at 100 TB a range query touches O(range)
+    // bytes, not O(table).
+    "q57_cluster_read" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q57tbl")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      graft.tables.LakeTable.createOrOpen(s, s"$sqlWarehouse/q57tbl", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+        .merge(ev, "load")
+      s.sql("CALL graft_sql.system.cluster('q57tbl', 'value', max_rows_per_file => 16)")
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, value AS last_value
+          |FROM graft_sql.q57tbl WHERE value BETWEEN 10 AND 20""".stripMargin)
     })
   )
 
@@ -1134,6 +1159,9 @@ object SparkEntry {
       "q02_lww_dedup_salted" -> lwwSql,
       // the streaming lake sink converges on the same global LWW state
       "q56_stream_sink" -> lwwSql,
+      // clustering is a logical no-op; the served slice is the winners whose
+      // pass-through value lands in range (no float arithmetic on either side)
+      "q57_cluster_read" -> (lwwSql + " AND value BETWEEN 10 AND 20"),
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

@@ -1254,6 +1254,104 @@ final class LakeTable private (
     }
   }
 
+  /** SORT-ORDER CLUSTERING (Iceberg's `rewrite_data_files(strategy =>
+    * 'sort')` analog): rewrite buckets so each bucket's resolved rows are
+    * SORTED by `sortCols` and split into files of at most `maxRowsPerFile`
+    * rows. Logical state is unchanged (the rewrite applies the same LWW
+    * resolve a compaction does — MOR layers collapse as a side effect);
+    * what changes is the FILE layout: a sorted bucket split into row slices
+    * yields per-file min/max bounds on the sort columns that are tight and
+    * mutually DISJOINT, so the planning-time skipping already harvested
+    * into [[TableSnapshot.fileStats]] prunes a range predicate down to the
+    * few files whose slice overlaps it — instead of every file of every
+    * bucket the key hash happens to spread the range over. The scan is the
+    * same zero-shuffle storage-partitioned read compaction uses (one task
+    * per bucket, resolve + local sort, NO exchange at any scale); the file
+    * split is the writer's own `maxRecordsPerFile` cut, which preserves the
+    * task-local sort order across the emitted files. OCC exactly like
+    * compaction: a bucket touched by a racing ingest merge drops out of
+    * this clustering and stays unclustered until the next pass.
+    * @return buckets rewritten */
+  def cluster(sortCols: Seq[String], maxRowsPerFile: Long = 0L): Int = {
+    val snap = snapshot()
+    clusterBuckets(snap.bucketFiles.collect { case (b, fs) if fs.nonEmpty => b }.toSeq.sorted,
+      sortCols, maxRowsPerFile)
+  }
+
+  /** [[cluster]] restricted to a subset of buckets. */
+  def clusterBuckets(buckets: Seq[Int], sortCols: Seq[String],
+      maxRowsPerFile: Long = 0L): Int = {
+    val snap = snapshot()
+    val curSchema = StructType.fromDDL(snap.schemaDdl)
+    require(sortCols.nonEmpty, "cluster needs at least one sort column")
+    val missing = sortCols.filterNot(curSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"sort columns not in the table schema: ${missing.mkString(", ")}")
+    // the point of clustering is file skipping, and skipping needs bounds:
+    // refuse a sort column whose type can't carry them (the sort would be
+    // paid for nothing). Bound-capable sort columns are harvested FIRST so
+    // the MaxStatsCols cap can't push them out on a wide schema.
+    val unboundable = sortCols.filterNot(c =>
+      FileStats.statsColumns(curSchema, snap.keyCols, sortCols ++ snap.orderCols)
+        .contains(c))
+    require(unboundable.isEmpty,
+      s"sort columns can't carry file bounds (unsupported type): ${unboundable.mkString(", ")}")
+    val todo = buckets.filter(b => snap.bucketFiles.getOrElse(b, Nil).nonEmpty)
+      .distinct.sorted
+    if (todo.isEmpty) return 0
+    val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
+    withInflightMarker(commitRel) {
+    withSpjConfs(Some(todo.size)) {
+      // resolve rides the KGP scan (one partition per bucket), the sort is
+      // task-local (sortWithinPartitions never exchanges), and the write's
+      // required ordering (partition col first) is a satisfied prefix of
+      // (bucket, sortCols…) — Catalyst inserts no extra sort either
+      val resolved = Dedup.latestByKey(bucketScanDF(snap, todo),
+          snap.keyCols :+ BucketCol, snap.orderCols)
+        .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+      val w = resolved.write
+      (if (maxRowsPerFile > 0L) w.option("maxRecordsPerFile", maxRowsPerFile) else w)
+        .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
+    touchInflight(commitRel)
+    val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
+    val (writtenRows, writtenStats) =
+      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+        statsFirst = sortCols)
+    if (written.isEmpty && todo.exists(b => snap.bucketRows.getOrElse(b, 0L) > 0))
+      throw new IllegalStateException(
+        s"staging dir $commitRel produced no files for non-empty buckets — " +
+          "was it swept by a concurrent expire()?")
+    var valid: Seq[Int] = todo
+    val committed = occCommit(snap)(cur => cur.numBuckets == snap.numBuckets) { s =>
+      valid = todo.filter(b =>
+        s.bucketFiles.getOrElse(b, Nil) == snap.bucketFiles.getOrElse(b, Nil))
+      if (valid.isEmpty) None
+      else {
+        val w = written.filter { case (b, _) => valid.contains(b) }
+        val wr = writtenRows.filter { case (b, _) => valid.contains(b) }
+        val oldRows = valid.map(b => s.bucketRows.getOrElse(b, 0L)).sum
+        Some(s.copy(
+          version = s.version + 1,
+          bucketFiles = s.bucketFiles.filter { case (b, _) => !valid.contains(b) } ++ w,
+          bucketRows = s.bucketRows.filter { case (b, _) => !valid.contains(b) } ++ wr,
+          totals = s.totals
+            .updated("clusterings", s.totals.getOrElse("clusterings", 0L) + 1L)
+            .updated("clustered_buckets",
+              s.totals.getOrElse("clustered_buckets", 0L) + valid.size.toLong),
+          rowCount = s.rowCount - oldRows + wr.values.sum,
+          morBuckets = s.morBuckets.filterNot(valid.contains),
+          bucketLayers = s.bucketLayers.filter { case (b, _) => !valid.contains(b) },
+          fileStats = s.fileStats ++
+            writtenStats.filter { case (rel, _) => w.values.exists(_.contains(rel)) }))
+      }
+    }
+    sweepStaging(commitRel, written,
+      kept = if (committed.isDefined) valid.toSet else Set.empty)
+    if (committed.isDefined) valid.size else 0
+    }
+  }
+
   /** The ONE-shuffle LWW merge plan (exposed for plan tests): in-batch
     * dedup and old∪new resolution are one aggregation riding the bucket
     * repartition — HashPartitioning(bucket, subsplit) satisfies the
@@ -1665,9 +1763,10 @@ final class LakeTable private (
     * objects — the bounds are free on the read the row counts already pay
     * for, so planning-time file skipping costs a commit nothing extra. */
   private def writtenMeta(written: Map[Int, Seq[String]], schema: StructType,
-      keyCols: Seq[String], orderCols: Seq[String])
+      keyCols: Seq[String], orderCols: Seq[String],
+      statsFirst: Seq[String] = Nil)
       : (Map[Int, Long], Map[String, FileStats]) = {
-    val statsCols = FileStats.statsColumns(schema, keyCols, orderCols)
+    val statsCols = FileStats.statsColumns(schema, keyCols, statsFirst ++ orderCols)
     val conf = spark.sparkContext.hadoopConfiguration
     val perFile = written.values.flatten.toSeq.par_.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile

@@ -24,6 +24,7 @@ import graft.tables.LakeTable
   *   CALL lake.system.rollback('accounts', 7)
   *   CALL lake.system.purge_tombstones('accounts')
   *   CALL lake.system.rebucket('accounts', 64)
+  *   CALL lake.system.cluster('accounts', 'slot', max_rows_per_file => 1000000)
   * }}}
   *
   * Each procedure opens the table under the catalog's warehouse, runs the
@@ -46,7 +47,8 @@ private[dsv2] object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   private val all: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "purge_tombstones", "rebucket")
+    Seq("cluster", "compact", "expire_snapshots", "rollback", "purge_tombstones",
+      "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -103,6 +105,26 @@ private[dsv2] object LakeProcedures {
           StructField("version", LongType, nullable = false)))) {
         override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
           val n = t.purgeTombstones()
+          Seq[Any](n, t.snapshot().version)
+        }
+      }
+      case "cluster" => new LakeProcedure(warehouse, "cluster",
+        "sort each bucket's rows by the given columns and split them into " +
+          "bounded files so range predicates prune at planning time " +
+          "(Iceberg rewrite_data_files strategy => 'sort')",
+        Seq(tableParam,
+          ProcedureParameter.in("sort_by", StringType)
+            .comment("comma-separated sort columns, highest-precedence first")
+            .build(),
+          ProcedureParameter.in("max_rows_per_file", LongType)
+            .defaultValue("0").comment("0 = one file per bucket").build()),
+        StructType(Seq(
+          StructField("clustered_buckets", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val cols = args.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val n = t.cluster(cols, args.getLong(2))
           Seq[Any](n, t.snapshot().version)
         }
       }

@@ -161,6 +161,41 @@ class PlanSpec extends SparkTestBase {
     assert(state.values.forall(_ == 2L))
   }
 
+  test("clustering plans ZERO exchanges and ONE local sort per bucket task") {
+    import graft.tables.LakeTable
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plancluster").toString
+    val schema = StructType.fromDDL("k STRING, wv BIGINT, v STRING")
+    val t = LakeTable.createOrOpen(spark, root, schema, Seq("k"), Seq("wv"), 4)
+    t.merge((0 until 64).map(i => (s"k$i", i.toLong, s"v$i")).toDF("k", "wv", "v"), "b1")
+    val snap = t.snapshot()
+    t.withSpjConfs() {
+      // the exact shape clusterBuckets writes: KGP-riding resolve + a
+      // task-local sort — no exchange anywhere, exactly one Sort node
+      val resolved = graft.operators.Dedup.latestByKey(
+        spark.read.format(graft.tables.dsv2.LakeBucketSource.Name)
+          .option("root", t.root).option("version", snap.version.toString)
+          .option("buckets", snap.bucketFiles.keys.toSeq.sorted.mkString(","))
+          .load(),
+        Seq("k", "_gbucket"), Seq("wv"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("_gbucket"),
+          org.apache.spark.sql.functions.col("wv"))
+      val p = plan(resolved)
+      assert(nodes(p, "Exchange") === 0,
+        s"clustering must not shuffle:\n${p.take(4000)}")
+      // the output sort is task-local on (_gbucket, wv); the SortAggregate's
+      // own grouping sort underneath it is the agg's, not an extra pass
+      assert(p.linesIterator.exists(l => l.contains("Arguments:") &&
+          l.contains("_gbucket#") && l.contains("wv#")),
+        s"clustering wants the local (_gbucket, wv) sort:\n${p.take(4000)}")
+    }
+    // and the real cluster() produces slice files without changing state
+    val before = t.read().collect().map(_.toSeq).toSet
+    assert(t.cluster(Seq("wv"), maxRowsPerFile = 8L) === 4)
+    assert(t.read().collect().map(_.toSeq).toSet === before)
+  }
+
   test("MOR-dirty read() plans ZERO exchanges: dirty buckets resolve riding " +
       "the bucket scan's partitioning, like compaction") {
     import graft.tables.LakeTable
