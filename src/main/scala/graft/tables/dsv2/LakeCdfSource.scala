@@ -59,7 +59,12 @@ import graft.tables.{LakeTable, TableSnapshot}
   * Options: `root` (table root); `startingVersion` = `latest` (default —
   * only changes after the stream starts) | `earliest` (full history from
   * the oldest retained version, i.e. an initial snapshot load + tail) | a
-  * version number; `maxVersionsPerBatch` (admission control: cap how many
+  * version number; `startingTimestamp` (wall-clock anchor, mutually
+  * exclusive with `startingVersion`: epoch millis / ISO instant / SQL
+  * timestamp — the stream starts after the LAST version committed at or
+  * before it, so a `TIMESTAMP AS OF t` snapshot read plus a
+  * `startingTimestamp = t` tail reconstructs the live state exactly);
+  * `maxVersionsPerBatch` (admission control: cap how many
   * table versions one micro-batch spans); `allowPurgedWindow` (override the
   * fail-loud guard on windows spanning a tombstone purge); `typed=true`
   * (emit the TYPED feed — every batch row classified in a `_change_type`
@@ -116,6 +121,23 @@ object LakeCdfSource {
     if (Files.exists(vf))
       new String(Files.readAllBytes(vf), StandardCharsets.UTF_8).trim.toLong
     else 0L
+  }
+
+  /** `startingTimestamp` accepts epoch millis (all digits), an ISO-8601
+    * instant (`2026-08-19T10:00:00Z`), or a session-local SQL timestamp
+    * (`2026-08-19 10:00:00`). */
+  private[dsv2] def parseTimestampMillis(ts: String): Long = {
+    val t = ts.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"startingTimestamp '$ts' is neither epoch millis, an ISO-8601 " +
+            "instant, nor 'yyyy-MM-dd HH:mm:ss'")
+      }
+    }
   }
 
   private[dsv2] def earliestRetainedVersion(root: String): Long = {
@@ -196,10 +218,31 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     availableNowTarget = Some(LakeCdfSource.currentVersion(root))
 
   override def initialOffset(): Offset = {
-    val v = Option(options.get("startingVersion")).getOrElse("latest") match {
-      case "latest" => LakeCdfSource.currentVersion(root)
-      case "earliest" => LakeCdfSource.earliestRetainedVersion(root)
-      case n => n.toLong
+    val sv = Option(options.get("startingVersion"))
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "options startingVersion and startingTimestamp are mutually exclusive")
+    val v = st match {
+      case Some(ts) =>
+        // wall-clock anchor, the dual of the catalog's TIMESTAMP AS OF: the
+        // offset is the LAST retained version committed at or before t, so
+        // `TIMESTAMP AS OF t` state + this stream's batches = live state
+        val millis = LakeCdfSource.parseTimestampMillis(ts)
+        val head = LakeCdfSource.currentVersion(root)
+        val rootP = Paths.get(root)
+        LakeMetadataTables.retainedVersions(rootP).filter(_ <= head)
+          .filter(v => LakeTable.committedAt(rootP, v) <= millis)
+          .maxOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"startingTimestamp: no retained version of $root was committed at " +
+              s"or before ${java.time.Instant.ofEpochMilli(millis)}; older " +
+              "snapshots may have been expired — use startingVersion=earliest " +
+              "for the full retained history"))
+      case None => sv.getOrElse("latest") match {
+        case "latest" => LakeCdfSource.currentVersion(root)
+        case "earliest" => LakeCdfSource.earliestRetainedVersion(root)
+        case n => n.toLong
+      }
     }
     LakeCdfOffset(v)
   }

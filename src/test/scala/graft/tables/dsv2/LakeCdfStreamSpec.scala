@@ -74,6 +74,39 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(drain(t, ckpt).isEmpty)
   }
 
+  test("startingTimestamp anchors the stream at the last commit <= t " +
+      "(the dual of TIMESTAMP AS OF)") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    val t1 = LakeTable.committedAt(java.nio.file.Paths.get(t.root), v1)
+    Thread.sleep(5) // v2's stamp must land strictly after v1's
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2")
+    val v2 = t.currentVersion()
+    // anchored at v1's commit instant: exactly the post-v1 changes surface —
+    // so a TIMESTAMP-AS-OF-t1 snapshot plus this tail is the live state
+    val got = drain(t, Files.createTempDirectory("lakecdf-ts").toString,
+      Map("startingTimestamp" -> t1.toString))
+    assert(rowSet(got.flatMap(_._2)) === rowSet(t.readChanges(v1, v2).collect().toSeq))
+    assert(rowSet(got.flatMap(_._2)) ===
+      Set(Seq[Any]("a", 2L, "a2"), Seq[Any]("c", 1L, "c1")))
+    // ISO-8601 form parses to the same anchor
+    val gotIso = drain(t, Files.createTempDirectory("lakecdf-ts2").toString,
+      Map("startingTimestamp" -> java.time.Instant.ofEpochMilli(t1).toString))
+    assert(rowSet(gotIso.flatMap(_._2)) === rowSet(got.flatMap(_._2)))
+    // pre-table-history timestamps fail loudly; both anchors together refuse
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    val e1 = intercept[Exception](drain(t,
+      Files.createTempDirectory("lakecdf-ts3").toString,
+      Map("startingTimestamp" -> "100")))
+    assert(messages(e1).exists(_.contains("no retained version")))
+    val e2 = intercept[Exception](drain(t,
+      Files.createTempDirectory("lakecdf-ts4").toString,
+      Map("startingTimestamp" -> t1.toString, "startingVersion" -> "0")))
+    assert(messages(e2).exists(_.contains("mutually exclusive")))
+  }
+
   test("maxVersionsPerBatch=1 yields one micro-batch per table version") {
     val t = newTable()
     val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
