@@ -88,7 +88,18 @@ final case class TableSnapshot(
       * time travel — stamped by the commit path at publish time; 0 on
       * ledgers written before the field existed (readers fall back to the
       * snapshot file's mtime, see [[LakeTable.committedAt]]). */
-    committedAtMillis: Long = 0L)
+    committedAtMillis: Long = 0L,
+    /** WRITE-PATH SORT ORDER (Iceberg write-order analog): when non-empty,
+      * every bucket write — merge, compaction, purge, rebucket — adds a
+      * task-local `sortWithinPartitions(bucket, sortOrder…)` before the
+      * parquet write, so freshly-ingested files carry tight bounds on these
+      * columns and stay clustered without periodic [[LakeTable.cluster]]
+      * rewrites. Columns must be bound-capable ([[FileStats.supported]]). */
+    sortOrder: Seq[String] = Nil,
+    /** per-file row cap on bucket writes (writer `maxRecordsPerFile`; 0 =
+      * no cap). With [[sortOrder]] set, the cap is what turns the sort into
+      * range-SLICED files — disjoint per-file bounds the planner prunes. */
+    targetFileRows: Long = 0L)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -878,17 +889,18 @@ final class LakeTable private (
         // classic plan; partition count mirrors it too (numBuckets ×
         // writeFactor ≥ waveFactor·cores — fewer, larger sort partitions
         // measurably hurt the narrow-parallelism levels)
-        Dedup.latestByKey(
+        bucketWriter(Dedup.latestByKey(
             base.repartition(math.max(1, snap.numBuckets * writeFactor),
               col(BucketCol), col(SubSplitCol)),
             snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
-          .drop(SubSplitCol)
-          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+          .drop(SubSplitCol), snap)
+          .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         phase("write(mor-1job)")
         touchInflight(commitRel)
         val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
         val (writtenRows, writtenStats) =
-          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+            statsFirst = snap.sortOrder)
         val m = obs.get
         if (m("_nrows").asInstanceOf[Long] > 0 && written.isEmpty)
           throw new IllegalStateException(
@@ -963,20 +975,20 @@ final class LakeTable private (
         if (spj) withSpjConfs(Some(touched.size)) {
           // storage-partitioned path: existing side unshuffled (see
           // buildMergedSpj); plan + write must both run under the SPJ confs
-          buildMergedSpj(snap, evolved, touched, alignedBatch, saltedEff)
+          bucketWriter(buildMergedSpj(snap, evolved, touched, alignedBatch, saltedEff)
             .observe(obs, upsertAgg)
-            .drop(SrcFlagCol)
-            .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+            .drop(SrcFlagCol), snap)
+            .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         } else {
           val existing =
             if (touchedFiles.isEmpty)
               align(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema), evolved)
             else align(spark.read.schema(curSchema).parquet(touchedFiles: _*), evolved)
-          buildMerged(existing, alignedBatch, snap, touched.size, writeFactor, saltedEff,
-              withSrcFlag = true)
+          bucketWriter(buildMerged(existing, alignedBatch, snap, touched.size,
+              writeFactor, saltedEff, withSrcFlag = true)
             .observe(obs, upsertAgg)
-            .drop(SubSplitCol, SrcFlagCol)
-            .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+            .drop(SubSplitCol, SrcFlagCol), snap)
+            .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
         }
         phase(if (spj) "write(spj)" else "write")
         touchInflight(commitRel)
@@ -987,7 +999,8 @@ final class LakeTable private (
             s"staging dir $commitRel produced no files for a non-empty merge — " +
               "was it swept by a concurrent expire()?")
         val (writtenRows, writtenStats) =
-          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+          writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+            statsFirst = snap.sortOrder)
         (touched, upserts, rowsIn, customCounters, written, writtenRows, writtenStats,
           oldTouchedRows)
       }
@@ -1083,7 +1096,9 @@ final class LakeTable private (
           bucketLayers = newBucketLayers,
           maxLayers = s.maxLayers,
           tombstoneCol = s.tombstoneCol,
-          fileStats = s.fileStats ++ writtenStats))
+          fileStats = s.fileStats ++ writtenStats,
+          sortOrder = s.sortOrder,
+          targetFileRows = s.targetFileRows))
       }
       phase("counts")
       val committed = occCommit(snap)(cur =>
@@ -1105,6 +1120,22 @@ final class LakeTable private (
       if (inflightMarker != null) Files.deleteIfExists(inflightMarker)
       if (cacheBatch) alignedBatch.unpersist(false)
     }
+  }
+
+  /** The bucket parquet writer every commit path goes through: honors the
+    * table's persisted WRITE-PATH SORT ORDER (a task-local
+    * `sortWithinPartitions` — never an exchange; the write's required
+    * ordering on the partition column is a satisfied prefix, so Catalyst
+    * adds no second sort) and the per-file row cap that turns the sort
+    * into range-sliced files. Both default off; with neither set this is
+    * exactly `df.write`. */
+  private def bucketWriter(df: DataFrame, s: TableSnapshot)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val sorted =
+      if (s.sortOrder.isEmpty) df
+      else df.sortWithinPartitions((BucketCol +: s.sortOrder).map(col): _*)
+    val w = sorted.write
+    if (s.targetFileRows > 0L) w.option("maxRecordsPerFile", s.targetFileRows) else w
   }
 
   /** Rewrite every merge-on-read bucket into a single resolved layer (the
@@ -1136,14 +1167,15 @@ final class LakeTable private (
     // defragmented file. No exchange at any scale.
     withInflightMarker(commitRel) {
     withSpjConfs(Some(dirty.size)) {
-      Dedup.latestByKey(bucketScanDF(snap, dirty),
-          snap.keyCols :+ BucketCol, snap.orderCols)
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      bucketWriter(Dedup.latestByKey(bucketScanDF(snap, dirty),
+          snap.keyCols :+ BucketCol, snap.orderCols), snap)
+        .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
     touchInflight(commitRel)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
     val (writtenRows, writtenStats) =
-      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+        statsFirst = snap.sortOrder)
     if (written.isEmpty && dirty.exists(b => snap.bucketRows.getOrElse(b, 0L) > 0))
       throw new IllegalStateException(
         s"staging dir $commitRel produced no files for non-empty dirty buckets — " +
@@ -1214,16 +1246,17 @@ final class LakeTable private (
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     withInflightMarker(commitRel) {
     withSpjConfs(Some(candidates.size)) {
-      visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
-          snap.keyCols :+ BucketCol, snap.orderCols))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+      bucketWriter(visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
+          snap.keyCols :+ BucketCol, snap.orderCols)), snap)
+        .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
     touchInflight(commitRel)
     // a bucket whose every key was tombstoned writes NO file — its list
     // becomes empty, not carried forward (so no empty-staging guard here)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
     val (writtenRows, writtenStats) =
-      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+      writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+        statsFirst = snap.sortOrder)
     var valid: Seq[Int] = candidates
     val committed = occCommit(snap)(cur => cur.numBuckets == snap.numBuckets) { s =>
       valid = candidates.filter(b =>
@@ -1309,8 +1342,10 @@ final class LakeTable private (
       val resolved = Dedup.latestByKey(bucketScanDF(snap, todo),
           snap.keyCols :+ BucketCol, snap.orderCols)
         .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+      // explicit cap wins; otherwise the table's persisted write cap applies
+      val cap = if (maxRowsPerFile > 0L) maxRowsPerFile else snap.targetFileRows
       val w = resolved.write
-      (if (maxRowsPerFile > 0L) w.option("maxRecordsPerFile", maxRowsPerFile) else w)
+      (if (cap > 0L) w.option("maxRecordsPerFile", cap) else w)
         .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
     }
     touchInflight(commitRel)
@@ -1496,14 +1531,15 @@ final class LakeTable private (
       // unique staging dir — never share data/commit-<v> with a racing merge
       val commitRel = s"data/maint-$newVersion-${java.lang.Long.toHexString(System.nanoTime())}"
       val done = withInflightMarker(commitRel) {
-      buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
+      bucketWriter(buildMerged(align(readSnapshotDF(snap), curSchema), emptyBatch, reSnap,
           touchedCount = newNumBuckets, writeFactor = writeFactor, salted = false)
-        .drop(SubSplitCol)
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        .drop(SubSplitCol), snap)
+        .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
       touchInflight(commitRel)
       val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
       val (writtenRows, writtenStats) =
-        writtenMeta(written, curSchema, snap.keyCols, snap.orderCols)
+        writtenMeta(written, curSchema, snap.keyCols, snap.orderCols,
+          statsFirst = snap.sortOrder)
       if (written.isEmpty && snap.rowCount > 0)
         throw new IllegalStateException(
           s"staging dir $commitRel produced no files rebucketing a non-empty table — " +
@@ -1951,7 +1987,9 @@ object LakeTable {
       keyCols: Seq[String], orderCols: Seq[String], numBuckets: Int = 16,
       retainBatches: Int = DefaultRetainBatches,
       maxLayers: Int = DefaultMaxLayers,
-      tombstoneCol: Option[String] = None): LakeTable = {
+      tombstoneCol: Option[String] = None,
+      sortOrder: Seq[String] = Nil,
+      targetFileRows: Long = 0L): LakeTable = {
     tombstoneCol.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"tombstone column '$c' must be part of the table schema")
@@ -1960,6 +1998,15 @@ object LakeTable {
       require(!keyCols.contains(c) && !orderCols.contains(c),
         s"tombstone column '$c' cannot be a key or ordering column")
     }
+    val soMissing = sortOrder.filterNot(schema.fieldNames.contains)
+    require(soMissing.isEmpty,
+      s"sortOrder columns not in the table schema: ${soMissing.mkString(", ")}")
+    val soUnboundable = sortOrder.filterNot(c =>
+      FileStats.supported(schema(c).dataType))
+    require(soUnboundable.isEmpty,
+      "sortOrder columns can't carry file bounds (unsupported type): " +
+        soUnboundable.mkString(", "))
+    require(targetFileRows >= 0L, "targetFileRows must be >= 0 (0 = no cap)")
     val t = new LakeTable(spark, root)
     val meta = Paths.get(root, "meta")
     if (!Files.exists(meta.resolve("VERSION"))) {
@@ -1967,7 +2014,8 @@ object LakeTable {
       val s0 = TableSnapshot(0L, schema.toDDL, keyCols, orderCols, numBuckets,
         retainBatches, Map.empty, Map.empty, Map.empty, Nil, Map.empty, Map.empty, 0L,
         morBuckets = Nil, bucketLayers = Map.empty, maxLayers = maxLayers,
-        tombstoneCol = tombstoneCol)
+        tombstoneCol = tombstoneCol, sortOrder = sortOrder,
+        targetFileRows = targetFileRows)
       Files.write(meta.resolve("v0.json"),
         snapshotJson(s0.copy(committedAtMillis = System.currentTimeMillis())),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -2026,6 +2074,8 @@ object LakeTable {
     s.totals.toSeq.sortBy(_._1).foreach { case (k, v) => tot.put(k, v) }
     o.put("rowCount", s.rowCount)
     o.put("committedAtMillis", s.committedAtMillis)
+    val so = o.putArray("sortOrder"); s.sortOrder.foreach(so.add)
+    o.put("targetFileRows", s.targetFileRows)
     val mb = o.putArray("morBuckets"); s.morBuckets.foreach(mb.add)
     val bl = o.putObject("bucketLayers")
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
@@ -2111,7 +2161,11 @@ object LakeTable {
         },
       committedAtMillis =
         if (node.has("committedAtMillis")) node.get("committedAtMillis").asLong()
-        else 0L)
+        else 0L,
+      sortOrder =
+        if (node.has("sortOrder")) strs(node.get("sortOrder")) else Nil,
+      targetFileRows =
+        if (node.has("targetFileRows")) node.get("targetFileRows").asLong() else 0L)
   }
 
   /** Commit wall-clock of a retained version (epoch millis). Ledgers

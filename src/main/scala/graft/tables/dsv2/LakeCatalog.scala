@@ -34,6 +34,8 @@ import graft.tables.{LakeTable, TableSnapshot}
   *                                        -- last version committed <= t
   *   CREATE TABLE lake.t (k STRING, wv BIGINT, v STRING)
   *     TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='8')
+  *     -- optional write-path clustering: 'sort'='c1[,c2…]',
+  *     --   'target_file_rows'='N' (ingest keeps files range-sliced)
   *   SHOW TABLES IN lake
   * }}}
   *
@@ -199,13 +201,20 @@ final class LakeCatalog extends TableCatalog
           "ordering columns")).split(',').map(_.trim).toSeq
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     val tombstone = props.get("tombstone")
+    // write-path clustering: 'sort' = task-local sort columns on every
+    // bucket write; 'target_file_rows' = per-file row cap (the two together
+    // keep ingested files range-sliced — see LakeTable.bucketWriter)
+    val sortOrder = props.get("sort")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val targetFileRows = props.get("target_file_rows").map(_.toLong).getOrElse(0L)
     (keys ++ orders).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"'$c' (from TBLPROPERTIES keys/orders) is not a column of the " +
           s"table schema [${schema.fieldNames.mkString(", ")}]")
     }
     LakeTable.createOrOpen(SparkSession.active, root.toString, schema,
-      keys, orders, buckets, tombstoneCol = tombstone)
+      keys, orders, buckets, tombstoneCol = tombstone,
+      sortOrder = sortOrder, targetFileRows = targetFileRows)
     loadTable(ident)
   }
 
@@ -348,11 +357,15 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
     Array(Expressions.bucket(snap.numBuckets, snap.keyCols: _*))
 
   override def properties(): JMap[String, String] =
-    Map(
+    (Map(
       "keys" -> snap.keyCols.mkString(","),
       "orders" -> snap.orderCols.mkString(","),
       "buckets" -> snap.numBuckets.toString,
-      "version" -> snap.version.toString).asJava
+      "version" -> snap.version.toString) ++
+      (if (snap.sortOrder.nonEmpty) Map("sort" -> snap.sortOrder.mkString(",")) else Map.empty) ++
+      (if (snap.targetFileRows > 0L)
+        Map("target_file_rows" -> snap.targetFileRows.toString) else Map.empty)
+    ).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSqlScanBuilder(root, snap, sqlFacingSchema)

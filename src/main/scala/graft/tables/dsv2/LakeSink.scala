@@ -42,8 +42,10 @@ import graft.tables.LakeTable
   *
   * '''Options''' (mirroring [[graft.streaming.CdcPipeline.start]]'s knobs):
   * `root`/`path` (required) — table directory, created on the first batch
-  * if absent (then `keys` + `orders` are required; `buckets`, `tombstone`
-  * optional); `mor` (default false) — append merge-on-read layers instead
+  * if absent (then `keys` + `orders` are required; `buckets`, `tombstone`,
+  * `sort` + `targetFileRows` (write-path clustering, see
+  * [[graft.tables.TableSnapshot.sortOrder]]) optional); `mor` (default
+  * false) — append merge-on-read layers instead
   * of rewriting touched buckets (write ∝ batch; pair with `compactEvery`,
   * default 16 batches); `salted` (default false) — force the two-phase
   * skewed dedup (the stats-pass auto-salt still applies when off);
@@ -110,7 +112,9 @@ private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
             schema.fieldNames.mkString("[", ", ", "]")))
         LakeTable.createOrOpen(spark, root, schema, keys, orders,
           numBuckets = opts.getOrElse("buckets", "16").toInt,
-          tombstoneCol = opts.get("tombstone"))
+          tombstoneCol = opts.get("tombstone"),
+          sortOrder = cols("sort"),
+          targetFileRows = opts.getOrElse("targetFileRows", "0").toLong)
       }
     tableOpt = Some(t)
     t

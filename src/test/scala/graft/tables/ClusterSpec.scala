@@ -117,6 +117,109 @@ class ClusterSpec extends SparkTestBase {
     assert(e3.getMessage.contains("can't carry file bounds"))
   }
 
+  test("write-path sort order: ingest itself emits capped range-sliced files") {
+    val sorted = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("wsort").toString, schema,
+      keyCols = Seq("k"), orderCols = Seq("wv"), numBuckets = 4,
+      sortOrder = Seq("wv"), targetFileRows = 16L)
+    val plain = newTable()
+    val rows = new scala.util.Random(3).shuffle((0 until 400).toList)
+      .map(i => (s"k$i", i.toLong, s"v$i"))
+    rows.grouped(200).zipWithIndex.foreach { case (wave, i) =>
+      sorted.merge(wave.toDF("k", "wv", "v"), s"b$i")
+      plain.merge(wave.toDF("k", "wv", "v"), s"b$i")
+    }
+    // logical state identical to the unsorted twin (the sort is physical)
+    assert(sorted.read().collect().map(_.toSeq).toSet ===
+      plain.read().collect().map(_.toSeq).toSet)
+    val snap = sorted.snapshot()
+    // the cap held on every ingested file, with no cluster() call ever made
+    snap.bucketFiles.values.flatten.foreach { rel =>
+      assert(snap.fileStats(rel).rows <= 16L, s"$rel over the 16-row cap")
+    }
+    assert(snap.bucketFiles.values.map(_.size).sum >= 400 / 16)
+    // and ingested slices prune a range read (merge tasks can interleave
+    // subsplits, so slices within a bucket may overlap — but each is tight
+    // enough that most files fall outside a 20/400 range)
+    def rangeRead(t: LakeTable) = spark.read.format(LakeBucketSource.Name)
+      .option("root", t.root).option("version", t.currentVersion().toString)
+      .option("buckets", t.snapshot().bucketFiles.keys.toSeq.sorted.mkString(","))
+      .load().filter(col("wv").between(100L, 119L)).select("k").as[String].collect().toSet
+    val expect = (100 until 120).map(i => s"k$i").toSet
+    val p0 = LakeBucketScan.statsPrunedFiles.get()
+    assert(rangeRead(sorted) === expect)
+    val pruned = LakeBucketScan.statsPrunedFiles.get() - p0
+    val total = snap.bucketFiles.values.map(_.size).sum
+    assert(pruned >= total / 2,
+      s"expected most of $total ingested slices pruned, got $pruned")
+    assert(rangeRead(plain) === expect)
+  }
+
+  test("write-path sort order survives compaction (MOR layers resolve into " +
+      "disjoint slices)") {
+    val t = LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("wsort-mor").toString, schema,
+      keyCols = Seq("k"), orderCols = Seq("wv"), numBuckets = 2,
+      sortOrder = Seq("wv"), targetFileRows = 10L)
+    val rows = new scala.util.Random(5).shuffle((0 until 100).toList)
+      .map(i => (s"k$i", i.toLong, s"v$i"))
+    rows.grouped(50).zipWithIndex.foreach { case (wave, i) =>
+      t.merge(wave.toDF("k", "wv", "v"), s"b$i", mor = true)
+    }
+    assert(t.compact() > 0)
+    val snap = t.snapshot()
+    // compaction is one task per bucket: its slices are disjoint per bucket
+    snap.bucketFiles.foreach { case (b, fs) =>
+      val bounds = fs.map { rel =>
+        val cs = snap.fileStats(rel).cols("wv")
+        (cs.min.get.toLong, cs.max.get.toLong)
+      }.sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          s"bucket $b compacted slices overlap: $hi vs $lo2")
+        case _ =>
+      }
+      fs.foreach(rel => assert(snap.fileStats(rel).rows <= 10L))
+    }
+    assert(t.read().count() === 100L)
+  }
+
+  test("sortOrder validation at create: absent and unboundable columns refuse") {
+    val e1 = intercept[IllegalArgumentException](LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("wsort-bad").toString, schema,
+      Seq("k"), Seq("wv"), 2, sortOrder = Seq("nope")))
+    assert(e1.getMessage.contains("not in the table schema"))
+    val e2 = intercept[IllegalArgumentException](LakeTable.createOrOpen(spark,
+      Files.createTempDirectory("wsort-bad2").toString,
+      StructType.fromDDL("k STRING, wv BIGINT, payload BINARY"),
+      Seq("k"), Seq("wv"), 2, sortOrder = Seq("payload")))
+    assert(e2.getMessage.contains("can't carry file bounds"))
+  }
+
+  test("SQL DDL declares write-path clustering via TBLPROPERTIES") {
+    val w = Files.createTempDirectory("wsort-sql").toString
+    spark.conf.set("spark.sql.catalog.wscat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wscat.warehouse", w)
+    spark.sql(
+      """CREATE TABLE wscat.ws1 (k STRING, wv BIGINT, v STRING)
+        |TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='4',
+        |  'sort'='wv', 'target_file_rows'='16')""".stripMargin)
+    (0 until 200).map(i => (s"k$i", i.toLong, s"v$i")).toDF("k", "wv", "v")
+      .createOrReplaceTempView("ws1_in")
+    spark.sql("INSERT INTO wscat.ws1 SELECT * FROM ws1_in")
+    val snap = LakeTable.open(spark, s"$w/ws1").snapshot()
+    assert(snap.sortOrder === Seq("wv") && snap.targetFileRows === 16L)
+    snap.bucketFiles.values.flatten.foreach(rel =>
+      assert(snap.fileStats(rel).rows <= 16L))
+    // the declared clustering round-trips through the table properties
+    val props = spark.sql("SHOW TBLPROPERTIES wscat.ws1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("sort").contains("wv"))
+    assert(props.get("target_file_rows").contains("16"))
+    assert(spark.sql("SELECT count(*) FROM wscat.ws1 WHERE wv BETWEEN 50 AND 59")
+      .head().getLong(0) === 10L)
+  }
+
   test("CALL lake.system.cluster runs the rewrite through SQL") {
     val w = Files.createTempDirectory("cluster-wh").toString
     spark.conf.set("spark.sql.catalog.clcat", classOf[LakeCatalog].getName)
