@@ -970,6 +970,32 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type, value AS last_value
           |FROM graft_sql.q57tbl WHERE value BETWEEN 10 AND 20""".stripMargin)
+    }),
+
+    // K1 Z-ORDER CLUSTERING e2e WITH a DuckDB oracle (Iceberg's
+    // `rewrite_data_files(sort_order => 'zorder(value, user_id)')` analog):
+    // load events keyed by the UNIQUE event_id (the LWW merge is the
+    // identity, so the table holds every event), z-order-cluster on the
+    // two INDEPENDENT dimensions, then serve a 2-D box predicate through
+    // the SQL catalog. Correctness: clustering is a logical no-op, so the
+    // box equals a plain filtered scan of the source. Scale: the Morton
+    // interleave makes each file an axis-aligned box of (value, user_id)
+    // space, so the planning-time bounds skipping prunes BOTH dimensions
+    // of the predicate (ZOrderSpec pins that a lexicographic sort serves
+    // only its first column) — at 100 TB a 2-D box query touches
+    // O(box volume) bytes, not O(range of one dimension).
+    "q58_zorder_read" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q58tbl")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      graft.tables.LakeTable.createOrOpen(s, s"$sqlWarehouse/q58tbl", ev.schema,
+        keyCols = Seq("event_id"), orderCols = Seq("ts"), numBuckets = 16)
+        .merge(ev, "load")
+      s.sql("CALL graft_sql.system.cluster('q58tbl', 'value,user_id', " +
+        "max_rows_per_file => 64, zorder => true)")
+      s.sql(
+        """SELECT event_id, user_id, event_type, value FROM graft_sql.q58tbl
+          |WHERE value BETWEEN 10 AND 40 AND user_id BETWEEN 10 AND 60""".stripMargin)
     })
   )
 
@@ -1162,6 +1188,11 @@ object SparkEntry {
       // clustering is a logical no-op; the served slice is the winners whose
       // pass-through value lands in range (no float arithmetic on either side)
       "q57_cluster_read" -> (lwwSql + " AND value BETWEEN 10 AND 20"),
+      // z-order clustering is equally a logical no-op; event_id keys are
+      // unique so the merge is the identity and the box is a plain filter
+      "q58_zorder_read" ->
+        """SELECT event_id, user_id, event_type, value FROM events
+          |WHERE value BETWEEN 10 AND 40 AND user_id BETWEEN 10 AND 60""".stripMargin,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

@@ -1304,16 +1304,28 @@ final class LakeTable private (
     * task-local sort order across the emitted files. OCC exactly like
     * compaction: a bucket touched by a racing ingest merge drops out of
     * this clustering and stays unclustered until the next pass.
+    *
+    * `zorder = true` (Iceberg `sort_order => 'zorder(…)'` analog) replaces
+    * the lexicographic order with the Morton curve over ALL of `sortCols`
+    * ([[ZOrder]]): files become small axis-aligned boxes of the value
+    * space, so a range predicate on ANY of the dimensions prunes — a
+    * lexicographic sort only ever serves its first column. The dimension
+    * bounds the curve normalizes against come from the snapshot's own
+    * per-file statistics (driver-side constants, zero extra I/O) and the
+    * z-value itself is a codegen'd column expression, so the rewrite plan
+    * is IDENTICAL to the plain sort's: one task per bucket, resolve +
+    * task-local sort, no exchange at any scale.
     * @return buckets rewritten */
-  def cluster(sortCols: Seq[String], maxRowsPerFile: Long = 0L): Int = {
+  def cluster(sortCols: Seq[String], maxRowsPerFile: Long = 0L,
+      zorder: Boolean = false): Int = {
     val snap = snapshot()
     clusterBuckets(snap.bucketFiles.collect { case (b, fs) if fs.nonEmpty => b }.toSeq.sorted,
-      sortCols, maxRowsPerFile)
+      sortCols, maxRowsPerFile, zorder)
   }
 
   /** [[cluster]] restricted to a subset of buckets. */
   def clusterBuckets(buckets: Seq[Int], sortCols: Seq[String],
-      maxRowsPerFile: Long = 0L): Int = {
+      maxRowsPerFile: Long = 0L, zorder: Boolean = false): Int = {
     val snap = snapshot()
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     require(sortCols.nonEmpty, "cluster needs at least one sort column")
@@ -1329,6 +1341,15 @@ final class LakeTable private (
         .contains(c))
     require(unboundable.isEmpty,
       s"sort columns can't carry file bounds (unsupported type): ${unboundable.mkString(", ")}")
+    if (zorder) {
+      require(sortCols.size >= 2,
+        "z-order needs at least two columns — a single column is a plain sort")
+      val unrankable = sortCols.filterNot(c =>
+        ZOrder.supported(curSchema.fields.find(_.name == c).get.dataType))
+      require(unrankable.isEmpty,
+        "z-order dimensions need a bounded numeric rank (integral, float, " +
+          s"timestamp); not supported: ${unrankable.mkString(", ")}")
+    }
     val todo = buckets.filter(b => snap.bucketFiles.getOrElse(b, Nil).nonEmpty)
       .distinct.sorted
     if (todo.isEmpty) return 0
@@ -1339,9 +1360,22 @@ final class LakeTable private (
       // task-local (sortWithinPartitions never exchanges), and the write's
       // required ordering (partition col first) is a satisfied prefix of
       // (bucket, sortCols…) — Catalyst inserts no extra sort either
+      val sortExprs: Seq[Column] =
+        if (!zorder) (BucketCol +: sortCols).map(col)
+        else {
+          // dimension bounds folded from the snapshot's per-file stats of
+          // the buckets being rewritten — driver-side constants, zero I/O
+          val files = todo.flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
+          val dims = sortCols.map { c =>
+            val dt = curSchema.fields.find(_.name == c).get.dataType
+            val (lo, hi) = ZOrder.dimBounds(files, snap.fileStats, c, dt)
+            (col(c), dt, lo, hi)
+          }
+          Seq(col(BucketCol), ZOrder.zvalue(dims))
+        }
       val resolved = Dedup.latestByKey(bucketScanDF(snap, todo),
           snap.keyCols :+ BucketCol, snap.orderCols)
-        .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+        .sortWithinPartitions(sortExprs: _*)
       // explicit cap wins; otherwise the table's persisted write cap applies
       val cap = if (maxRowsPerFile > 0L) maxRowsPerFile else snap.targetFileRows
       val w = resolved.write

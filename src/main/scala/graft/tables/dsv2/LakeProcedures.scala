@@ -117,14 +117,19 @@ private[dsv2] object LakeProcedures {
             .comment("comma-separated sort columns, highest-precedence first")
             .build(),
           ProcedureParameter.in("max_rows_per_file", LongType)
-            .defaultValue("0").comment("0 = one file per bucket").build()),
+            .defaultValue("0").comment("0 = one file per bucket").build(),
+          ProcedureParameter.in("zorder", BooleanType)
+            .defaultValue("false")
+            .comment("true = Morton-interleave ALL sort columns so range " +
+              "predicates on any of them prune (Iceberg zorder(...) analog)")
+            .build()),
         StructType(Seq(
           StructField("clustered_buckets", IntegerType, nullable = false),
           StructField("version", LongType, nullable = false)))) {
         override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
           val cols = args.getUTF8String(1).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
-          val n = t.cluster(cols, args.getLong(2))
+          val n = t.cluster(cols, args.getLong(2), zorder = args.getBoolean(3))
           Seq[Any](n, t.snapshot().version)
         }
       }
