@@ -992,10 +992,39 @@ object SparkEntry {
         keyCols = Seq("event_id"), orderCols = Seq("ts"), numBuckets = 16)
         .merge(ev, "load")
       s.sql("CALL graft_sql.system.cluster('q58tbl', 'value,user_id', " +
-        "max_rows_per_file => 64, zorder => true)")
+        "max_rows_per_file => 512, zorder => true)")
       s.sql(
         """SELECT event_id, user_id, event_type, value FROM graft_sql.q58tbl
           |WHERE value BETWEEN 10 AND 40 AND user_id BETWEEN 10 AND 60""".stripMargin)
+    }),
+
+    // K1 NAMED TAGS e2e WITH a DuckDB oracle (Iceberg refs analog): tag the
+    // first CDC wave, ingest two more, EXPIRE to keep_last => 1 — the
+    // tagged version must survive outside the keep window (metadata and
+    // data both), and `VERSION AS OF '<tag>'` must serve it. Correctness:
+    // the tag pins the wave-1 LWW winners exactly; the head reads the
+    // winners over all three waves. Scale: a tag is one entry in the head
+    // snapshot's ref map — creating it is a metadata-only commit, resolving
+    // it is a driver-side map lookup, and retention costs only the pinned
+    // version's own files (Iceberg ref-retention semantics).
+    "q59_tag_read" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      freshSqlCatalogTable(s, "q59tbl")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val table = LakeTable.createOrOpen(s, s"$sqlWarehouse/q59tbl", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      table.merge(ev.filter(col("event_id") % 3 === 0), "wave1", txn = Some(("q59", 0L)))
+      s.sql("CALL graft_sql.system.create_tag('q59tbl', 'wave-1')")
+      table.merge(ev.filter(col("event_id") % 3 === 1), "wave2", txn = Some(("q59", 1L)))
+      table.merge(ev.filter(col("event_id") % 3 === 2), "wave3", txn = Some(("q59", 2L)))
+      s.sql("CALL graft_sql.system.expire_snapshots('q59tbl', keep_last => 1)")
+      s.sql(
+        """SELECT 'tagged' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM graft_sql.q59tbl VERSION AS OF 'wave-1' GROUP BY event_type
+          |UNION ALL
+          |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM graft_sql.q59tbl GROUP BY event_type""".stripMargin)
     })
   )
 
@@ -1193,6 +1222,21 @@ object SparkEntry {
       "q58_zorder_read" ->
         """SELECT event_id, user_id, event_type, value FROM events
           |WHERE value BETWEEN 10 AND 40 AND user_id BETWEEN 10 AND 60""".stripMargin,
+      // the tag pins wave 1's LWW winners through the expire; the head is
+      // the winners over all three waves (≡ all events)
+      "q59_tag_read" ->
+        """WITH w1 AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 3 = 0) WHERE rn = 1),
+          |wh AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)
+          |SELECT 'tagged' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM w1 GROUP BY event_type
+          |UNION ALL
+          |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM wh GROUP BY event_type""".stripMargin,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

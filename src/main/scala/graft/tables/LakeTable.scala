@@ -99,7 +99,17 @@ final case class TableSnapshot(
     /** per-file row cap on bucket writes (writer `maxRecordsPerFile`; 0 =
       * no cap). With [[sortOrder]] set, the cap is what turns the sort into
       * range-SLICED files — disjoint per-file bounds the planner prunes. */
-    targetFileRows: Long = 0L)
+    targetFileRows: Long = 0L,
+    /** NAMED TAGS (Iceberg refs analog): tag name → table version. A tag is
+      * an immutable named pointer to a retained snapshot — [[LakeTable
+      * .expire]] keeps tagged versions (metadata AND the data files they
+      * reference) regardless of the keep-last window, [[LakeTable.readAt]]
+      * and SQL `VERSION AS OF '<tag>'` resolve names, and tags survive
+      * [[LakeTable.rollback]] (they are refs on the history, not table
+      * state). Tags live on the HEAD snapshot only — like Iceberg's refs in
+      * the current table metadata — so every commit path carries them
+      * forward. */
+    tags: Map[String, Long] = Map.empty)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -1098,7 +1108,8 @@ final class LakeTable private (
           tombstoneCol = s.tombstoneCol,
           fileStats = s.fileStats ++ writtenStats,
           sortOrder = s.sortOrder,
-          targetFileRows = s.targetFileRows))
+          targetFileRows = s.targetFileRows,
+          tags = s.tags))
       }
       phase("counts")
       val committed = occCommit(snap)(cur =>
@@ -1360,8 +1371,11 @@ final class LakeTable private (
       // task-local (sortWithinPartitions never exchanges), and the write's
       // required ordering (partition col first) is a satisfied prefix of
       // (bucket, sortCols…) — Catalyst inserts no extra sort either
-      val sortExprs: Seq[Column] =
-        if (!zorder) (BucketCol +: sortCols).map(col)
+      val resolved0 = Dedup.latestByKey(bucketScanDF(snap, todo),
+        snap.keyCols :+ BucketCol, snap.orderCols)
+      val resolved =
+        if (!zorder)
+          resolved0.sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
         else {
           // dimension bounds folded from the snapshot's per-file stats of
           // the buckets being rewritten — driver-side constants, zero I/O
@@ -1371,11 +1385,16 @@ final class LakeTable private (
             val (lo, hi) = ZOrder.dimBounds(files, snap.fileStats, c, dt)
             (col(c), dt, lo, hi)
           }
-          Seq(col(BucketCol), ZOrder.zvalue(dims))
+          // MATERIALIZE the z-value once per row and sort on the long:
+          // sorting on the raw expression would re-evaluate the ~100-node
+          // interleave inside the sort comparator on every comparison
+          // (measured 2.7× the rewrite wall); the drop above the sort
+          // projects it away before the write
+          val zc = "__graft_zval"
+          resolved0.withColumn(zc, ZOrder.zvalue(dims))
+            .sortWithinPartitions(col(BucketCol), col(zc))
+            .drop(zc)
         }
-      val resolved = Dedup.latestByKey(bucketScanDF(snap, todo),
-          snap.keyCols :+ BucketCol, snap.orderCols)
-        .sortWithinPartitions(sortExprs: _*)
       // explicit cap wins; otherwise the table's persisted write cap applies
       val cap = if (maxRowsPerFile > 0L) maxRowsPerFile else snap.targetFileRows
       val w = resolved.write
@@ -1628,10 +1647,71 @@ final class LakeTable private (
     val next = target.copy(
       version = cur.version + 1,
       totals = target.totals.updated("rollbacks",
-        target.totals.getOrElse("rollbacks", 0L) + 1L))
+        target.totals.getOrElse("rollbacks", 0L) + 1L),
+      // tags are refs ON the history, not table state: restoring an old
+      // snapshot must not resurrect its tag map or drop tags created since
+      tags = cur.tags)
     commit(next)
     next.version
   }
+
+  /** Create a NAMED TAG (Iceberg `create_tag` ref analog): an immutable
+    * name for a retained version. Tagged versions survive [[expire]]
+    * regardless of the keep-last window (metadata and the data files they
+    * reference), [[readAt]] and SQL `VERSION AS OF '<tag>'` resolve the
+    * name, and [[rollback]] carries tags across. Creating a tag is a
+    * metadata-only commit, commutative with every other commit kind, so it
+    * rebases over any interleaved writer. Re-tagging the SAME version is an
+    * idempotent no-op; pointing an existing name elsewhere is an error
+    * (tags are immutable — drop it first).
+    * @param version the version to tag; defaults to the current head
+    * @return the table version carrying the new tag map */
+  def createTag(name: String, version: Long = -1L): Long = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name '$name' must be non-empty [A-Za-z0-9._-] (it travels " +
+        "through SQL VERSION AS OF literals)")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would be ambiguous with a version number")
+    val head = snapshot()
+    val target = if (version < 0L) head.version else version
+    require(target <= head.version,
+      s"cannot tag $target: table is at ${head.version}")
+    require(Files.exists(Paths.get(root, "meta", s"v$target.json")),
+      s"version $target is not retained (expired or never existed) at $root")
+    val committed = occCommit(head)(_ => true) { base =>
+      base.tags.get(name) match {
+        case Some(v) if v == target => None // idempotent re-tag
+        case Some(v) => throw new IllegalArgumentException(
+          s"tag '$name' already points at version $v (tags are immutable " +
+            "— dropTag first to move it)")
+        case None => Some(base.copy(
+          version = base.version + 1,
+          tags = base.tags.updated(name, target)))
+      }
+    }
+    committed.map(_.version).getOrElse(currentVersion())
+  }
+
+  /** Drop a named tag (metadata-only commit; the version it pointed at
+    * returns to normal [[expire]] retention). Unknown names error loudly.
+    * @return the table version carrying the updated tag map */
+  def dropTag(name: String): Long = {
+    val committed = occCommit(snapshot())(_ => true) { base =>
+      require(base.tags.contains(name), s"no tag '$name' on $root")
+      Some(base.copy(version = base.version + 1, tags = base.tags - name))
+    }
+    committed.map(_.version).getOrElse(currentVersion())
+  }
+
+  /** [[readAt]] by tag name (SQL: `VERSION AS OF '<tag>'`). */
+  def readAt(tag: String): DataFrame = readAt(resolveTag(tag))
+
+  /** Resolve a tag name to the version it pins. */
+  def resolveTag(tag: String): Long =
+    snapshot().tags.getOrElse(tag, throw new IllegalArgumentException(
+      s"no tag '$tag' on $root (tags: " +
+        s"${snapshot().tags.keys.toSeq.sorted.mkString(", ")})"))
 
   /** EXPLICIT schema evolution (≙ Iceberg `ALTER TABLE … ADD COLUMNS`): add
     * new NULLABLE columns as a metadata-only commit — no data file is
@@ -1687,6 +1767,14 @@ final class LakeTable private (
     val current = currentVersion()
     val minKept = math.max(0L, current - keepVersions + 1)
     val meta = Paths.get(root, "meta")
+    // TAGGED versions are pinned outside the keep-last window (Iceberg ref
+    // retention): their metadata survives, and because the data sweep keys
+    // off "referenced by any remaining v*.json", so do their data files.
+    // Tags are read from the HEAD snapshot here; a tag committed by a
+    // racing writer after this read is protected by the same guard that
+    // protects any concurrent commit — its metadata is ≥ current and the
+    // data sweep re-reads the reference set after candidate listing.
+    val tagged = snapshot().tags.values.toSet
     // 1. retire out-of-window snapshot metadata FIRST, so the data sweep
     //    below can treat "referenced by ANY remaining v*.json" as the
     //    keep-set — including versions committed by a concurrent writer
@@ -1697,7 +1785,8 @@ final class LakeTable private (
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
-          n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < minKept)
+          n.stripPrefix("v").stripSuffix(".json").toLongOption
+            .exists(v => v < minKept && !tagged.contains(v))
       }
       .toSeq.foreach { p => Files.delete(p); metaRemoved += 1 }
     // 2. sweep data dirs no retained snapshot references. Two concurrent-
@@ -2110,6 +2199,8 @@ object LakeTable {
     o.put("committedAtMillis", s.committedAtMillis)
     val so = o.putArray("sortOrder"); s.sortOrder.foreach(so.add)
     o.put("targetFileRows", s.targetFileRows)
+    val tg = o.putObject("tags")
+    s.tags.toSeq.sortBy(_._1).foreach { case (n, v) => tg.put(n, v) }
     val mb = o.putArray("morBuckets"); s.morBuckets.foreach(mb.add)
     val bl = o.putObject("bucketLayers")
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
@@ -2199,7 +2290,8 @@ object LakeTable {
       sortOrder =
         if (node.has("sortOrder")) strs(node.get("sortOrder")) else Nil,
       targetFileRows =
-        if (node.has("targetFileRows")) node.get("targetFileRows").asLong() else 0L)
+        if (node.has("targetFileRows")) node.get("targetFileRows").asLong() else 0L,
+      tags = longMap(node.get("tags")))
   }
 
   /** Commit wall-clock of a retained version (epoch millis). Ledgers

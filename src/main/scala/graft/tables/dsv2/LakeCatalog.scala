@@ -120,15 +120,21 @@ final class LakeCatalog extends TableCatalog
     } else None
 
   /** SQL time travel: `VERSION AS OF <v>` pins the table to a retained
-    * snapshot — the same contract as [[graft.tables.LakeTable.readAt]]. */
+    * snapshot — the same contract as [[graft.tables.LakeTable.readAt]].
+    * A non-numeric version is resolved as a NAMED TAG on the head snapshot
+    * (`VERSION AS OF 'release-1'` — Iceberg ref analog; tag names can
+    * never be all-digits, so the forms are unambiguous). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     val metaParent = if (isTable(root)) None else metadataParent(ident)
     if (!isTable(root) && metaParent.isEmpty) throw new NoSuchTableException(ident)
-    val v = try version.toLong
-    catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF expects a table version number, got '$version'")
+    val v = version.toLongOption.getOrElse {
+      val target = metaParent.getOrElse(root)
+      val head = LakeTable.readSnapshot(target,
+        LakeCdfSource.currentVersion(target.toString))
+      head.tags.getOrElse(version, throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': no such tag on ${ident.name()} (tags: " +
+          s"${head.tags.keys.toSeq.sorted.mkString(", ")})"))
     }
     metaParent match {
       case Some(parent) =>

@@ -56,7 +56,11 @@ private[dsv2] object LakeMetadataTables {
     StructField("num_buckets", IntegerType, nullable = false),
     StructField("mor_buckets", IntegerType, nullable = false),
     StructField("committed_batches", LongType, nullable = false),
-    StructField("schema", StringType, nullable = false)))
+    StructField("schema", StringType, nullable = false),
+    /** comma-joined names of HEAD tags pinning this version ("" = none) —
+      * the one column resolved against the head snapshot, not the listed
+      * one: tags are refs on the history, so the head's map is the truth */
+    StructField("tags", StringType, nullable = false)))
 
   private[dsv2] val partitionsSchema = StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
@@ -95,6 +99,7 @@ private[dsv2] object LakeMetadataTables {
     // pointer is what makes listing-while-ingesting safe
     val head = LakeCdfSource.currentVersion(root.toString)
     val cap = upTo.fold(head)(math.min(_, head))
+    val headTags = LakeTable.readSnapshot(root, head).tags
     retainedVersions(root)
       .filter(_ <= cap)
       .map { v =>
@@ -102,6 +107,7 @@ private[dsv2] object LakeMetadataTables {
         val committedMillis =
           if (s.committedAtMillis > 0L) s.committedAtMillis
           else LakeTable.committedAt(root, v) // pre-stamp ledger: file mtime
+        val tags = headTags.collect { case (n, tv) if tv == v => n }.toSeq.sorted
         new GenericInternalRow(Array[Any](
           s.version,
           committedMillis * 1000L, // TimestampType carries epoch micros
@@ -110,7 +116,8 @@ private[dsv2] object LakeMetadataTables {
           s.numBuckets,
           s.morBuckets.size,
           s.totals.getOrElse("batches", 0L) + s.appliedBatches.size,
-          UTF8String.fromString(s.schemaDdl)))
+          UTF8String.fromString(s.schemaDdl),
+          UTF8String.fromString(tags.mkString(","))))
       }.toArray
   }
 

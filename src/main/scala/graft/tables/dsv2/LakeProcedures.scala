@@ -47,8 +47,8 @@ private[dsv2] object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   private val all: Seq[String] =
-    Seq("cluster", "compact", "expire_snapshots", "rollback", "purge_tombstones",
-      "rebucket")
+    Seq("cluster", "compact", "create_tag", "drop_tag", "expire_snapshots",
+      "rollback", "purge_tombstones", "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -131,6 +131,34 @@ private[dsv2] object LakeProcedures {
             .filter(_.nonEmpty).toSeq
           val n = t.cluster(cols, args.getLong(2), zorder = args.getBoolean(3))
           Seq[Any](n, t.snapshot().version)
+        }
+      }
+      case "create_tag" => new LakeProcedure(warehouse, "create_tag",
+        "create an immutable named tag for a retained version (Iceberg " +
+          "create_tag analog): tagged versions survive expire_snapshots " +
+          "and resolve in VERSION AS OF '<tag>'",
+        Seq(tableParam,
+          ProcedureParameter.in("tag", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").comment("-1 = current head").build()),
+        StructType(Seq(
+          StructField("tagged_version", LongType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val name = args.getUTF8String(1).toString
+          t.createTag(name, args.getLong(2))
+          Seq[Any](t.resolveTag(name), t.snapshot().version)
+        }
+      }
+      case "drop_tag" => new LakeProcedure(warehouse, "drop_tag",
+        "drop a named tag (the version it pinned returns to normal " +
+          "expire_snapshots retention)",
+        Seq(tableParam, ProcedureParameter.in("tag", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          t.dropTag(args.getUTF8String(1).toString)
+          Seq[Any](t.snapshot().version)
         }
       }
       case "rebucket" => new LakeProcedure(warehouse, "rebucket",
