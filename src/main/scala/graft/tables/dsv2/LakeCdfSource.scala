@@ -59,7 +59,9 @@ import graft.tables.{LakeTable, TableSnapshot}
   * Options: `root` (table root); `startingVersion` = `latest` (default —
   * only changes after the stream starts) | `earliest` (full history from
   * the oldest retained version, i.e. an initial snapshot load + tail) | a
-  * version number; `startingTimestamp` (wall-clock anchor, mutually
+  * version number; `startingTag` (named-ref anchor, the dual of
+  * `VERSION AS OF '<tag>'`: tail everything after the tagged version);
+  * `startingTimestamp` (wall-clock anchor, mutually
   * exclusive with `startingVersion`: epoch millis / ISO instant / SQL
   * timestamp — the stream starts after the LAST version committed at or
   * before it, so a `TIMESTAMP AS OF t` snapshot read plus a
@@ -220,8 +222,20 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
   override def initialOffset(): Offset = {
     val sv = Option(options.get("startingVersion"))
     val st = Option(options.get("startingTimestamp"))
-    require(sv.isEmpty || st.isEmpty,
-      "options startingVersion and startingTimestamp are mutually exclusive")
+    val sg = Option(options.get("startingTag"))
+    require(Seq(sv, st, sg).count(_.isDefined) <= 1,
+      "options startingVersion, startingTimestamp and startingTag are " +
+        "mutually exclusive")
+    sg.foreach { tag =>
+      // named-ref anchor (Iceberg tag analog): tail everything AFTER the
+      // tagged version, so `VERSION AS OF '<tag>'` state + this stream's
+      // batches = live state — the named twin of startingTimestamp
+      val head = snap(LakeCdfSource.currentVersion(root))
+      val v = head.tags.getOrElse(tag, throw new IllegalArgumentException(
+        s"startingTag: no tag '$tag' on $root (tags: " +
+          s"${head.tags.keys.toSeq.sorted.mkString(", ")})"))
+      return LakeCdfOffset(v)
+    }
     val v = st match {
       case Some(ts) =>
         // wall-clock anchor, the dual of the catalog's TIMESTAMP AS OF: the

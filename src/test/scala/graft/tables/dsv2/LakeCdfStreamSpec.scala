@@ -107,6 +107,32 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(messages(e2).exists(_.contains("mutually exclusive")))
   }
 
+  test("startingTag anchors the stream after the tagged version " +
+      "(the dual of VERSION AS OF '<tag>')") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    val v1 = t.currentVersion()
+    t.createTag("snap-1", v1)
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2")
+    val v2 = t.currentVersion()
+    // anchored at the tag: VERSION AS OF 'snap-1' state + this tail = live
+    val got = drain(t, Files.createTempDirectory("lakecdf-tag").toString,
+      Map("startingTag" -> "snap-1"))
+    assert(rowSet(got.flatMap(_._2)) === rowSet(t.readChanges(v1, v2).collect().toSeq))
+    assert(rowSet(got.flatMap(_._2)) ===
+      Set(Seq[Any]("a", 2L, "a2"), Seq[Any]("c", 1L, "c1")))
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    val e1 = intercept[Exception](drain(t,
+      Files.createTempDirectory("lakecdf-tag2").toString,
+      Map("startingTag" -> "nope")))
+    assert(messages(e1).exists(_.contains("no tag 'nope'")))
+    val e2 = intercept[Exception](drain(t,
+      Files.createTempDirectory("lakecdf-tag3").toString,
+      Map("startingTag" -> "snap-1", "startingVersion" -> "0")))
+    assert(messages(e2).exists(_.contains("mutually exclusive")))
+  }
+
   test("maxVersionsPerBatch=1 yields one micro-batch per table version") {
     val t = newTable()
     val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
