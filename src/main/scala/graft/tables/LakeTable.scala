@@ -1391,6 +1391,8 @@ final class LakeTable private (
           // (measured 2.7× the rewrite wall); the drop above the sort
           // projects it away before the write
           val zc = "__graft_zval"
+          require(!curSchema.fieldNames.contains(zc),
+            s"table schema reserves no room for the z-value scratch column '$zc'")
           resolved0.withColumn(zc, ZOrder.zvalue(dims))
             .sortWithinPartitions(col(BucketCol), col(zc))
             .drop(zc)
