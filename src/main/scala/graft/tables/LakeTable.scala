@@ -1348,7 +1348,7 @@ final class LakeTable private (
     // paid for nothing). Bound-capable sort columns are harvested FIRST so
     // the MaxStatsCols cap can't push them out on a wide schema.
     val unboundable = sortCols.filterNot(c =>
-      FileStats.statsColumns(curSchema, snap.keyCols, sortCols ++ snap.orderCols)
+      FileStats.statsColumns(curSchema, snap.keyCols, snap.orderCols ++ sortCols)
         .contains(c))
     require(unboundable.isEmpty,
       s"sort columns can't carry file bounds (unsupported type): ${unboundable.mkString(", ")}")
@@ -1692,6 +1692,20 @@ final class LakeTable private (
           tags = base.tags.updated(name, target)))
       }
     }
+    // TOCTOU vs a racing expire(): its tag read may predate this commit, in
+    // which case it deleted the target's metadata between our retention
+    // check above and the commit. Re-validate AFTER the tag is visible — a
+    // subsequent expire sees it and protects the version, so if the ledger
+    // is still here now it stays; if it is gone, undo the dangling tag and
+    // fail loudly rather than leave a name pointing at nothing.
+    if (committed.isDefined &&
+        !Files.exists(Paths.get(root, "meta", s"v$target.json"))) {
+      dropTag(name)
+      throw new IllegalStateException(
+        s"tag '$name' lost a race with a concurrent expire(): version " +
+          s"$target was retired before the tag became visible — re-create " +
+          "the tag from a retained version")
+    }
     committed.map(_.version).getOrElse(currentVersion())
   }
 
@@ -1769,28 +1783,31 @@ final class LakeTable private (
     val current = currentVersion()
     val minKept = math.max(0L, current - keepVersions + 1)
     val meta = Paths.get(root, "meta")
-    // TAGGED versions are pinned outside the keep-last window (Iceberg ref
-    // retention): their metadata survives, and because the data sweep keys
-    // off "referenced by any remaining v*.json", so do their data files.
-    // Tags are read from the HEAD snapshot here; a tag committed by a
-    // racing writer after this read is protected by the same guard that
-    // protects any concurrent commit — its metadata is ≥ current and the
-    // data sweep re-reads the reference set after candidate listing.
-    val tagged = snapshot().tags.values.toSet
     // 1. retire out-of-window snapshot metadata FIRST, so the data sweep
     //    below can treat "referenced by ANY remaining v*.json" as the
     //    keep-set — including versions committed by a concurrent writer
     //    AFTER our currentVersion() read (their metadata is ≥ current and
     //    therefore never deleted here)
     var metaRemoved = 0
-    Files.list(meta).iterator().asScala
+    val deletable = Files.list(meta).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
-          n.stripPrefix("v").stripSuffix(".json").toLongOption
-            .exists(v => v < minKept && !tagged.contains(v))
-      }
-      .toSeq.foreach { p => Files.delete(p); metaRemoved += 1 }
+          n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < minKept)
+      }.toSeq
+    // TAGGED versions are pinned outside the keep-last window (Iceberg ref
+    // retention): their metadata survives, and because the data sweep keys
+    // off "referenced by any remaining v*.json", so do their data files.
+    // Tags are read from the HEAD snapshot AFTER the candidate listing to
+    // narrow the window against a concurrent createTag; the remaining
+    // sliver (a tag committing between this read and the deletes below) is
+    // closed from the OTHER side — createTag re-validates the target's
+    // ledger after its commit becomes visible and undoes a dangling tag.
+    val tagged = snapshot().tags.values.toSet
+    deletable
+      .filterNot(p => p.getFileName.toString.stripPrefix("v").stripSuffix(".json")
+        .toLongOption.exists(tagged.contains))
+      .foreach { p => Files.delete(p); metaRemoved += 1 }
     // 2. sweep data dirs no retained snapshot references. Two concurrent-
     //    maintenance guards (a maintenance op from a SECOND handle is
     //    supported, and its staging dir is unreferenced until it commits):
@@ -1927,7 +1944,11 @@ final class LakeTable private (
       keyCols: Seq[String], orderCols: Seq[String],
       statsFirst: Seq[String] = Nil)
       : (Map[Int, Long], Map[String, FileStats]) = {
-    val statsCols = FileStats.statsColumns(schema, keyCols, statsFirst ++ orderCols)
+    // order columns OUTRANK the sort/cluster columns under the MaxStatsCols
+    // cap: the CDC "changed since slot X" prune rides the order-column
+    // bounds, and a wide sort order must degrade its own slices' pruning
+    // rather than silently evict the core prune
+    val statsCols = FileStats.statsColumns(schema, keyCols, orderCols ++ statsFirst)
     val conf = spark.sparkContext.hadoopConfiguration
     val perFile = written.values.flatten.toSeq.par_.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -2299,11 +2320,38 @@ object LakeTable {
   /** Commit wall-clock of a retained version (epoch millis). Ledgers
     * written before the stamp existed carry 0 in the json; fall back to the
     * snapshot file's mtime, which the CREATE_NEW write fixed at commit
-    * time. */
+    * time.
+    *
+    * STREAMING read, not a full `readSnapshot`: TIMESTAMP-AS-OF / history /
+    * `startingTimestamp` resolution calls this once per retained version,
+    * and a full parse is O(files) per ledger (the `fileStats` bulk).
+    * `committedAtMillis` is serialized BEFORE the big maps
+    * ([[snapshotJson]] writes it right after `rowCount`), so the scan
+    * tokenizes only the small prefix and stops. */
   private[graft] def committedAt(root: JPath, version: Long): Long = {
-    val s = readSnapshot(root, version)
-    if (s.committedAtMillis > 0L) s.committedAtMillis
-    else Files.getLastModifiedTime(
-      root.resolve("meta").resolve(s"v$version.json")).toMillis
+    val p = root.resolve("meta").resolve(s"v$version.json")
+    val parser = mapper.getFactory.createParser(p.toFile)
+    val millis =
+      try {
+        import com.fasterxml.jackson.core.JsonToken
+        var found = 0L
+        if (parser.nextToken() == JsonToken.START_OBJECT) {
+          var done = false
+          while (!done) {
+            val tok = parser.nextToken()
+            if (tok == null || tok == JsonToken.END_OBJECT) done = true
+            else {
+              val name = parser.currentName()
+              parser.nextToken() // move onto the value
+              if (name == "committedAtMillis") {
+                found = parser.getLongValue; done = true
+              } else parser.skipChildren() // no-op on scalars
+            }
+          }
+        }
+        found
+      } finally parser.close()
+    if (millis > 0L) millis
+    else Files.getLastModifiedTime(p).toMillis
   }
 }

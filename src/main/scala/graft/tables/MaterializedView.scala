@@ -138,12 +138,23 @@ final class MaterializedView private (
     * arithmetic. Stop with `.stop()` on the returned query. */
   def maintainContinuously(checkpointDir: String,
       options: Map[String, String] = Map.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // CATCH UP FIRST: the change stream's default anchor is the base's
+    // CURRENT head (startingVersion=latest), so on a base that then goes
+    // quiescent no micro-batch ever fires and a freshly-created view would
+    // stay empty forever. One synchronous refresh closes the gap (it
+    // no-ops when the state watermark is already at the head); the stream
+    // then maintains from there. A caller-supplied startingVersion/Tag/
+    // Timestamp anchor is still honored for the stream itself — refresh()
+    // reads its own watermark, so an overlapping anchor only re-delivers
+    // idempotent windows.
+    refresh()
     base.readChangeStream(options)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }
       .start()
+  }
 
   // ---------------------------------------------------------------------
   // refresh internals
@@ -327,7 +338,7 @@ final class MaterializedView private (
       .join(full.alias("f"), groupJoinCond("o", "f"), "left_anti")
       .select(groupCols.map(col): _*)
     val rows = full.select(stateRow(to): _*)
-      .unionByName(vanished.select(tombstoneRowFromGroupsOnly(to): _*))
+      .unionByName(vanished.select(tombstoneRow(to): _*))
     // same one-evaluation MOR rationale as the incremental path (the batch
     // is a full base aggregation — doubly worth not computing twice)
     try state.merge(rows, batchId = s"mv-full-$to", txn = Some((TxnApp, to)), mor = true)
@@ -345,9 +356,6 @@ final class MaterializedView private (
     (groupCols.map(col) ++ stateValueCols.filterNot(groupCols.contains)
       .map(n => lit(null).cast(stateValueType(n)).as(n))) :+
       lit(to).as(VersionCol) :+ lit(true).as(DeletedCol)
-
-  private def tombstoneRowFromGroupsOnly(to: Long): Seq[Column] =
-    tombstoneRow(to)
 
   private lazy val stateSchema: StructType = stateSchemaFor(baseSchema, groupCols, aggs)
 

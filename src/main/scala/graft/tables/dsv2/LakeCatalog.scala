@@ -161,14 +161,13 @@ final class LakeCatalog extends TableCatalog
     if (!isTable(root) && metaParent.isEmpty) throw new NoSuchTableException(ident)
     val target = metaParent.getOrElse(root)
     val tsMillis = Math.floorDiv(timestamp, 1000L)
-    // cap at the PUBLISHED head: a racing writer's v<N+1>.json may exist
-    // (CREATE_NEW) before its bytes are durable — same guard as history
-    val head = LakeCdfSource.currentVersion(target.toString)
-    val retained = LakeMetadataTables.retainedVersions(target).filter(_ <= head)
-    val v = retained.filter(v => LakeTable.committedAt(target, v) <= tsMillis)
-      .maxOption
+    // ONE shared resolution with the stream's startingTimestamp (head-
+    // capped last-commit-at-or-before, LakeCdfSource.versionAtOrBefore):
+    // the "TIMESTAMP AS OF t + startingTimestamp=t tail" invariant
+    // requires the two anchors to agree exactly
+    val v = LakeCdfSource.versionAtOrBefore(target.toString, tsMillis)
       .getOrElse {
-        val earliest = retained.minOption
+        val earliest = LakeMetadataTables.retainedVersions(target).minOption
           .map(v => java.time.Instant.ofEpochMilli(LakeTable.committedAt(target, v)))
         throw new IllegalArgumentException(
           s"TIMESTAMP AS OF: no retained version of ${ident.name()} was committed " +

@@ -127,19 +127,42 @@ object LakeCdfSource {
 
   /** `startingTimestamp` accepts epoch millis (all digits), an ISO-8601
     * instant (`2026-08-19T10:00:00Z`), or a session-local SQL timestamp
-    * (`2026-08-19 10:00:00`). */
+    * (`2026-08-19 10:00:00`) — resolved in the SPARK SESSION's time zone
+    * (`spark.sql.session.timeZone`), not the JVM default, so the form
+    * agrees with how SQL `TIMESTAMP AS OF '<same literal>'` resolves and
+    * the "`TIMESTAMP AS OF t` snapshot + `startingTimestamp = t` tail =
+    * live state" invariant holds on clusters where the two zones differ. */
   private[dsv2] def parseTimestampMillis(ts: String): Long = {
     val t = ts.trim
     if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch { case _: java.time.format.DateTimeParseException =>
-      try java.sql.Timestamp.valueOf(t).getTime
-      catch { case _: IllegalArgumentException =>
+      try {
+        val sessionTz = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .atZone(sessionTz).toInstant.toEpochMilli
+      } catch { case _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
           s"startingTimestamp '$ts' is neither epoch millis, an ISO-8601 " +
             "instant, nor 'yyyy-MM-dd HH:mm:ss'")
       }
     }
+  }
+
+  /** Last retained version of `root` committed at or before `millis`,
+    * capped at the PUBLISHED head (a racing writer's `v<N+1>.json` may
+    * exist before its bytes are durable). None when every retained commit
+    * is later. ONE resolution shared by SQL `TIMESTAMP AS OF` and the
+    * stream's `startingTimestamp` — the "snapshot + tail = live state"
+    * invariant requires the two anchors to agree exactly. */
+  private[dsv2] def versionAtOrBefore(root: String, millis: Long): Option[Long] = {
+    val head = currentVersion(root)
+    val rootP = Paths.get(root)
+    LakeMetadataTables.retainedVersions(rootP).filter(_ <= head)
+      .filter(v => LakeTable.committedAt(rootP, v) <= millis)
+      .maxOption
   }
 
   private[dsv2] def earliestRetainedVersion(root: String): Long = {
@@ -241,12 +264,9 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
         // wall-clock anchor, the dual of the catalog's TIMESTAMP AS OF: the
         // offset is the LAST retained version committed at or before t, so
         // `TIMESTAMP AS OF t` state + this stream's batches = live state
+        // (one shared resolution, LakeCdfSource.versionAtOrBefore)
         val millis = LakeCdfSource.parseTimestampMillis(ts)
-        val head = LakeCdfSource.currentVersion(root)
-        val rootP = Paths.get(root)
-        LakeMetadataTables.retainedVersions(rootP).filter(_ <= head)
-          .filter(v => LakeTable.committedAt(rootP, v) <= millis)
-          .maxOption
+        LakeCdfSource.versionAtOrBefore(root, millis)
           .getOrElse(throw new IllegalArgumentException(
             s"startingTimestamp: no retained version of $root was committed at " +
               s"or before ${java.time.Instant.ofEpochMilli(millis)}; older " +

@@ -114,7 +114,9 @@ private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
           numBuckets = opts.getOrElse("buckets", "16").toInt,
           tombstoneCol = opts.get("tombstone"),
           sortOrder = cols("sort"),
-          targetFileRows = opts.getOrElse("targetFileRows", "0").toLong)
+          // option keys were lowercased above — a mixed-case lookup here
+          // would silently ignore the documented option
+          targetFileRows = opts.getOrElse("targetfilerows", "0").toLong)
       }
     tableOpt = Some(t)
     t

@@ -107,6 +107,23 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(messages(e2).exists(_.contains("mutually exclusive")))
   }
 
+  test("the SQL-timestamp form resolves in the SESSION time zone, so it " +
+      "agrees with TIMESTAMP AS OF of the same literal") {
+    val tzConf = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzConf)
+    try {
+      spark.conf.set(tzConf, "UTC")
+      val utc = LakeCdfSource.parseTimestampMillis("2026-01-01 00:00:00")
+      assert(utc === java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli)
+      spark.conf.set(tzConf, "America/New_York")
+      val ny = LakeCdfSource.parseTimestampMillis("2026-01-01 00:00:00")
+      assert(ny - utc === 5L * 3600 * 1000) // EST midnight is 5h later
+      // epoch + ISO forms are zone-independent
+      assert(LakeCdfSource.parseTimestampMillis(utc.toString) === utc)
+      assert(LakeCdfSource.parseTimestampMillis("2026-01-01T00:00:00Z") === utc)
+    } finally spark.conf.set(tzConf, saved)
+  }
+
   test("startingTag anchors the stream after the tagged version " +
       "(the dual of VERSION AS OF '<tag>')") {
     val t = newTable()

@@ -86,6 +86,18 @@ class LakeSinkSpec extends SparkTestBase {
     assert(LakeTable.open(spark, s"$work/mor").snapshot().morBuckets.size <= 16)
   }
 
+  test("create-on-first-batch honors the sort/targetFileRows write options " +
+      "(option keys are lowercased by the provider — a mixed-case lookup " +
+      "would silently drop them)") {
+    val work = Files.createTempDirectory("lakesink-sort").toString
+    writeWave(s"$work/in", Seq((1L, 10L, "a"), (2L, 10L, "b")))
+    drain(s"$work/in", s"$work/table", s"$work/ckpt",
+      Map("sort" -> "v", "targetFileRows" -> "1000"))
+    val snap = LakeTable.open(spark, s"$work/table").snapshot()
+    assert(snap.sortOrder === Seq("v"))
+    assert(snap.targetFileRows === 1000L)
+  }
+
   test("option validation fails loudly") {
     val provider = new LakeSinkProvider
     val ctx = spark.sqlContext
