@@ -111,6 +111,22 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(warehouse, "ddl_t")))
   }
 
+  test("CTAS: CREATE TABLE ... AS SELECT creates and LWW-merges in one statement") {
+    warehouse // force catalog registration
+    Seq(("a", 2L, "a2"), ("a", 1L, "a1"), ("b", 1L, "b1"))
+      .toDF("k", "wv", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE lakecat.ctas_t " +
+      "TBLPROPERTIES ('keys'='k', 'orders'='wv', 'buckets'='4') " +
+      "AS SELECT * FROM ctas_src")
+    // the CTAS write rides the same exactly-LWW merge as INSERT INTO:
+    // the in-batch duplicate for k=a resolves to the max-wv row
+    assert(spark.sql("SELECT k, v FROM lakecat.ctas_t ORDER BY k")
+      .as[(String, String)].collect().toSeq === Seq(("a", "a2"), ("b", "b1")))
+    val t = LakeTable.open(spark, s"$warehouse/ctas_t")
+    assert(t.snapshot().keyCols === Seq("k"))
+    spark.sql("DROP TABLE lakecat.ctas_t")
+  }
+
   test("identifier segments cannot escape the warehouse; bad key properties fail at CREATE") {
     warehouse // force catalog registration
     // a backtick-quoted `..` must not resolve to the warehouse's parent
