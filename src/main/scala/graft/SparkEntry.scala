@@ -1025,6 +1025,72 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
           |FROM graft_sql.q59tbl GROUP BY event_type""".stripMargin)
+    }),
+
+    // K1 ZERO-COPY SHALLOW CLONE e2e (Delta SHALLOW CLONE analog): ingest
+    // wave 1, CALL clone — a metadata-only commit whose new table borrows
+    // the source's files by absolute reference — then DIVERGE both sides
+    // (wave 2 into the source, a disjoint wave into the clone) and EXPIRE
+    // the source to keep_last => 1: the protective tag the clone planted
+    // must keep the borrowed files alive. Correctness: the clone serves the
+    // LWW winners of (wave 1 ∪ its own wave), the source the winners over
+    // all events — fully independent states over shared storage. Scale: the
+    // clone commit costs O(#files) metadata whatever the table size (no
+    // data copied), and the clone's own writes un-shallow only the buckets
+    // they touch (copy-on-write).
+    "q60_clone_diverge" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      freshSqlCatalogTable(s, "q60src")
+      freshSqlCatalogTable(s, "q60dst")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val src = LakeTable.createOrOpen(s, s"$sqlWarehouse/q60src", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      src.merge(ev.filter(col("event_id") % 2 === 0), "wave1", txn = Some(("q60", 0L)))
+      s.sql("CALL graft_sql.system.clone('q60src', 'q60dst')")
+      src.merge(ev.filter(col("event_id") % 2 === 1), "wave2", txn = Some(("q60", 1L)))
+      LakeTable.open(s, s"$sqlWarehouse/q60dst")
+        .merge(ev.filter(col("event_id") % 4 === 1), "clone-wave")
+      // the source's expire must NOT reclaim the files the clone borrows
+      s.sql("CALL graft_sql.system.expire_snapshots('q60src', keep_last => 1)")
+      s.sql(
+        """SELECT 'clone' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM graft_sql.q60dst GROUP BY event_type
+          |UNION ALL
+          |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM graft_sql.q60src GROUP BY event_type""".stripMargin)
+    }),
+
+    // K1 WRITE-AUDIT-PUBLISH e2e (Iceberg fast_forward analog): ingest
+    // wave 1 into the base, CALL clone, apply the "risky" wave 2 on the
+    // clone only (the audit), then CALL fast_forward — the base adopts the
+    // audited state in one commit: borrowed refs relativize in place,
+    // clone-local files RENAME in (zero data copied), the writer ledgers
+    // merge (both streams stay exactly-once across the publish, asserted
+    // here by replaying wave 1's txn into the published base — a no-op),
+    // and the clone is consumed. Correctness: the base serves the LWW
+    // winners over both waves. Scale: the publish is O(#clone-local files)
+    // renames + one metadata commit, whatever the table size.
+    "q61_wap_publish" -> ((s, dir) => {
+      import graft.tables.LakeTable
+      freshSqlCatalogTable(s, "q61base")
+      freshSqlCatalogTable(s, "q61audit")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val base = LakeTable.createOrOpen(s, s"$sqlWarehouse/q61base", ev.schema,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), numBuckets = 16)
+      base.merge(ev.filter(col("event_id") % 2 === 0), "wave1", txn = Some(("q61", 0L)))
+      s.sql("CALL graft_sql.system.clone('q61base', 'q61audit')")
+      LakeTable.open(s, s"$sqlWarehouse/q61audit")
+        .merge(ev.filter(col("event_id") % 2 === 1), "audit-wave")
+      s.sql("CALL graft_sql.system.fast_forward('q61base', 'q61audit')")
+      // exactly-once across the publish: the original stream's txn replays
+      // as a commit-free no-op against the published base
+      base.merge(ev.filter(col("event_id") % 2 === 0), "wave1-replay",
+        txn = Some(("q61", 0L)))
+      s.sql(
+        """SELECT event_type AS last_event_type, count(*) AS n_keys
+          |FROM graft_sql.q61base GROUP BY event_type""".stripMargin)
     })
   )
 
@@ -1237,6 +1303,29 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
           |FROM wh GROUP BY event_type""".stripMargin,
+      // the clone serves the LWW winners of (wave 1 = evens ∪ its own
+      // divergent wave = event_id%4==1); the source head the winners over
+      // all events — independent states over shared borrowed files
+      "q60_clone_diverge" ->
+        """WITH wc AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE event_id % 2 = 0 OR event_id % 4 = 1) WHERE rn = 1),
+          |wh AS (SELECT event_type FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)
+          |SELECT 'clone' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM wc GROUP BY event_type
+          |UNION ALL
+          |SELECT 'head' AS snap, event_type AS last_event_type, count(*) AS n_keys
+          |FROM wh GROUP BY event_type""".stripMargin,
+      // after the publish the base serves the LWW winners over both waves
+      // (= all events); the replayed wave-1 txn must be a no-op
+      "q61_wap_publish" ->
+        """SELECT event_type AS last_event_type, count(*) AS n_keys FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1 GROUP BY event_type""".stripMargin,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

@@ -233,7 +233,7 @@ final class LakeTable private (
     val schema = StructType.fromDDL(s.schemaDdl)
     val dirty = s.morBuckets.toSet
     def bucketPaths(bs: Iterable[Int]): Seq[String] =
-      bs.toSeq.sorted.flatMap(b => s.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+      bs.toSeq.sorted.flatMap(b => s.bucketFiles.getOrElse(b, Nil)).map(rel => LakeTable.dataPath(root, rel))
     def readFiles(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -506,7 +506,7 @@ final class LakeTable private (
       val dirty = s.morBuckets.toSet
       val cleanRows = s.bucketRows.collect { case (b, n) if !dirty.contains(b) => n }.sum
       val cleanFiles = s.bucketFiles.collect { case (b, fs) if !dirty.contains(b) => fs }
-        .flatten.map(rel => s"$root/$rel").toSeq
+        .flatten.map(rel => LakeTable.dataPath(root, rel)).toSeq
       val schema = StructType.fromDDL(s.schemaDdl)
       val cleanTombs =
         if (cleanFiles.isEmpty) 0L
@@ -549,7 +549,7 @@ final class LakeTable private (
     val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
       .eval(null).asInstanceOf[Long]
     val bucket = math.floorMod(h, s.numBuckets.toLong).toInt
-    val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => s"$root/$rel")
+    val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => LakeTable.dataPath(root, rel))
     val scan =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -584,7 +584,7 @@ final class LakeTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val perBucket = values.filter(_ != null).groupBy(bucketOf).toSeq.sortBy(_._1)
       .map { case (bucket, vs) =>
-        val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => s"$root/$rel")
+        val files = s.bucketFiles.getOrElse(bucket, Nil).map(rel => LakeTable.dataPath(root, rel))
         if (files.isEmpty) empty
         else {
           val hit = spark.read.schema(schema).parquet(files: _*)
@@ -962,12 +962,12 @@ final class LakeTable private (
         lastMergeSalted = saltedEff
         if (saltedEff && !salted) phase("auto-salt")
 
-        val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => s"$root/$rel")
+        val touchedFiles = touched.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)).map(rel => LakeTable.dataPath(root, rel))
         // old touched rows from the incrementally-maintained bucketRows (no
         // re-read); needed both for the SPJ eligibility gate and the COW
         // rowCount delta below
         val oldTouchedRows = touched.map(b => snap.bucketRows.getOrElse(b,
-          countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => s"$root/$rel"), curSchema))).sum
+          countRows(snap.bucketFiles.getOrElse(b, Nil).map(rel => LakeTable.dataPath(root, rel)), curSchema))).sum
         val spj = spjEligible(touched, oldTouchedRows, rowsIn)
 
         // --- ONE-shuffle LWW MERGE (classic): in-batch dedup and old∪new
@@ -1729,6 +1729,212 @@ final class LakeTable private (
       s"no tag '$tag' on $root (tags: " +
         s"${snapshot().tags.keys.toSeq.sorted.mkString(", ")})"))
 
+  /** ZERO-COPY SHALLOW CLONE (≙ Delta `CREATE TABLE … SHALLOW CLONE`):
+    * materialize an INDEPENDENT table at `destRoot` whose initial snapshot
+    * REFERENCES this table's data files by absolute path — no data is
+    * copied; the clone commit is metadata-only and O(#files), whatever the
+    * table size. The clone is a full LakeTable: reads resolve exactly the
+    * cloned version's state (outstanding merge-on-read debt included), and
+    * writes are copy-on-write per bucket, so every bucket the clone
+    * rewrites (merge / compact / cluster / rebucket) replaces its borrowed
+    * references with clone-local files — the clone "un-shallows"
+    * incrementally, paying only for what it changes. Writer identity is NOT
+    * carried (txns/lineage/applied-batches reset): a clone is a new table,
+    * and a stream that fed the source must not be silently exactly-once-
+    * deduplicated against the clone.
+    *
+    * GC safety: the borrowed files live under the SOURCE's retention, so
+    * cloneTo first creates a protective TAG (`clone-<dest>-v<version>`) on
+    * the source at the cloned version — [[expire]] retains tagged versions'
+    * metadata AND data regardless of its keep-last window, and
+    * [[createTag]]'s own TOCTOU re-validation covers a racing expire.
+    * Dropping that tag hands the files back to normal retention (the
+    * documented Delta caveat — VACUUM can break shallow clones — made
+    * explicit and durable here until an operator drops the tag). The
+    * clone's own [[expire]] never touches source files: absolute refs are
+    * not candidates under the clone's `data/` dir. Cloning a clone keeps
+    * grandparent refs absolute (each resolves independently), but its
+    * protective tag pins only the IMMEDIATE source's version — keep the
+    * intermediate table (or compact the clone to localize its files) before
+    * retiring it.
+    *
+    * @param destRoot directory for the clone (must not already hold a table)
+    * @param version  source version to clone; -1 = current head
+    * @return the opened clone */
+  def cloneTo(destRoot: String, version: Long = -1L): LakeTable = {
+    require(!Files.exists(Paths.get(destRoot, "meta", "VERSION")),
+      s"cannot clone into $destRoot: a table already exists there")
+    val head = snapshot()
+    val target = if (version < 0L) head.version else version
+    require(target <= head.version,
+      s"cannot clone version $target: table is at ${head.version}")
+    require(Files.exists(Paths.get(root, "meta", s"v$target.json")),
+      s"version $target is not retained (expired or never existed) at $root")
+    val absRoot = Paths.get(root).toAbsolutePath.normalize.toString
+    val destName = Paths.get(destRoot).toAbsolutePath.normalize
+      .getFileName.toString.map(c =>
+        if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '-')
+    val tag = s"clone-$destName-v$target"
+    // tag FIRST: from here on the cloned version (metadata + data files) is
+    // pinned against the source's expire. Name collisions are benign: the
+    // name encodes the target version, so an existing tag either points at
+    // the same version (idempotent no-op) or belongs to a different-version
+    // clone of a same-named dest (createTag fails loudly; pick a new dest).
+    createTag(tag, target)
+    val src = readSnapshot(Paths.get(root), target)
+    val cloned = src.copy(
+      version = 0L,
+      bucketFiles = src.bucketFiles.view.mapValues(
+        _.map(LakeTable.dataPath(absRoot, _))).toMap,
+      fileStats = src.fileStats.map { case (rel, st) =>
+        LakeTable.dataPath(absRoot, rel) -> st },
+      txns = Map.empty, appliedBatches = Nil, lineage = Map.empty,
+      totals = Map("clones" -> 1L), tags = Map.empty,
+      committedAtMillis = System.currentTimeMillis())
+    val destMeta = Paths.get(destRoot, "meta")
+    Files.createDirectories(destMeta)
+    Files.write(destMeta.resolve("v0.json"), snapshotJson(cloned),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // provenance note (observability only; the engine never reads it)
+    val prov = mapper.createObjectNode()
+    prov.put("sourceRoot", absRoot)
+    prov.put("sourceVersion", target)
+    prov.put("sourceTag", tag)
+    Files.write(destMeta.resolve("CLONE.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(prov))
+    val tmp = destMeta.resolve("VERSION.tmp.0")
+    Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, destMeta.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    LakeTable.open(spark, destRoot)
+  }
+
+  /** WRITE-AUDIT-PUBLISH: fast-forward this table to a CLONE's audited
+    * state (≙ Iceberg's `fast_forward` procedure over a WAP branch). The
+    * workflow: [[cloneTo]] a zero-copy clone, run the risky work there
+    * (merges, compaction, schema evolution, DML), validate it, then
+    * `source.fastForward(cloneRoot)` — the source adopts the clone's HEAD
+    * state in ONE commit. Files the clone still borrows from the source
+    * relativize back to their original refs (untouched buckets stay
+    * byte-identical, so changelog bucket-diff pruning sees them unchanged);
+    * files the clone wrote locally are RENAMED into the source's `data/`
+    * (`maint-adopt-v<N>-…` dirs — same-filesystem renames, no data copied;
+    * inflight markers shield the move→commit window from a racing expire,
+    * and on a crash the moved files age out through the normal marker-TTL
+    * sweep). STRICT fast-forward only: the source must still sit at the
+    * version the clone was taken from — if any writer advanced it, this
+    * fails loudly BEFORE touching any file (re-clone and re-apply). The
+    * commit merges writer ledgers (per-app max seq, batch window re-capped)
+    * so BOTH the source's original stream and the audit writers stay
+    * exactly-once across the publish, and it drops the clone's protective
+    * tag in the same atomic step (the adopted head now references those
+    * files itself). The clone is CONSUMED: its version pointer is replaced
+    * by a `PUBLISHED.json` note and its leftover (unreferenced) local files
+    * are deleted.
+    * @return the source's new head version */
+  def fastForward(cloneRoot: String): Long = {
+    val absRoot = Paths.get(root).toAbsolutePath.normalize.toString
+    val absClone = Paths.get(cloneRoot).toAbsolutePath.normalize.toString
+    require(absClone != absRoot, "cannot fast-forward a table from itself")
+    val (srcRoot, clonedV, tag) = LakeTable.cloneProvenance(cloneRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$cloneRoot is not a clone (no provenance note) — fastForward " +
+          "publishes a clone's audited state back to its own source"))
+    require(srcRoot == absRoot,
+      s"clone at $cloneRoot descends from $srcRoot, not this table ($absRoot)")
+    require(Files.exists(Paths.get(cloneRoot, "meta", "VERSION")),
+      s"clone at $cloneRoot was already published or never finished")
+    val head = snapshot()
+    // STRICT fast-forward, stated logically: between the cloned version and
+    // the head only logically-INERT commits may have landed — the clone's
+    // own protective-tag commit (always present), compaction, expiry. Any
+    // applied batch, schema change, or rebucket is divergence and refuses
+    // here, before any file moves. The cloned version's metadata is
+    // retained by the protective tag, so it is always readable for this.
+    val clonedSnap = readSnapshot(Paths.get(root), clonedV)
+    require(maintenanceOnlyBetween(clonedSnap, head),
+      s"cannot fast-forward: this table logically advanced past version " +
+        s"$clonedV (now at ${head.version}) since the clone was taken — " +
+        "re-clone and re-apply the audit")
+    val cloneV = LakeTable.open(spark, cloneRoot).currentVersion()
+    val cSnap = readSnapshot(Paths.get(cloneRoot), cloneV)
+    val newV = head.version + 1
+    val borrowPrefix = absRoot + "/"
+    val cloneName = Paths.get(absClone).getFileName.toString.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '-')
+    // ref rewrite: borrowed → original relative; clone-local → adopt dir
+    val moves = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def adoptRef(ref: String): String =
+      if (ref.startsWith(borrowPrefix)) ref.stripPrefix(borrowPrefix)
+      else if (ref.startsWith("/")) throw new IllegalStateException(
+        s"clone references a third table's file ($ref) — publish or compact " +
+          "that clone-of-a-clone before fast-forwarding")
+      else {
+        // data/<dir>/… → data/maint-adopt-v<N>-<clone>-<dir>/… ("maint-"
+        // keeps the dir a GC candidate once no snapshot references it)
+        val stripped = ref.stripPrefix("data/")
+        val target = s"data/maint-adopt-v$newV-$cloneName-$stripped"
+        moves.put(ref, target)
+        target
+      }
+    val newBucketFiles = cSnap.bucketFiles.view.mapValues(_.map(adoptRef)).toMap
+    val newFileStats = cSnap.fileStats.map { case (ref, st) => adoptRef(ref) -> st }
+    // exactly-once continuity across the publish: both ledgers survive
+    val mergedTxns = (head.txns.keySet ++ cSnap.txns.keySet).map(a =>
+      a -> math.max(head.txns.getOrElse(a, Long.MinValue),
+        cSnap.txns.getOrElse(a, Long.MinValue))).toMap
+    val mergedBatches = (head.appliedBatches ++ cSnap.appliedBatches)
+      .distinct.takeRight(cSnap.retainBatches)
+    val next = cSnap.copy(
+      version = newV,
+      bucketFiles = newBucketFiles,
+      fileStats = newFileStats,
+      txns = mergedTxns,
+      appliedBatches = mergedBatches,
+      lineage = (head.lineage ++ cSnap.lineage).view
+        .filterKeys(mergedBatches.contains).toMap,
+      totals = (head.totals.keySet ++ cSnap.totals.keySet).map(k =>
+        k -> (head.totals.getOrElse(k, 0L) + cSnap.totals.getOrElse(k, 0L))).toMap,
+      // the protective tag dies in the same atomic commit — the adopted
+      // head references the pinned files itself now
+      tags = head.tags - tag)
+    // rename clone-local files in, shielded from a racing expire until the
+    // commit references them
+    val adoptDirs = moves.values.map(_.split('/').take(2).mkString("/")).toSet
+    val markers = adoptDirs.toSeq.map(d =>
+      Paths.get(root, "meta", s"inflight-${d.stripPrefix("data/")}"))
+    Files.createDirectories(Paths.get(root, "meta"))
+    markers.foreach(m => Files.write(m, Array.emptyByteArray))
+    try {
+      moves.foreach { case (from, to) =>
+        val dst = Paths.get(root).resolve(to)
+        Files.createDirectories(dst.getParent)
+        Files.move(Paths.get(cloneRoot).resolve(from), dst)
+      }
+      try commit(next)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          throw new java.util.ConcurrentModificationException(
+            s"fast-forward lost the publish race: a writer committed to " +
+              s"$root after the pre-move check — the clone is consumed " +
+              "either way (its files moved); re-clone and re-apply. " +
+              s"Moved files age out via the marker-TTL sweep. (${e.getMessage})")
+      }
+    } finally markers.foreach(Files.deleteIfExists(_))
+    // consume the clone: version pointer → PUBLISHED note; leftover local
+    // files (shadowed layers no longer referenced by its head) are garbage
+    val cloneMeta = Paths.get(cloneRoot, "meta")
+    val pub = mapper.createObjectNode()
+    pub.put("publishedInto", absRoot)
+    pub.put("publishedVersion", newV)
+    Files.write(cloneMeta.resolve("PUBLISHED.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(pub))
+    Files.deleteIfExists(cloneMeta.resolve("VERSION"))
+    val cloneData = Paths.get(cloneRoot, "data")
+    if (Files.isDirectory(cloneData)) deleteRecursively(cloneData)
+    newV
+  }
+
   /** EXPLICIT schema evolution (≙ Iceberg `ALTER TABLE … ADD COLUMNS`): add
     * new NULLABLE columns as a metadata-only commit — no data file is
     * touched; files written before the change read the new columns as null,
@@ -2095,6 +2301,17 @@ object LakeTable {
 
   private val mapper = new ObjectMapper()
 
+  /** Resolve a stored data-file reference to a full path. References are
+    * normally RELATIVE to the table root (`data/commit-<v>/bucket=<i>/…`);
+    * a SHALLOW CLONE's initial snapshot instead references the SOURCE
+    * table's files by ABSOLUTE path (zero-copy — see [[LakeTable.cloneTo]])
+    * until local rewrites replace them, so every read site resolves through
+    * this one helper. Absolute refs are inert to the clone's own [[expire]]
+    * GC (its candidates are only dirs under the clone's `data/`, and an
+    * absolute ref never matches a local `data/<dir>` key). */
+  private[graft] def dataPath(root: String, ref: String): String =
+    if (ref.startsWith("/")) ref else s"$root/$ref"
+
   /** Lineage/ledger retention window (batches). */
   final val DefaultRetainBatches = 128
 
@@ -2171,6 +2388,19 @@ object LakeTable {
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     t
+  }
+
+  /** Read a clone's provenance note written by [[LakeTable.cloneTo]]:
+    * (source root, source version, protective source tag). None when the
+    * table at `root` was not created by a clone. Observability only. */
+  def cloneProvenance(root: String): Option[(String, Long, String)] = {
+    val p = Paths.get(root, "meta", "CLONE.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      Some((n.get("sourceRoot").asText(), n.get("sourceVersion").asLong(),
+        n.get("sourceTag").asText()))
+    }
   }
 
   def open(spark: SparkSession, root: String): LakeTable = {

@@ -131,7 +131,7 @@ object LakeBucketSource {
       conf: Configuration): Map[String, Long] =
     if (allRel.size <= 1)
       allRel.map { rel =>
-        val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+        val p = new org.apache.hadoop.fs.Path(LakeTable.dataPath(root, rel))
         rel -> p.getFileSystem(conf).getFileStatus(p).getLen
       }.toMap
     else {
@@ -147,7 +147,7 @@ object LakeBucketSource {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(allRel.map { rel =>
         Future {
-          val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+          val p = new org.apache.hadoop.fs.Path(LakeTable.dataPath(root, rel))
           rel -> p.getFileSystem(conf).getFileStatus(p).getLen
         }
       }), 5.minutes).toMap
@@ -378,7 +378,7 @@ final class LakeBucketScan(root: String, snap: graft.tables.TableSnapshot,
         else keptFiles(b).map { rel =>
           PartitionedFile(
             partitionValues = InternalRow(b),
-            filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+            filePath = org.apache.spark.paths.SparkPath.fromPathString(LakeTable.dataPath(root, rel)),
             start = 0L, length = lens(rel))
         }.toArray
       LakeBucketPartition(idx, b, files): InputPartition

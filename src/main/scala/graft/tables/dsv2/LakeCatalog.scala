@@ -648,7 +648,7 @@ final class LakeSqlScan(root: String, snap: TableSnapshot,
       val files = keptFiles(b).map { rel =>
         PartitionedFile(
           partitionValues = InternalRow.empty,
-          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+          filePath = org.apache.spark.paths.SparkPath.fromPathString(LakeTable.dataPath(root, rel)),
           start = 0L, length = lens(rel))
       }.toArray
       LakeSqlPartition(idx, b, files,

@@ -360,7 +360,7 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
       s.bucketFiles.getOrElse(b, Nil).map { rel =>
         PartitionedFile(
           partitionValues = InternalRow.empty,
-          filePath = org.apache.spark.paths.SparkPath.fromPathString(s"$root/$rel"),
+          filePath = org.apache.spark.paths.SparkPath.fromPathString(LakeTable.dataPath(root, rel)),
           start = 0L, length = lens(rel))
       }.toArray
     changed.zipWithIndex.map { case (b, idx) =>

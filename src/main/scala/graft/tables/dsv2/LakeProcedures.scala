@@ -47,8 +47,9 @@ private[dsv2] object LakeProcedures {
   val Namespace: Array[String] = Array("system")
 
   private val all: Seq[String] =
-    Seq("cluster", "compact", "create_tag", "drop_tag", "expire_snapshots",
-      "rollback", "purge_tombstones", "rebucket")
+    Seq("clone", "cluster", "compact", "create_tag", "drop_tag",
+      "expire_snapshots", "fast_forward", "rollback", "purge_tombstones",
+      "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -58,6 +59,52 @@ private[dsv2] object LakeProcedures {
   def load(warehouse: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Namespace)) return None
     val p = ident.name() match {
+      case "clone" => new LakeProcedure(warehouse, "clone",
+        "zero-copy SHALLOW CLONE (Delta SHALLOW CLONE analog): create a new " +
+          "table whose initial snapshot references the source's data files " +
+          "by absolute path — no data copied; a protective tag on the " +
+          "source pins the cloned version against expire_snapshots",
+        Seq(tableParam,
+          ProcedureParameter.in("dest", StringType)
+            .comment("new table name under the catalog warehouse " +
+              "(dots separate namespaces); must not already exist")
+            .build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").comment("-1 = current head").build()),
+        StructType(Seq(
+          StructField("cloned_version", LongType, nullable = false),
+          StructField("source_tag", StringType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val destName = args.getUTF8String(1).toString
+          val destRoot = LakeCatalog.resolveRoot(warehouse, destName.split('.').toSeq)
+          // resolve the head HERE so the returned version names exactly the
+          // snapshot that was cloned even if a writer commits concurrently
+          val v = args.getLong(2)
+          val resolved = if (v < 0L) t.currentVersion() else v
+          t.cloneTo(destRoot.toString, resolved)
+          val tag = LakeTable.cloneProvenance(destRoot.toString)
+            .map(_._3).getOrElse("")
+          Seq[Any](resolved, tag)
+        }
+      }
+      case "fast_forward" => new LakeProcedure(warehouse, "fast_forward",
+        "WRITE-AUDIT-PUBLISH (Iceberg fast_forward analog): adopt a clone's " +
+          "audited head state back into its source table in one commit — " +
+          "borrowed files relativize in place, clone-local files rename in " +
+          "(no data copied); strict: fails loudly if the source advanced " +
+          "since the clone; the clone is consumed",
+        Seq(tableParam,
+          ProcedureParameter.in("clone", StringType)
+            .comment("clone table name under the catalog warehouse " +
+              "(must descend from `table`)").build()),
+        StructType(Seq(
+          StructField("new_version", LongType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val cloneRoot = LakeCatalog.resolveRoot(warehouse,
+            args.getUTF8String(1).toString.split('.').toSeq)
+          Seq[Any](t.fastForward(cloneRoot.toString))
+        }
+      }
       case "compact" => new LakeProcedure(warehouse, "compact",
         "rewrite every merge-on-read bucket into a single resolved layer",
         Seq(tableParam),
