@@ -1762,50 +1762,77 @@ final class LakeTable private (
     * @param version  source version to clone; -1 = current head
     * @return the opened clone */
   def cloneTo(destRoot: String, version: Long = -1L): LakeTable = {
-    require(!Files.exists(Paths.get(destRoot, "meta", "VERSION")),
+    val destMeta = Paths.get(destRoot, "meta")
+    // dest validation BEFORE the protective tag is planted, so no failure
+    // past this point can leak a tag for a clone that never materialized
+    require(!Files.exists(destMeta.resolve("VERSION")),
       s"cannot clone into $destRoot: a table already exists there")
+    if (Files.isDirectory(destMeta)) {
+      if (Files.exists(destMeta.resolve("PUBLISHED.json"))) {
+        // a CONSUMED clone (its state was adopted by fastForward): the
+        // remnants are dead metadata — clear them so a recurring WAP loop
+        // can reuse the audit name
+        deleteRecursively(Paths.get(destRoot))
+      } else {
+        val listing = Files.list(destMeta)
+        val nonEmpty = try listing.iterator().hasNext finally listing.close()
+        require(!nonEmpty,
+          s"cannot clone into $destRoot: it holds remnants of a table that " +
+            "was never published (crashed create?) — remove them first")
+      }
+    }
     val head = snapshot()
     val target = if (version < 0L) head.version else version
-    require(target <= head.version,
-      s"cannot clone version $target: table is at ${head.version}")
-    require(Files.exists(Paths.get(root, "meta", s"v$target.json")),
-      s"version $target is not retained (expired or never existed) at $root")
     val absRoot = Paths.get(root).toAbsolutePath.normalize.toString
-    val destName = Paths.get(destRoot).toAbsolutePath.normalize
-      .getFileName.toString.map(c =>
-        if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '-')
-    val tag = s"clone-$destName-v$target"
+    val absDest = Paths.get(destRoot).toAbsolutePath.normalize.toString
+    val destName = Paths.get(absDest).getFileName.toString.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '-')
+    // the tag encodes the dest's full IDENTITY (path digest), never just its
+    // basename: two same-named clones of the same version must NOT share a
+    // tag, or publishing/dropping one would silently unpin the other's
+    // borrowed files
+    val destId = java.security.MessageDigest.getInstance("MD5")
+      .digest(absDest.getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    val tag = s"clone-$destName-v$target-$destId"
     // tag FIRST: from here on the cloned version (metadata + data files) is
-    // pinned against the source's expire. Name collisions are benign: the
-    // name encodes the target version, so an existing tag either points at
-    // the same version (idempotent no-op) or belongs to a different-version
-    // clone of a same-named dest (createTag fails loudly; pick a new dest).
+    // pinned against the source's expire (createTag validates retention and
+    // covers its own expire race); any later failure drops the tag again
     createTag(tag, target)
-    val src = readSnapshot(Paths.get(root), target)
-    val cloned = src.copy(
-      version = 0L,
-      bucketFiles = src.bucketFiles.view.mapValues(
-        _.map(LakeTable.dataPath(absRoot, _))).toMap,
-      fileStats = src.fileStats.map { case (rel, st) =>
-        LakeTable.dataPath(absRoot, rel) -> st },
-      txns = Map.empty, appliedBatches = Nil, lineage = Map.empty,
-      totals = Map("clones" -> 1L), tags = Map.empty,
-      committedAtMillis = System.currentTimeMillis())
-    val destMeta = Paths.get(destRoot, "meta")
-    Files.createDirectories(destMeta)
-    Files.write(destMeta.resolve("v0.json"), snapshotJson(cloned),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    // provenance note (observability only; the engine never reads it)
-    val prov = mapper.createObjectNode()
-    prov.put("sourceRoot", absRoot)
-    prov.put("sourceVersion", target)
-    prov.put("sourceTag", tag)
-    Files.write(destMeta.resolve("CLONE.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(prov))
-    val tmp = destMeta.resolve("VERSION.tmp.0")
-    Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, destMeta.resolve("VERSION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val src = readSnapshot(Paths.get(root), target)
+      val cloned = src.copy(
+        version = 0L,
+        bucketFiles = src.bucketFiles.view.mapValues(
+          _.map(LakeTable.dataPath(absRoot, _))).toMap,
+        fileStats = src.fileStats.map { case (rel, st) =>
+          LakeTable.dataPath(absRoot, rel) -> st },
+        txns = Map.empty, appliedBatches = Nil, lineage = Map.empty,
+        totals = Map("clones" -> 1L), tags = Map.empty,
+        committedAtMillis = System.currentTimeMillis())
+      Files.createDirectories(destMeta)
+      Files.write(destMeta.resolve("v0.json"), snapshotJson(cloned),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      // provenance note: read by fastForward (publish routing) and
+      // cloneProvenance (observability)
+      val prov = mapper.createObjectNode()
+      prov.put("sourceRoot", absRoot)
+      prov.put("sourceVersion", target)
+      prov.put("sourceTag", tag)
+      Files.write(destMeta.resolve("CLONE.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(prov))
+      val tmp = destMeta.resolve("VERSION.tmp.0")
+      Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, destMeta.resolve("VERSION"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the clone never became openable — undo the pin rather than leak
+        // it (dropTag is tolerant of a concurrent drop only via its own
+        // require; swallow secondary failures, the primary error wins)
+        try dropTag(tag) catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     LakeTable.open(spark, destRoot)
   }
 
@@ -1856,7 +1883,8 @@ final class LakeTable private (
       s"cannot fast-forward: this table logically advanced past version " +
         s"$clonedV (now at ${head.version}) since the clone was taken — " +
         "re-clone and re-apply the audit")
-    val cloneV = LakeTable.open(spark, cloneRoot).currentVersion()
+    val cloneV = new String(Files.readAllBytes(
+      Paths.get(cloneRoot, "meta", "VERSION")), StandardCharsets.UTF_8).trim.toLong
     val cSnap = readSnapshot(Paths.get(cloneRoot), cloneV)
     val newV = head.version + 1
     val borrowPrefix = absRoot + "/"
@@ -1878,7 +1906,13 @@ final class LakeTable private (
         target
       }
     val newBucketFiles = cSnap.bucketFiles.view.mapValues(_.map(adoptRef)).toMap
-    val newFileStats = cSnap.fileStats.map { case (ref, st) => adoptRef(ref) -> st }
+    // persisted fileStats are normalized to the live file set at every
+    // serialization, but filter defensively anyway: a stale stats key must
+    // never be able to register a file move
+    val liveRefs = cSnap.bucketFiles.valuesIterator.flatten.toSet
+    val newFileStats = cSnap.fileStats.collect {
+      case (ref, st) if liveRefs(ref) => adoptRef(ref) -> st
+    }
     // exactly-once continuity across the publish: both ledgers survive
     val mergedTxns = (head.txns.keySet ++ cSnap.txns.keySet).map(a =>
       a -> math.max(head.txns.getOrElse(a, Long.MinValue),
@@ -1905,22 +1939,25 @@ final class LakeTable private (
       Paths.get(root, "meta", s"inflight-${d.stripPrefix("data/")}"))
     Files.createDirectories(Paths.get(root, "meta"))
     markers.foreach(m => Files.write(m, Array.emptyByteArray))
-    try {
-      moves.foreach { case (from, to) =>
-        val dst = Paths.get(root).resolve(to)
-        Files.createDirectories(dst.getParent)
-        Files.move(Paths.get(cloneRoot).resolve(from), dst)
-      }
-      try commit(next)
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          throw new java.util.ConcurrentModificationException(
-            s"fast-forward lost the publish race: a writer committed to " +
-              s"$root after the pre-move check — the clone is consumed " +
-              "either way (its files moved); re-clone and re-apply. " +
-              s"Moved files age out via the marker-TTL sweep. (${e.getMessage})")
-      }
-    } finally markers.foreach(Files.deleteIfExists(_))
+    // markers are removed ONLY on success (the commit references the adopt
+    // dirs from then on). On ANY failure they stay, so the moved files
+    // really do age out through the marker-TTL sweep instead of being
+    // reclaimed by the very next expire while an operator investigates.
+    moves.foreach { case (from, to) =>
+      val dst = Paths.get(root).resolve(to)
+      Files.createDirectories(dst.getParent)
+      Files.move(Paths.get(cloneRoot).resolve(from), dst)
+    }
+    try commit(next)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"fast-forward lost the publish race: a writer committed to " +
+            s"$root after the pre-move check — the clone is consumed " +
+            "either way (its files moved); re-clone and re-apply. " +
+            s"Moved files age out via the marker-TTL sweep. (${e.getMessage})")
+    }
+    markers.foreach(Files.deleteIfExists(_))
     // consume the clone: version pointer → PUBLISHED note; leftover local
     // files (shadowed layers no longer referenced by its head) are garbage
     val cloneMeta = Paths.get(cloneRoot, "meta")

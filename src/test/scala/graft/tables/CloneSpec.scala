@@ -118,6 +118,25 @@ class CloneSpec extends SparkTestBase {
     assert(values(clone) === Set("a2", "b1", "c2"))
   }
 
+  test("same-basename clones of the same version get INDEPENDENT tags") {
+    val src = newTable()
+    wave(src, 1L, "1")
+    val v1 = src.currentVersion()
+    val destA = s"${Files.createTempDirectory("clone-par-a")}/x"
+    val destB = s"${Files.createTempDirectory("clone-par-b")}/x"
+    val cloneA = src.cloneTo(destA, v1)
+    val cloneB = src.cloneTo(destB, v1)
+    val Some((_, _, tagA)) = LakeTable.cloneProvenance(destA)
+    val Some((_, _, tagB)) = LakeTable.cloneProvenance(destB)
+    // identity-digested names: dropping A's pin must not unpin B
+    assert(tagA !== tagB)
+    src.dropTag(tagA)
+    (2L to 6L).foreach(i => wave(src, i, i.toString))
+    src.expire(keepVersions = 2)
+    assert(values(cloneB) === Set("a1", "b1"))
+    assert(values(cloneA) === Set("a1", "b1")) // B's tag still pins the files
+  }
+
   test("SQL: CALL clone, then query the clone through the catalog") {
     val wh = Files.createTempDirectory("clone-sql").toString
     spark.conf.set("spark.sql.catalog.clone_sql",
@@ -129,7 +148,7 @@ class CloneSpec extends SparkTestBase {
     val vBefore = src.currentVersion()
     val res = spark.sql("CALL clone_sql.system.clone('src_t', 'dst_t')").collect()
     assert(res.head.getLong(0) === vBefore)
-    assert(res.head.getString(1) === s"clone-dst_t-v$vBefore")
+    assert(res.head.getString(1).startsWith(s"clone-dst_t-v$vBefore-"))
     wave(src, 2L, "2")
     assert(spark.sql("SELECT v FROM clone_sql.dst_t").as[String].collect().toSet
       === Set("a1", "b1"))

@@ -109,6 +109,26 @@ class FastForwardSpec extends SparkTestBase {
     intercept[IllegalArgumentException](src.fastForward(src.root))
   }
 
+  test("recurring WAP loop: the audit name is reusable after each publish") {
+    val src = newTable()
+    wave(src, 1L, "1")
+    val audit = s"${Files.createTempDirectory("ff-loop")}/audit"
+    (2L to 4L).foreach { round =>
+      val clone = src.cloneTo(audit) // consumed remnants cleared each round
+      wave(clone, round, s"$round-audit")
+      src.fastForward(audit)
+      assert(values(src) === Set(s"a$round-audit", s"b$round-audit"))
+    }
+    // each round's publish dropped its own protective tag: nothing pinned
+    assert(src.snapshot().tags.isEmpty)
+    // a dest holding a NEVER-published table's remnants still refuses
+    val crashed = Files.createTempDirectory("ff-crashed").toString
+    Files.createDirectories(Paths.get(crashed, "meta"))
+    Files.write(Paths.get(crashed, "meta", "v0.json"), "{}".getBytes)
+    val e = intercept[IllegalArgumentException](src.cloneTo(crashed))
+    assert(e.getMessage.contains("never published"))
+  }
+
   test("SQL: CALL fast_forward publishes a CALL-clone audit") {
     val wh = Files.createTempDirectory("ff-sql").toString
     spark.conf.set("spark.sql.catalog.ff_sql",
