@@ -2124,6 +2124,95 @@ final class LakeTable private (
     (metaRemoved, commitsRemoved)
   }
 
+  /** FILE-level GC (≙ Iceberg `remove_orphan_files`): delete data files
+    * under this table's `data/` that NO retained snapshot references.
+    * [[expire]] is DIRECTORY-granular — it removes a commit dir only when
+    * nothing in it is referenced — so a dir anchored by one cold bucket's
+    * live file keeps the dead files of hot buckets that were copy-on-write
+    * rewritten many versions ago. At a 100 TB stream with skewed bucket
+    * heat that debt grows without bound; this pass diffs the actual file
+    * tree against the union of every retained snapshot's refs (FULL paths,
+    * not dir prefixes) and deletes the difference.
+    *
+    * Safety:
+    *  - `graceMs` (mtime-based): files younger than the grace are kept, so
+    *    a concurrent commit's freshly-written-but-not-yet-referenced files
+    *    survive (they are minutes old; the default grace is a day — the
+    *    Iceberg default);
+    *  - dirs with a live `inflight-` marker are skipped entirely (same
+    *    protocol as [[expire]]'s data sweep);
+    *  - the referenced set is re-read AFTER listing candidates, so a commit
+    *    landing mid-sweep protects its files; an unreadable ledger aborts
+    *    the sweep (partial knowledge must not delete);
+    *  - clones borrow exactly the files of their pinned (tagged) source
+    *    version, whose metadata [[expire]] retains, so borrowed files are
+    *    always inside the referenced set here;
+    *  - only `*.parquet` files are touched; emptied dirs are swept after.
+    * @return (orphan files deleted, emptied dirs removed) */
+  def removeOrphanFiles(graceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return (0, 0)
+    val meta = Paths.get(root, "meta")
+    val now = System.currentTimeMillis()
+    def marked(topDir: String): Boolean = {
+      val m = meta.resolve(s"inflight-$topDir")
+      Files.exists(m) && {
+        val fresh = try
+          now - Files.getLastModifiedTime(m).toMillis < InflightMarkerTtlMs
+        catch { case _: java.io.IOException => true }
+        fresh
+      }
+    }
+    // candidate files FIRST, referenced set SECOND (a commit landing in
+    // between is in the referenced set; its files were also young anyway)
+    val walk = Files.walk(dataDir)
+    val candidates = try
+      walk.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+      }.map(p => Paths.get(root).relativize(p).toString).toVector
+    finally walk.close()
+    // None = some ledger unreadable (racing expire/commit): abort the sweep
+    val referenced: Option[Set[String]] = {
+      val sets = Files.list(meta).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
+        .map { v =>
+          try Some(readSnapshot(Paths.get(root), v).bucketFiles
+            .values.flatten.toSet)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.toSeq
+      if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
+    }
+    referenced match {
+      case None => (0, 0)
+      case Some(live) =>
+        var removed = 0
+        candidates.foreach { rel =>
+          val top = rel.split('/').lift(1).getOrElse("")
+          val p = Paths.get(root).resolve(rel)
+          val oldEnough = try
+            now - Files.getLastModifiedTime(p).toMillis >= graceMs
+          catch { case _: java.io.IOException => false }
+          if (!live(rel) && oldEnough && !marked(top) &&
+              Files.deleteIfExists(p)) removed += 1
+        }
+        // sweep dirs the deletions emptied (bottom-up; keep data/ itself)
+        var dirsRemoved = 0
+        val dirs = Files.walk(dataDir)
+        try dirs.iterator().asScala.toVector
+          .filter(p => Files.isDirectory(p) && p != dataDir)
+          .sortBy(-_.getNameCount)
+          .foreach { d =>
+            val ls = Files.list(d)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) { Files.delete(d); dirsRemoved += 1 }
+          }
+        finally dirs.close()
+        (removed, dirsRemoved)
+    }
+  }
+
   /** Run `f` with an `inflight-<dir>` marker protecting `commitRel`'s data
     * directory from a concurrent [[expire]] between first write and commit
     * (the dir is unreferenced by any snapshot during that window). */

@@ -48,8 +48,8 @@ private[dsv2] object LakeProcedures {
 
   private val all: Seq[String] =
     Seq("clone", "cluster", "compact", "create_tag", "drop_tag",
-      "expire_snapshots", "fast_forward", "rollback", "purge_tombstones",
-      "rebucket")
+      "expire_snapshots", "fast_forward", "remove_orphan_files", "rollback",
+      "purge_tombstones", "rebucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -206,6 +206,24 @@ private[dsv2] object LakeProcedures {
         override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
           t.dropTag(args.getUTF8String(1).toString)
           Seq[Any](t.snapshot().version)
+        }
+      }
+      case "remove_orphan_files" => new LakeProcedure(warehouse, "remove_orphan_files",
+        "FILE-level GC (Iceberg remove_orphan_files analog): delete data " +
+          "files no retained snapshot references — the debt expire's " +
+          "directory-granular sweep cannot reach when a dir is anchored by " +
+          "one cold bucket's live file; files younger than grace_ms are kept",
+        Seq(tableParam,
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue("86400000")
+            .comment("keep files younger than this (mtime), default 1 day")
+            .build()),
+        StructType(Seq(
+          StructField("orphan_files_removed", IntegerType, nullable = false),
+          StructField("empty_dirs_removed", IntegerType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] = {
+          val (files, dirs) = t.removeOrphanFiles(args.getLong(1))
+          Seq[Any](files, dirs)
         }
       }
       case "rebucket" => new LakeProcedure(warehouse, "rebucket",
