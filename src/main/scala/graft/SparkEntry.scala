@@ -1091,6 +1091,35 @@ object SparkEntry {
       s.sql(
         """SELECT event_type AS last_event_type, count(*) AS n_keys
           |FROM graft_sql.q61base GROUP BY event_type""".stripMargin)
+    }),
+
+    // K1 DROP COLUMN e2e WITH a DuckDB oracle: the SQL catalog narrows the
+    // schema metadata-only (ALTER TABLE … DROP COLUMN — no file rewritten;
+    // the dropped name goes on the resurrection-guard ledger), a post-drop
+    // insert wave merges through the narrowed schema, and the final read
+    // serves the LWW winners across both waves WITHOUT the dropped column —
+    // values stored under the dropped name must never leak back into reads.
+    "q62_sql_drop_column" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q62tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q62tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q62_events")
+      s.sql("INSERT INTO graft_sql.q62tbl SELECT * FROM q62_events")
+      s.sql("ALTER TABLE graft_sql.q62tbl DROP COLUMN value")
+      s.sql(
+        """INSERT INTO graft_sql.q62tbl
+          |SELECT user_id, ts, event_id + 1000000, 'post_drop'
+          |FROM q62_events WHERE user_id % 3 = 0""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type
+          |FROM graft_sql.q62tbl""".stripMargin)
     })
   )
 
@@ -1326,6 +1355,19 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY user_id
           |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
           |WHERE rn = 1 GROUP BY event_type""".stripMargin,
+      // LWW winners over wave 1 (all events, `value` since dropped) union
+      // wave 2 (user_id%3=0 shadows at event_id+1e6) — the dropped column
+      // is absent from the output and its stored values must not leak
+      "q62_sql_drop_column" ->
+        """WITH w1 AS (SELECT user_id, ts, event_id, event_type FROM events),
+          |w2 AS (SELECT user_id, ts, event_id + 1000000 AS event_id,
+          |         'post_drop' AS event_type FROM events WHERE user_id % 3 = 0),
+          |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+          |SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM u)
+          |WHERE rn = 1""".stripMargin,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

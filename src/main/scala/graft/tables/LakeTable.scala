@@ -109,7 +109,15 @@ final case class TableSnapshot(
       * state). Tags live on the HEAD snapshot only — like Iceberg's refs in
       * the current table metadata — so every commit path carries them
       * forward. */
-    tags: Map[String, Long] = Map.empty)
+    tags: Map[String, Long] = Map.empty,
+    /** lowercase names of columns DROPPED from the schema while data files
+      * written before the drop may still carry their values (the format is
+      * name-based — no Iceberg field-id indirection — so re-introducing a
+      * dropped name would RESURRECT old values from any un-rewritten file).
+      * [[LakeTable.addColumns]] and the merge-batch implicit evolution both
+      * refuse names on this ledger; [[LakeTable.rebucket]] rewrites every
+      * file and clears it. */
+    droppedCols: Seq[String] = Nil)
 
 /** Iceberg-style managed table built from scratch (SURVEY.md §7.3; no
   * Iceberg/Delta jars exist in this environment, by design).
@@ -821,6 +829,15 @@ final class LakeTable private (
     // --- schema evolution: batch may add new nullable columns ---
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     val newCols = batch.schema.filterNot(f => curSchema.fieldNames.contains(f.name))
+    // a batch column whose name was DROPPED would read resurrected values
+    // out of every file written before the drop (name-based format, no
+    // field ids) — refuse loudly rather than corrupt; rebucket() rewrites
+    // all files and clears the ledger
+    val resurrected = newCols.map(_.name).filter(n => snap.droppedCols.contains(n.toLowerCase))
+    require(resurrected.isEmpty,
+      s"batch column(s) ${resurrected.mkString(", ")} reuse a DROPPED column name — " +
+        "older data files still carry values under that name and would resurrect " +
+        "through reads; pick a new name, or rebucket() to rewrite all files first")
     val evolved = StructType(curSchema.fields ++ newCols.map(_.copy(nullable = true)))
     require(snap.keyCols.forall(batch.columns.contains),
       s"batch missing key columns ${snap.keyCols}")
@@ -1109,7 +1126,8 @@ final class LakeTable private (
           fileStats = s.fileStats ++ writtenStats,
           sortOrder = s.sortOrder,
           targetFileRows = s.targetFileRows,
-          tags = s.tags))
+          tags = s.tags,
+          droppedCols = s.droppedCols))
       }
       phase("counts")
       val committed = occCommit(snap)(cur =>
@@ -1608,7 +1626,10 @@ final class LakeTable private (
           rowCount = writtenRows.values.sum,
           morBuckets = Nil,
           bucketLayers = Map.empty,
-          fileStats = writtenStats))
+          fileStats = writtenStats,
+          // every file was rewritten through the current schema, so no file
+          // can still carry a dropped column's values — names are reusable
+          droppedCols = Nil))
         true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1989,13 +2010,19 @@ final class LakeTable private (
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     // case-INSENSITIVE name checks throughout: Spark resolves columns
     // case-insensitively by default, so a schema carrying both `value` and
-    // `Value` makes every reference AMBIGUOUS — and there is no DROP COLUMN
-    // to undo a committed duplicate
+    // `Value` makes every reference AMBIGUOUS — and DROP COLUMN would not
+    // undo the resulting ambiguity cleanly
     val dups = cols.groupBy(_.name.toLowerCase)
       .collect { case (n, fs) if fs.size > 1 => n }
     require(dups.isEmpty,
       s"ADD COLUMNS lists column(s) ${dups.mkString(", ")} more than once")
     val committed = occCommit(snapshot())(_ => true) { base =>
+      val reused = cols.map(_.name).filter(n => base.droppedCols.contains(n.toLowerCase))
+      require(reused.isEmpty,
+        s"column name(s) ${reused.mkString(", ")} were previously DROPPED — older " +
+          "data files still carry values under that name and would resurrect " +
+          "through reads (the format is name-based); pick a new name, or " +
+          "rebucket() to rewrite all files first")
       val cur = StructType.fromDDL(base.schemaDdl)
       cols.foreach { f =>
         cur.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { ex =>
@@ -2012,6 +2039,72 @@ final class LakeTable private (
         schemaDdl = StructType(cur.fields ++ fresh.map(_.copy(nullable = true))).toDDL,
         totals = base.totals.updated("schema_changes",
           base.totals.getOrElse("schema_changes", 0L) + 1L)))
+    }
+    committed.map(_.version).getOrElse(currentVersion())
+  }
+
+  /** EXPLICIT schema evolution (≙ Iceberg `ALTER TABLE … DROP COLUMN`):
+    * remove columns as a metadata-only commit — no data file is touched.
+    * Reads project the snapshot schema, so files still carrying the column
+    * simply stop being read through it; copy-on-write rewrites retire the
+    * stored values bucket by bucket as merges land.
+    *
+    * The format is NAME-based (no Iceberg field-id indirection), so the
+    * dropped name goes on a ledger ([[TableSnapshot.droppedCols]]) and can
+    * NOT be re-introduced — by [[addColumns]] or by a merge batch — while
+    * un-rewritten files may still carry old values under it (re-adding
+    * would silently resurrect them). [[rebucket]] rewrites every file and
+    * clears the ledger. Time travel is unaffected: a pre-drop version reads
+    * through its own schema, column included.
+    *
+    * Table-identity columns are protected: keys, order columns, the
+    * tombstone column, and the persisted write sort order cannot be
+    * dropped. Dropping a column already on the ledger is an idempotent
+    * no-op; a name that never existed is an error.
+    *
+    * Metadata-only and commutative with every other commit kind, so it
+    * rebases over ANY interleaved writer (recomputed against the fresh
+    * snapshot each attempt).
+    * @return the table version carrying the narrowed schema */
+  def dropColumns(names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
+    val committed = occCommit(snapshot())(_ => true) { base =>
+      val cur = StructType.fromDDL(base.schemaDdl)
+      def protectedBy(n: String): Option[String] = {
+        def hit(cols: Seq[String], what: String): Option[String] =
+          cols.find(_.equalsIgnoreCase(n)).map(_ => what)
+        hit(base.keyCols, "a key column")
+          .orElse(hit(base.orderCols, "an order (LWW) column"))
+          .orElse(hit(base.tombstoneCol.toSeq, "the tombstone column"))
+          .orElse(hit(base.sortOrder, "in the persisted write sort order"))
+      }
+      val resolved = names.map { n =>
+        protectedBy(n).foreach(what => throw new IllegalArgumentException(
+          s"cannot drop column '$n': it is $what — table identity and history " +
+            "hang off it"))
+        cur.fields.find(_.name.equalsIgnoreCase(n)) match {
+          case Some(f) => Some(f.name)
+          case None =>
+            require(base.droppedCols.contains(n.toLowerCase),
+              s"cannot drop column '$n': no such column in the table schema")
+            None // already dropped — idempotent
+        }
+      }.flatten.distinct
+      if (resolved.isEmpty) None
+      else {
+        val gone = resolved.map(_.toLowerCase).toSet
+        val narrowed = StructType(cur.fields.filterNot(f => gone(f.name.toLowerCase)))
+        Some(base.copy(
+          version = base.version + 1,
+          schemaDdl = narrowed.toDDL,
+          droppedCols = (base.droppedCols ++ gone).distinct.sorted,
+          // scrub the dropped columns' bounds — nothing can filter on them
+          fileStats = base.fileStats.map { case (rel, st) =>
+            rel -> st.copy(cols = st.cols.filterNot(e => gone(e._1.toLowerCase)))
+          },
+          totals = base.totals.updated("schema_changes",
+            base.totals.getOrElse("schema_changes", 0L) + 1L)))
+      }
     }
     committed.map(_.version).getOrElse(currentVersion())
   }
@@ -2585,6 +2678,9 @@ object LakeTable {
     s.bucketLayers.toSeq.sortBy(_._1).foreach { case (b, n) => bl.put(b.toString, n) }
     o.put("maxLayers", s.maxLayers)
     s.tombstoneCol.foreach(c => o.put("tombstoneCol", c))
+    if (s.droppedCols.nonEmpty) {
+      val dc = o.putArray("droppedCols"); s.droppedCols.foreach(dc.add)
+    }
     // normalize to the LIVE file set at serialization time: replaced files'
     // stats die with the files, so the map stays O(current files) no matter
     // how commits interleaved in memory
@@ -2646,6 +2742,8 @@ object LakeTable {
         if (node.has("maxLayers")) node.get("maxLayers").asInt() else DefaultMaxLayers,
       tombstoneCol =
         if (node.has("tombstoneCol")) Some(node.get("tombstoneCol").asText()) else None,
+      droppedCols =
+        if (node.has("droppedCols")) strs(node.get("droppedCols")) else Nil,
       fileStats =
         if (!node.has("fileStats")) Map.empty
         else {

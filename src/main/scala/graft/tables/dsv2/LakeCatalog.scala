@@ -223,17 +223,22 @@ final class LakeCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE lake.t ADD COLUMNS (c TYPE, …)` — explicit schema
-    * evolution as a metadata-only commit ([[graft.tables.LakeTable
-    * .addColumns]]): new columns must be nullable (stored rows read them as
-    * null) and top-level, and append at the end — the same contract the
-    * implicit merge-batch evolution path keeps. Every other ALTER (rename/
-    * drop/retype/reposition, property changes) is rejected: a keyed LWW
-    * table's identity and history hang off its columns. */
+  /** `ALTER TABLE lake.t ADD COLUMNS (c TYPE, …)` / `DROP COLUMN c` —
+    * explicit schema evolution as metadata-only commits
+    * ([[graft.tables.LakeTable.addColumns]] /
+    * [[graft.tables.LakeTable.dropColumns]]): added columns must be
+    * nullable (stored rows read them as null), top-level, and append at the
+    * end — the same contract the implicit merge-batch evolution path keeps;
+    * dropped columns must not be table identity (keys / order / tombstone /
+    * sort order) and their names go on the resurrection-guard ledger. Every
+    * other ALTER (rename/retype/reposition, property changes) is rejected:
+    * a keyed LWW table's identity and history hang off its columns, and the
+    * name-based format has no field-id indirection to rename through. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val (dropChanges, rest) = changes.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMN '${a.fieldNames().mkString(".")}' is not supported")
@@ -248,10 +253,17 @@ final class LakeCatalog extends TableCatalog
             "and silently dropping it would be worse")
         StructField(a.fieldNames().head, a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change $other — only ADD COLUMNS evolves a " +
-          "lake table (rows evolve through merges; layout through rebucket)")
+        s"unsupported ALTER TABLE change $other — only ADD COLUMNS / DROP COLUMN " +
+          "evolve a lake table (rows evolve through merges; layout through rebucket)")
     }
-    LakeTable.open(SparkSession.active, root.toString).addColumns(adds)
+    val drops = dropChanges.map { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        s"nested DROP COLUMN '${d.fieldNames().mkString(".")}' is not supported")
+      d.fieldNames().head
+    }
+    val t = LakeTable.open(SparkSession.active, root.toString)
+    if (adds.nonEmpty) t.addColumns(adds)
+    if (drops.nonEmpty) t.dropColumns(drops)
     loadTable(ident)
   }
 

@@ -276,11 +276,37 @@ class LakeCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE lakecat.t11 ADD COLUMNS (score STRING)"))
     assert(messages(e).exists(m => m.contains("already exists")),
       s"unexpected: ${messages(e).mkString(" | ")}")
-    // everything but ADD COLUMNS is rejected
+    // everything but ADD COLUMNS / DROP COLUMN is rejected
     val e2 = intercept[Exception](
-      spark.sql("ALTER TABLE lakecat.t11 DROP COLUMN tag"))
-    assert(messages(e2).exists(m =>
-      m.contains("unsupported ALTER TABLE") || m.contains("DROP COLUMN")),
+      spark.sql("ALTER TABLE lakecat.t11 RENAME COLUMN tag TO label"))
+    assert(messages(e2).exists(m => m.contains("unsupported ALTER TABLE")),
+      s"unexpected: ${messages(e2).mkString(" | ")}")
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only narrowing with resurrection guard") {
+    val t = makeTable("t14")
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "b1")
+    spark.sql("ALTER TABLE lakecat.t14 ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO lakecat.t14 VALUES ('b', 1, 'b1', 'x')")
+    spark.sql("ALTER TABLE lakecat.t14 DROP COLUMN tag")
+    // the column is gone from the SQL schema and reads
+    assert(!spark.table("lakecat.t14").columns.contains("tag"))
+    assert(spark.sql("SELECT k, v FROM lakecat.t14 ORDER BY k")
+      .collect().map(_.getString(1)).toSeq === Seq("a1", "b1"))
+    // time travel to the pre-drop version still reads the column's values
+    val preDrop = t.currentVersion() - 1
+    assert(spark.sql(
+      s"SELECT tag FROM lakecat.t14 VERSION AS OF $preDrop WHERE k = 'b'")
+      .as[String].head() === "x")
+    // re-introducing the dropped name is refused — un-rewritten files still
+    // carry values under it (name-based format, no field ids)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE lakecat.t14 ADD COLUMNS (tag STRING)"))
+    assert(messages(e).exists(m => m.contains("DROPPED")),
+      s"unexpected: ${messages(e).mkString(" | ")}")
+    // identity columns refuse to drop
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE lakecat.t14 DROP COLUMN k"))
+    assert(messages(e2).exists(m => m.contains("key column")),
       s"unexpected: ${messages(e2).mkString(" | ")}")
   }
 }
