@@ -1103,10 +1103,18 @@ final class LakeTable private (
         // a DISJOINT concurrent merge may have evolved the schema while this
         // one was in flight (and vice versa) — the committed schema is the
         // UNION, so neither writer's new nullable columns are dropped;
-        // either side's files read through it with nulls for missing fields
+        // either side's files read through it with nulls for missing fields.
+        // EXCEPT names on the rebased snapshot's dropped-column ledger: a
+        // concurrent DROP COLUMN landed after this merge started, and
+        // unioning the stale evolved schema back in would re-introduce the
+        // name while un-rewritten files still carry old values under it
+        // (resurrection). The drop committed first, so it wins — this
+        // merge's files keep the column's bytes, but the schema (like any
+        // post-drop file) stops reading through it.
         val sSchema = StructType.fromDDL(s.schemaDdl)
         val unionSchema = StructType(sSchema.fields ++
-          evolved.fields.filterNot(f => sSchema.fieldNames.contains(f.name)))
+          evolved.fields.filterNot(f => sSchema.fieldNames.contains(f.name) ||
+            s.droppedCols.contains(f.name.toLowerCase)))
         Some(TableSnapshot(
           version = s.version + 1,
           schemaDdl = unionSchema.toDDL,

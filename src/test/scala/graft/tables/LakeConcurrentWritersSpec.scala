@@ -100,6 +100,37 @@ class LakeConcurrentWritersSpec extends SparkTestBase {
     assert(bucketsB.flatMap(byBucket).forall(k => rows(k).contains("noteB")))
   }
 
+  test("merge rebasing over a concurrent DROP COLUMN does not resurrect it") {
+    val t1 = newTable()
+    val t2 = LakeTable.createOrOpen(spark, t1.root, schema, Seq("k"), Seq("wv"), B)
+    val byBucket = keysByBucket(64)
+    val bucketsA = byBucket.keys.toSeq.sorted.take(2)
+    t1.merge(byBucket.values.flatten.map(k => (k, 1L, s"$k-0")).toSeq.toDF("k", "wv", "v"),
+      "seed", txn = Some(("writerA", 1L)))
+    // writer A's second merge (carrying column v) races a DROP COLUMN v that
+    // lands inside its commit window: the drop committed first, so it wins —
+    // the rebased merge must NOT union the stale schema's v back in
+    val batchA = bucketsA.flatMap(byBucket).map(k => (k, 2L, s"$k-A")).toDF("k", "wv", "v")
+    var fired = false
+    t1.onBeforeCommit = () => {
+      if (!fired) { fired = true; t2.dropColumns(Seq("v")) }
+    }
+    t1.merge(batchA, "batchA", txn = Some(("writerA", 2L)))
+    val s = t1.snapshot()
+    assert(s.version === 3L) // seed, drop, rebased merge
+    assert(t1.schema.fieldNames.toSeq === Seq("k", "wv")) // v stays dropped
+    assert(s.droppedCols === Seq("v")) // ledger carried through the rebase
+    // the merge itself landed (LWW state advanced on its buckets)
+    val state = t1.read().as[(String, Long)].collect().toMap
+    assert(bucketsA.flatMap(byBucket).forall(k => state(k) == 2L))
+    // and re-introducing the name still refuses — the resurrection guard holds
+    val e = intercept[IllegalArgumentException] {
+      t1.addColumns(Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    }
+    assert(e.getMessage.contains("DROPPED"))
+  }
+
   test("merge-on-read layers from disjoint writers land concurrently too") {
     val t1 = newTable()
     val t2 = LakeTable.createOrOpen(spark, t1.root, schema, Seq("k"), Seq("wv"), B)
