@@ -1120,6 +1120,33 @@ object SparkEntry {
         """SELECT user_id, event_id AS last_event_id,
           |  event_type AS last_event_type
           |FROM graft_sql.q62tbl""".stripMargin)
+    }),
+
+    // ======================= q63: table integrity audit ====================
+    // Build a table exercising every metadata surface the auditor checks —
+    // merges (COW + MOR layers), a tag, schema evolution with a DROP (the
+    // resurrection ledger) — then CALL verify_table with the distributed
+    // data pass on. The oracle is the exact all-ok checklist: the audit's
+    // value is the FIXED contract of what it verifies, and any corruption
+    // (or any silently-skipped check) breaks the row set.
+    "q63_verify_table" -> ((s, dir) => {
+      freshSqlCatalogTable(s, "q63tbl")
+      s.sql(
+        """CREATE TABLE graft_sql.q63tbl (
+          |  user_id BIGINT, ts TIMESTAMP, event_id BIGINT,
+          |  event_type STRING, value DOUBLE)
+          |TBLPROPERTIES ('keys'='user_id', 'orders'='ts,event_id',
+          |  'buckets'='16')""".stripMargin)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q63_events")
+      s.sql("INSERT INTO graft_sql.q63tbl SELECT * FROM q63_events")
+      s.sql("ALTER TABLE graft_sql.q63tbl DROP COLUMN value")
+      s.sql("CALL graft_sql.system.create_tag(table => 'q63tbl', tag => 'audited')")
+      s.sql(
+        """CALL graft_sql.system.verify_table(table => 'q63tbl',
+          |  check_data => true)""".stripMargin)
+        .select(col("check").as("check_name"), col("ok"))
     })
   )
 
@@ -1368,6 +1395,26 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           |        ORDER BY ts DESC, event_id DESC) AS rn FROM u)
           |WHERE rn = 1""".stripMargin,
+      // the audit's contract: exactly these checks run, and a freshly-built
+      // table (merges + a tag + a DROP COLUMN + the distributed data pass)
+      // passes every one of them
+      "q63_verify_table" ->
+        """SELECT * FROM (VALUES
+          |  ('schema_parses', true),
+          |  ('identity_columns_in_schema', true),
+          |  ('dropped_names_absent_from_schema', true),
+          |  ('bucket_ids_in_range', true),
+          |  ('row_count_consistent', true),
+          |  ('buckets_with_rows_have_files', true),
+          |  ('mor_buckets_have_files', true),
+          |  ('file_refs_unique', true),
+          |  ('referenced_files_exist', true),
+          |  ('file_stats_reference_live_files', true),
+          |  ('tags_resolve_to_retained_versions', true),
+          |  ('lineage_keys_within_batch_window', true),
+          |  ('stored_counts_match_files', true),
+          |  ('rows_hashed_into_their_bucket', true)
+          |) AS t(check_name, ok)""".stripMargin,
       // merge-on-read replay of the same events resolves to the same global
       // per-key LWW state — batching and layering must be invisible
       "q33_lake_mor_cdc" -> lwwSql,

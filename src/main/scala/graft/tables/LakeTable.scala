@@ -2314,6 +2314,151 @@ final class LakeTable private (
     }
   }
 
+  /** TABLE INTEGRITY AUDIT (an `fsck` for the table format — the check
+    * Iceberg/Delta operators script by hand): validate the HEAD snapshot's
+    * internal invariants and its agreement with storage, modifying NOTHING.
+    * The metadata checks are driver-side and O(#files) — cheap at any table
+    * size; `checkData = true` adds ONE Spark job with zero exchanges (both
+    * aggregates ride the partitioning-reporting scan) that verifies
+    * per-bucket stored row counts against the snapshot ledger and that
+    * every row's key hashes into the bucket holding it — the invariant
+    * every bucket-pruned read, point lookup, and storage-partitioned join
+    * silently depends on. Run it after restoring from a backup, before
+    * trusting a manually-repaired table, or on a schedule against bit rot.
+    * @return `(check, ok, detail)` rows in a fixed order; all-ok = healthy */
+  def verifyTable(checkData: Boolean = false): Seq[(String, Boolean, String)] = {
+    val s = snapshot()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, String)]
+    def check(name: String)(body: => (Boolean, String)): Unit = {
+      val (ok, d) = try body catch {
+        case scala.util.control.NonFatal(e) => (false, s"check errored: ${e.getMessage}")
+      }
+      out += ((name, ok, d))
+    }
+    val schemaOpt =
+      try Some(StructType.fromDDL(s.schemaDdl))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val lcNames = schemaOpt.map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+    check("schema_parses")((schemaOpt.isDefined,
+      if (schemaOpt.isDefined) "" else s"unparseable DDL: ${s.schemaDdl.take(80)}"))
+    check("identity_columns_in_schema") {
+      val want = s.keyCols ++ s.orderCols ++ s.tombstoneCol.toSeq ++ s.sortOrder
+      val missing = want.filterNot(c => lcNames(c.toLowerCase))
+      (missing.isEmpty,
+        if (missing.isEmpty) "" else s"missing from schema: ${missing.mkString(", ")}")
+    }
+    check("dropped_names_absent_from_schema") {
+      val clash = s.droppedCols.filter(lcNames)
+      (clash.isEmpty,
+        if (clash.isEmpty) ""
+        else s"on the dropped ledger AND in the schema (resurrection): ${clash.mkString(", ")}")
+    }
+    check("bucket_ids_in_range") {
+      val ids = (s.bucketFiles.keys ++ s.bucketRows.keys ++ s.morBuckets ++
+        s.bucketLayers.keys).toSeq.distinct
+      val bad = ids.filter(b => b < 0 || b >= s.numBuckets).sorted
+      (bad.isEmpty,
+        if (bad.isEmpty) "" else s"outside [0, ${s.numBuckets}): ${bad.mkString(", ")}")
+    }
+    check("row_count_consistent") {
+      val sum = s.bucketRows.values.sum
+      (s.rowCount == sum,
+        if (s.rowCount == sum) "" else s"snapshot rowCount ${s.rowCount} != per-bucket sum $sum")
+    }
+    check("buckets_with_rows_have_files") {
+      val bad = s.bucketRows.collect {
+        case (b, n) if n > 0 && s.bucketFiles.getOrElse(b, Nil).isEmpty => b
+      }.toSeq.sorted
+      (bad.isEmpty,
+        if (bad.isEmpty) "" else s"rows recorded but no files: buckets ${bad.mkString(", ")}")
+    }
+    check("mor_buckets_have_files") {
+      val bad = s.morBuckets.filter(b => s.bucketFiles.getOrElse(b, Nil).isEmpty).sorted
+      (bad.isEmpty,
+        if (bad.isEmpty) "" else s"dirty but fileless: buckets ${bad.mkString(", ")}")
+    }
+    check("file_refs_unique") {
+      val dups = s.bucketFiles.toSeq.flatMap { case (b, fs) => fs.map(_ -> b) }
+        .groupBy(_._1).collect { case (f, bs) if bs.size > 1 => f }.toSeq.sorted
+      (dups.isEmpty,
+        if (dups.isEmpty) ""
+        else s"${dups.size} file(s) referenced by more than one bucket, first: ${dups.take(3).mkString(", ")}")
+    }
+    val refs = s.bucketFiles.values.flatten.toSeq
+    check("referenced_files_exist") {
+      val missing = refs.filter { rel =>
+        val p = Paths.get(LakeTable.dataPath(root, rel))
+        !(Files.isRegularFile(p) && (try Files.size(p) > 0L
+          catch { case _: java.io.IOException => false }))
+      }
+      (missing.isEmpty,
+        if (missing.isEmpty) ""
+        else s"${missing.size} missing/empty, first: ${missing.take(3).mkString(", ")}")
+    }
+    check("file_stats_reference_live_files") {
+      val refSet = refs.toSet
+      val stale = s.fileStats.keys.filterNot(refSet).toSeq.sorted
+      (stale.isEmpty,
+        if (stale.isEmpty) ""
+        else s"stats for ${stale.size} dead file(s), first: ${stale.take(3).mkString(", ")}")
+    }
+    check("tags_resolve_to_retained_versions") {
+      val bad = s.tags.toSeq.filter { case (_, v) =>
+        v > s.version || !Files.exists(Paths.get(root, "meta", s"v$v.json"))
+      }.map(_._1).sorted
+      (bad.isEmpty,
+        if (bad.isEmpty) "" else s"tag(s) pin unreadable versions: ${bad.mkString(", ")}")
+    }
+    check("lineage_keys_within_batch_window") {
+      val extra = (s.lineage.keySet -- s.appliedBatches.toSet).toSeq.sorted
+      (extra.isEmpty,
+        if (extra.isEmpty) ""
+        else s"lineage for batch(es) outside the retained window: ${extra.mkString(", ")}")
+    }
+    if (checkData) {
+      val withFiles = s.bucketFiles.collect { case (b, fs) if fs.nonEmpty => b }.toSeq.sorted
+      if (withFiles.isEmpty) {
+        out += (("stored_counts_match_files", true, "no data files"))
+        out += (("rows_hashed_into_their_bucket", true, "no data files"))
+      } else {
+        // ONE job, zero exchanges: count + placement aggregates both group on
+        // the bucket column the scan reports partitioning for
+        val perBucket =
+          try Some(withSpjConfs(Some(withFiles.size)) {
+            bucketScanDF(s, withFiles)
+              .groupBy(col(BucketCol))
+              .agg(count(lit(1)).as("_n"),
+                sum(when(bucketExpr(s.keyCols, s.numBuckets) =!= col(BucketCol), lit(1L))
+                  .otherwise(lit(0L))).as("_misplaced"))
+              .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          })
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              out += (("stored_counts_match_files", false, s"data scan failed: ${e.getMessage}"))
+              out += (("rows_hashed_into_their_bucket", false, s"data scan failed: ${e.getMessage}"))
+              None
+          }
+        perBucket.foreach { per =>
+          check("stored_counts_match_files") {
+            val bad = withFiles.flatMap { b =>
+              val actual = per.get(b).map(_._1).getOrElse(0L)
+              val stored = s.bucketRows.getOrElse(b, 0L)
+              if (actual == stored) None
+              else Some(s"bucket $b: ledger $stored, files hold $actual")
+            }
+            (bad.isEmpty, bad.take(3).mkString("; "))
+          }
+          check("rows_hashed_into_their_bucket") {
+            val mis = per.values.map(_._2).sum
+            (mis == 0L,
+              if (mis == 0L) "" else s"$mis row(s) sit in a bucket their key does not hash to")
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Run `f` with an `inflight-<dir>` marker protecting `commitRel`'s data
     * directory from a concurrent [[expire]] between first write and commit
     * (the dir is unreferenced by any snapshot during that window). */

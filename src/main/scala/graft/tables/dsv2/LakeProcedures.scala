@@ -25,6 +25,7 @@ import graft.tables.LakeTable
   *   CALL lake.system.purge_tombstones('accounts')
   *   CALL lake.system.rebucket('accounts', 64)
   *   CALL lake.system.cluster('accounts', 'slot', max_rows_per_file => 1000000)
+  *   CALL lake.system.verify_table('accounts', check_data => true)
   * }}}
   *
   * Each procedure opens the table under the catalog's warehouse, runs the
@@ -49,7 +50,7 @@ private[dsv2] object LakeProcedures {
   private val all: Seq[String] =
     Seq("clone", "cluster", "compact", "create_tag", "drop_tag",
       "expire_snapshots", "fast_forward", "remove_orphan_files", "rollback",
-      "purge_tombstones", "rebucket")
+      "purge_tombstones", "rebucket", "verify_table")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -226,6 +227,27 @@ private[dsv2] object LakeProcedures {
           Seq[Any](files, dirs)
         }
       }
+      case "verify_table" => new LakeProcedure(warehouse, "verify_table",
+        "TABLE INTEGRITY AUDIT (an fsck for the table format): validate the " +
+          "head snapshot's internal invariants and its agreement with " +
+          "storage, modifying nothing — one row per check; check_data=true " +
+          "adds one zero-shuffle job verifying per-bucket stored counts and " +
+          "that every row's key hashes into the bucket holding it",
+        Seq(tableParam,
+          ProcedureParameter.in("check_data", BooleanType)
+            .defaultValue("false")
+            .comment("also run the distributed data pass (counts + hash placement)")
+            .build()),
+        StructType(Seq(
+          StructField("check", StringType, nullable = false),
+          StructField("ok", BooleanType, nullable = false),
+          StructField("detail", StringType, nullable = false)))) {
+        override def run(t: LakeTable, args: InternalRow): Seq[Any] =
+          throw new UnsupportedOperationException("multi-row procedure")
+        override def runRows(t: LakeTable, args: InternalRow): Seq[Seq[Any]] =
+          t.verifyTable(checkData = args.getBoolean(1))
+            .map { case (check, ok, detail) => Seq[Any](check, ok, detail) }
+      }
       case "rebucket" => new LakeProcedure(warehouse, "rebucket",
         "rewrite the table into a new hash-bucket count in one commit " +
           "(layout evolution; full-table rewrite)",
@@ -263,6 +285,11 @@ private[dsv2] abstract class LakeProcedure(warehouse: String, procName: String,
 
   def run(table: LakeTable, args: InternalRow): Seq[Any]
 
+  /** Multi-row procedures (verify_table) override this; the default wraps
+    * the one-row [[run]] every maintenance command returns. */
+  def runRows(table: LakeTable, args: InternalRow): Seq[Seq[Any]] =
+    Seq(run(table, args))
+
   override def name(): String = procName
   override def description(): String = desc
   override def bind(inputType: StructType): BoundProcedure = this
@@ -284,18 +311,19 @@ private[dsv2] abstract class LakeProcedure(warehouse: String, procName: String,
     require(java.nio.file.Files.exists(root.resolve("meta/VERSION")),
       s"no lake table '$tableName' under warehouse $warehouse")
     val table = LakeTable.open(SparkSession.active, root.toString)
-    val out = run(table, input)
-    val row: InternalRow = new GenericInternalRow(out.map {
-      case s: String => UTF8String.fromString(s)
-      case x => x.asInstanceOf[Any]
-    }.toArray)
-    java.util.List.of[Scan](new LakeProcedureResult(resultSchema, row)).iterator()
+    val rows: Array[InternalRow] = runRows(table, input).map { out =>
+      new GenericInternalRow(out.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x.asInstanceOf[Any]
+      }.toArray): InternalRow
+    }.toArray
+    java.util.List.of[Scan](new LakeProcedureResult(resultSchema, rows)).iterator()
   }
 }
 
-private final class LakeProcedureResult(schema: StructType, row: InternalRow)
+private final class LakeProcedureResult(schema: StructType, resultRows: Array[InternalRow])
     extends LocalScan {
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = resultRows
   override def readSchema(): StructType = schema
   override def description(): String = s"LakeProcedureResult(${schema.simpleString})"
 }
