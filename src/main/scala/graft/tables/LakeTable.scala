@@ -1131,7 +1131,16 @@ final class LakeTable private (
           bucketLayers = newBucketLayers,
           maxLayers = s.maxLayers,
           tombstoneCol = s.tombstoneCol,
-          fileStats = s.fileStats ++ writtenStats,
+          // a rebase over a concurrent DROP COLUMN keeps the batch files'
+          // bytes but must not re-publish the dropped columns' bounds —
+          // dropColumns scrubbed them, and stats for a schema-absent column
+          // would otherwise persist in every snapshot until a rewrite
+          fileStats = s.fileStats ++ (
+            if (s.droppedCols.isEmpty) writtenStats
+            else writtenStats.map { case (rel, st) =>
+              rel -> st.copy(cols = st.cols.filterNot(e =>
+                s.droppedCols.contains(e._1.toLowerCase)))
+            }),
           sortOrder = s.sortOrder,
           targetFileRows = s.targetFileRows,
           tags = s.tags,
@@ -2162,48 +2171,27 @@ final class LakeTable private (
     //      commit landing mid-sweep protects its files.
     val dataDir = Paths.get(root, "data")
     var commitsRemoved = 0
-    def inflightMarker(n: String): Boolean = {
-      val m = meta.resolve(s"inflight-$n")
-      Files.exists(m) && {
-        val fresh = try
-          System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
-            InflightMarkerTtlMs
-        catch { case _: java.io.IOException => true }
-        if (!fresh) Files.deleteIfExists(m) // crashed writer: reclaim
-        fresh
-      }
-    }
     if (Files.isDirectory(dataDir)) {
-      // None = some v*.json was unreadable (deleted by a racing expire, or
-      // MID-WRITE by a racing commit — Files.write is not atomic): the
-      // keep-set is unknowable this instant, so the sweep must SKIP rather
-      // than delete on partial knowledge; the next pass reclaims.
-      def referencedNow(): Option[Set[String]] = {
-        val sets = Files.list(meta).iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("v") && n.endsWith(".json"))
-          .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
-          .map { v =>
-            try Some(readSnapshot(Paths.get(root), v).bucketFiles.values.flatten
-              .map(rel => rel.split('/').take(2).mkString("/")).toSet) // data/<dir>
-            catch { case scala.util.control.NonFatal(_) => None }
+      val candidates = {
+        val ls = Files.list(dataDir)
+        try ls.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("commit-") || n.startsWith("maint-")
           }.toSeq
-        if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
+        finally ls.close()
       }
-      val candidates = Files.list(dataDir).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("commit-") || n.startsWith("maint-")
-        }.toSeq
       // AFTER candidate listing; None ⇒ skip the sweep entirely this pass
-      referencedNow().foreach { referenced =>
-        candidates.foreach { p =>
-          val n = p.getFileName.toString
-          if (!referenced.contains(s"data/$n") && !inflightMarker(n)) {
-            deleteRecursively(p); commitsRemoved += 1
+      // (dir-prefix granularity: data/<dir>)
+      referencedAcrossLedgers(meta)(rel => rel.split('/').take(2).mkString("/"))
+        .foreach { referenced =>
+          candidates.foreach { p =>
+            val n = p.getFileName.toString
+            if (!referenced.contains(s"data/$n") && !inflightMarkerLive(meta, n)) {
+              deleteRecursively(p); commitsRemoved += 1
+            }
           }
         }
-      }
     }
     // 3. sweep DML staging (<root>/staging/dml-*) from crashed statements:
     //    these dirs are NEVER referenced by a snapshot (the row-level write
@@ -2216,13 +2204,55 @@ final class LakeTable private (
     // is (metadata files, commit dirs), and staging was never committed data
     val stagingDir = Paths.get(root, "staging")
     if (Files.isDirectory(stagingDir)) {
-      Files.list(stagingDir).iterator().asScala
+      val ls = Files.list(stagingDir)
+      val dml = try ls.iterator().asScala
         .filter(_.getFileName.toString.startsWith("dml-")).toSeq
-        .foreach { p =>
-          if (!inflightMarker(p.getFileName.toString)) deleteRecursively(p)
-        }
+      finally ls.close()
+      dml.foreach { p =>
+        if (!inflightMarkerLive(meta, p.getFileName.toString)) deleteRecursively(p)
+      }
     }
     (metaRemoved, commitsRemoved)
+  }
+
+  /** Is `inflight-<dirName>` present and fresh? One marker guards each
+    * writer's write→commit window; an aged-out marker (crashed writer,
+    * older than [[InflightMarkerTtlMs]]) is reclaimed on sight so later
+    * passes stop stat()ing it. Shared by [[expire]]'s data/staging sweeps
+    * and [[removeOrphanFiles]] — ONE copy of the TTL protocol. */
+  private def inflightMarkerLive(meta: JPath, dirName: String): Boolean = {
+    val m = meta.resolve(s"inflight-$dirName")
+    Files.exists(m) && {
+      val fresh = try
+        System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis <
+          InflightMarkerTtlMs
+      catch { case _: java.io.IOException => true }
+      if (!fresh) Files.deleteIfExists(m) // crashed writer: reclaim
+      fresh
+    }
+  }
+
+  /** Union of data-file refs across EVERY retained `v*.json`, each ref
+    * mapped through `f` (full path, or dir prefix for dir-granular sweeps).
+    * None if ANY ledger is unreadable — deleted by a racing expire, or
+    * MID-WRITE by a racing commit (`Files.write` is not atomic): the
+    * keep-set is unknowable this instant, and partial knowledge must not
+    * delete; the caller skips the pass and the next one reclaims. */
+  private def referencedAcrossLedgers(meta: JPath)(
+      f: String => String): Option[Set[String]] = {
+    val ls = Files.list(meta)
+    val versions = try ls.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
+      .toVector
+    finally ls.close()
+    val sets = versions.map { v =>
+      try Some(readSnapshot(Paths.get(root), v).bucketFiles
+        .values.flatten.map(f).toSet)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
   }
 
   /** FILE-level GC (≙ Iceberg `remove_orphan_files`): delete data files
@@ -2255,37 +2285,28 @@ final class LakeTable private (
     if (!Files.isDirectory(dataDir)) return (0, 0)
     val meta = Paths.get(root, "meta")
     val now = System.currentTimeMillis()
-    def marked(topDir: String): Boolean = {
-      val m = meta.resolve(s"inflight-$topDir")
-      Files.exists(m) && {
-        val fresh = try
-          now - Files.getLastModifiedTime(m).toMillis < InflightMarkerTtlMs
-        catch { case _: java.io.IOException => true }
-        fresh
-      }
-    }
+    // memoized per top-level dir: one marker stat per dir, not per file
+    val markedCache = scala.collection.mutable.Map.empty[String, Boolean]
+    def marked(topDir: String): Boolean =
+      markedCache.getOrElseUpdate(topDir, inflightMarkerLive(meta, topDir))
     // candidate files FIRST, referenced set SECOND (a commit landing in
-    // between is in the referenced set; its files were also young anyway)
-    val walk = Files.walk(dataDir)
-    val candidates = try
-      walk.iterator().asScala.filter { p =>
+    // between is in the referenced set; its files were also young anyway).
+    // A racing expire can deleteRecursively a whole dir MID-WALK — the
+    // lazy iterator then throws out of hasNext; partial knowledge must not
+    // delete, so that aborts this pass (same contract as an unreadable
+    // ledger; the next pass reclaims).
+    val candidates = try {
+      val walk = Files.walk(dataDir)
+      try walk.iterator().asScala.filter { p =>
         Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
       }.map(p => Paths.get(root).relativize(p).toString).toVector
-    finally walk.close()
-    // None = some ledger unreadable (racing expire/commit): abort the sweep
-    val referenced: Option[Set[String]] = {
-      val sets = Files.list(meta).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toLongOption)
-        .map { v =>
-          try Some(readSnapshot(Paths.get(root), v).bucketFiles
-            .values.flatten.toSet)
-          catch { case scala.util.control.NonFatal(_) => None }
-        }.toSeq
-      if (sets.exists(_.isEmpty)) None else Some(sets.flatten.flatten.toSet)
+      finally walk.close()
+    } catch {
+      case _: java.io.UncheckedIOException | _: java.io.IOException =>
+        return (0, 0)
     }
-    referenced match {
+    // None = some ledger unreadable (racing expire/commit): abort the sweep
+    referencedAcrossLedgers(meta)(identity) match {
       case None => (0, 0)
       case Some(live) =>
         var removed = 0
@@ -2298,18 +2319,40 @@ final class LakeTable private (
           if (!live(rel) && oldEnough && !marked(top) &&
               Files.deleteIfExists(p)) removed += 1
         }
-        // sweep dirs the deletions emptied (bottom-up; keep data/ itself)
+        // sweep dirs the deletions emptied (bottom-up; keep data/ itself).
+        // Inflight markers are honored HERE too: a concurrent writer's
+        // commit dir holds momentarily-empty subdirs (task-attempt dirs
+        // between the committer's renames) that must not vanish under it.
+        // Each delete tolerates the two benign races — a file landing
+        // after the emptiness check (DirectoryNotEmpty) and a racing
+        // expire removing the dir first (NoSuchFile) — and a racing
+        // expire mid-walk just ends the sweep with what it has.
         var dirsRemoved = 0
-        val dirs = Files.walk(dataDir)
-        try dirs.iterator().asScala.toVector
-          .filter(p => Files.isDirectory(p) && p != dataDir)
-          .sortBy(-_.getNameCount)
-          .foreach { d =>
-            val ls = Files.list(d)
-            val empty = try !ls.iterator().hasNext finally ls.close()
-            if (empty) { Files.delete(d); dirsRemoved += 1 }
-          }
-        finally dirs.close()
+        try {
+          val dirs = Files.walk(dataDir)
+          try dirs.iterator().asScala.toVector
+            .filter(p => Files.isDirectory(p) && p != dataDir)
+            .sortBy(-_.getNameCount)
+            .foreach { d =>
+              val top = dataDir.relativize(d).getName(0).toString
+              if (!marked(top)) {
+                val empty = try {
+                  val ls = Files.list(d)
+                  try !ls.iterator().hasNext finally ls.close()
+                } catch { case _: java.io.IOException => false }
+                if (empty) {
+                  try { Files.delete(d); dirsRemoved += 1 }
+                  catch {
+                    case _: java.nio.file.DirectoryNotEmptyException => ()
+                    case _: java.nio.file.NoSuchFileException => ()
+                  }
+                }
+              }
+            }
+          finally dirs.close()
+        } catch {
+          case _: java.io.UncheckedIOException => () // racing expire mid-walk
+        }
         (removed, dirsRemoved)
     }
   }

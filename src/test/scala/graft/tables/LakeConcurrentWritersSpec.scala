@@ -129,6 +129,12 @@ class LakeConcurrentWritersSpec extends SparkTestBase {
         org.apache.spark.sql.types.StringType)))
     }
     assert(e.getMessage.contains("DROPPED"))
+    // and the rebased merge's harvested file bounds were scrubbed of the
+    // dropped column — dropColumns scrubbed the table's stats, so the
+    // racing batch (written with the stale wide schema) must not
+    // re-publish bounds for a schema-absent column
+    assert(s.fileStats.values.forall(st => !st.cols.keys.exists(_.equalsIgnoreCase("v"))),
+      "rebased merge re-published file bounds for the dropped column")
   }
 
   test("merge-on-read layers from disjoint writers land concurrently too") {

@@ -90,6 +90,27 @@ class OrphanFilesSpec extends SparkTestBase {
     assert(t.read().count() === 1L)
   }
 
+  test("dir sweep honors a live inflight marker; races resolve benignly") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1")).toDF("k", "wv", "v"), "w1")
+    // an in-flight writer's staging tree: a commit dir whose subdirs are
+    // momentarily EMPTY (task-attempt dirs between the committer's
+    // renames), guarded only by its fresh inflight marker
+    val staged = Paths.get(t.root, "data", "commit-99")
+    Files.createDirectories(staged.resolve("_temporary/0"))
+    Files.write(Paths.get(t.root, "meta", "inflight-commit-99"), Array[Byte]())
+    val (files, _) = t.removeOrphanFiles(graceMs = 0L)
+    assert(files === 0)
+    assert(Files.isDirectory(staged.resolve("_temporary/0")),
+      "dir sweep deleted a marked in-flight writer's empty staging dirs")
+    // marker gone (writer committed or crashed past TTL): next pass sweeps
+    Files.delete(Paths.get(t.root, "meta", "inflight-commit-99"))
+    val (_, dirs) = t.removeOrphanFiles(graceMs = 0L)
+    assert(dirs >= 3) // commit-99, _temporary, 0
+    assert(!Files.exists(staged))
+    assert(t.read().count() === 1L)
+  }
+
   test("SQL: CALL remove_orphan_files") {
     val wh = Files.createTempDirectory("orphan-sql").toString
     spark.conf.set("spark.sql.catalog.orph_sql",
