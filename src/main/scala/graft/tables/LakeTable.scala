@@ -2142,12 +2142,12 @@ final class LakeTable private (
     //    AFTER our currentVersion() read (their metadata is ≥ current and
     //    therefore never deleted here)
     var metaRemoved = 0
-    val deletable = Files.list(meta).iterator().asScala
+    val deletable = LakeTable.listDirEntries(meta)
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
           n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < minKept)
-      }.toSeq
+      }
     // TAGGED versions are pinned outside the keep-last window (Iceberg ref
     // retention): their metadata survives, and because the data sweep keys
     // off "referenced by any remaining v*.json", so do their data files.
@@ -2539,7 +2539,7 @@ final class LakeTable private (
 
   private def deleteRecursively(p: JPath): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      LakeTable.listDirEntries(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 
@@ -2716,6 +2716,15 @@ object LakeTable {
 
   private val mapper = new ObjectMapper()
 
+  /** Materialize a directory listing with the stream CLOSED. `Files.list`
+    * holds an open descriptor until closed; call sites that iterate lazily
+    * without closing leak one fd per call, and tight maintenance loops
+    * (e.g. a GC racer beside a live ingest) exhaust the process limit. */
+  private[tables] def listDirEntries(p: JPath): Seq[JPath] = {
+    val ls = Files.list(p)
+    try ls.iterator().asScala.toSeq finally ls.close()
+  }
+
   /** Resolve a stored data-file reference to a full path. References are
     * normally RELATIVE to the table root (`data/commit-<v>/bucket=<i>/…`);
     * a SHALLOW CLONE's initial snapshot instead references the SOURCE
@@ -2826,11 +2835,11 @@ object LakeTable {
   private[tables] def listBucketFiles(commitDir: JPath, commitRel: String,
       bucketCol: String): Map[Int, Seq[String]] = {
     if (!Files.exists(commitDir)) return Map.empty
-    Files.list(commitDir).iterator().asScala
+    listDirEntries(commitDir)
       .filter(p => p.getFileName.toString.startsWith(s"$bucketCol="))
       .map { bdir =>
         val b = bdir.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
-        val files = Files.list(bdir).iterator().asScala
+        val files = listDirEntries(bdir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(p => s"$commitRel/${bdir.getFileName}/${p.getFileName}").toSeq.sorted
         b -> files

@@ -111,6 +111,41 @@ class OrphanFilesSpec extends SparkTestBase {
     assert(t.read().count() === 1L)
   }
 
+  test("GC loop races a live ingest loop: state exact, audit clean") {
+    // the whole concurrency protocol at once: writer A merges in a loop
+    // while a SECOND handle alternates expire + remove_orphan_files with
+    // grace 0 (so ONLY the inflight markers and the abort-on-unreadable/
+    // vanished-ledger guards protect the write windows). Any protocol gap
+    // surfaces as a writer crash, a GC crash, or lost rows.
+    val t1 = newTable()
+    val t2 = LakeTable.createOrOpen(spark, t1.root, schema,
+      keyCols = Seq("k"), orderCols = Seq("wv"), numBuckets = 2)
+    val waves = 12
+    val gcErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gc = new Thread(() => {
+      try while (!stop.get()) {
+        t2.expire(keepVersions = 2)
+        t2.removeOrphanFiles(graceMs = 0L)
+      } catch { case e: Throwable => gcErr.set(e) }
+    }, "gc-racer")
+    gc.start()
+    try (1L to waves).foreach { i =>
+      t1.merge(Seq(("a", i, s"a$i"), ("b", i, s"b$i")).toDF("k", "wv", "v"),
+        s"w$i")
+    } finally { stop.set(true); gc.join(30000) }
+    assert(gcErr.get() === null, s"GC thread crashed: ${gcErr.get()}")
+    // final state is the exact LWW winners
+    assert(t1.read().collect().map(_.getString(2)).toSet
+      === Set(s"a$waves", s"b$waves"))
+    // quiesced sweep reclaims the rest; the full audit stays clean
+    t1.expire(keepVersions = 1)
+    t1.removeOrphanFiles(graceMs = 0L)
+    assert(parquetFiles(t1) === t1.snapshot().bucketFiles.values.flatten.toSet)
+    val bad = t1.verifyTable(checkData = true).filterNot(_._2)
+    assert(bad.isEmpty, s"audit failures after the race: $bad")
+  }
+
   test("SQL: CALL remove_orphan_files") {
     val wh = Files.createTempDirectory("orphan-sql").toString
     spark.conf.set("spark.sql.catalog.orph_sql",
