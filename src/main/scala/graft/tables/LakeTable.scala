@@ -1924,6 +1924,17 @@ final class LakeTable private (
     val cloneV = new String(Files.readAllBytes(
       Paths.get(cloneRoot, "meta", "VERSION")), StandardCharsets.UTF_8).trim.toLong
     val cSnap = readSnapshot(Paths.get(cloneRoot), cloneV)
+    // a publish must NOT smuggle a bucket-layout change in with its data:
+    // the changelog stream treats a numBuckets-changing commit as a
+    // logically-inert rebucket boundary and would silently drop the
+    // publish's merged rows from every downstream consumer. Rebucket the
+    // published table itself, after the publish.
+    require(cSnap.numBuckets == head.numBuckets,
+      s"cannot fast-forward: the audit clone was rebucketed " +
+        s"(${cSnap.numBuckets} buckets vs this table's ${head.numBuckets}) — " +
+        "a publish cannot change the bucket layout and the data in one " +
+        "commit; re-apply the audit without rebucketing, then rebucket the " +
+        "published table")
     val newV = head.version + 1
     val borrowPrefix = absRoot + "/"
     val cloneName = Paths.get(absClone).getFileName.toString.map(c =>

@@ -57,9 +57,11 @@ import graft.tables.{LakeTable, TableSnapshot}
   * contributes nothing).
   *
   * Options: `root` (table root); `startingVersion` = `latest` (default —
-  * only changes after the stream starts) | `earliest` (full history from
-  * the oldest retained version, i.e. an initial snapshot load + tail) | a
-  * version number; `startingTag` (named-ref anchor, the dual of
+  * only changes after the stream starts) | `earliest` (full history: when
+  * v0 — the empty create commit — is still retained, the complete
+  * changelog; once expire() has removed it, the first batch emits the
+  * oldest retained version's full state as inserts (initial snapshot
+  * load) and the stream tails from there) | a version number; `startingTag` (named-ref anchor, the dual of
   * `VERSION AS OF '<tag>'`: tail everything after the tagged version);
   * `startingTimestamp` (wall-clock anchor, mutually
   * exclusive with `startingVersion`: epoch millis / ISO instant / SQL
@@ -111,6 +113,9 @@ final class LakeCdfSource extends TableProvider {
 object LakeCdfSource {
   /** format name for spark.readStream.format(...) */
   val Name: String = classOf[LakeCdfSource].getName
+
+  /** shared read-only jackson mapper (offset json + ledger counter probes) */
+  private[dsv2] val offsetMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** classification column of the TYPED stream (option `typed=true`) */
   val ChangeTypeCol = "_change_type"
@@ -165,19 +170,10 @@ object LakeCdfSource {
       .maxOption
   }
 
-  private[dsv2] def earliestRetainedVersion(root: String): Long = {
-    val meta = Paths.get(root, "meta")
-    val st = Files.list(meta)
-    val vs =
-      try st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-        .toSeq
-      finally st.close()
-    require(vs.nonEmpty, s"no table versions under $meta")
-    vs.min
-  }
+  private[dsv2] def earliestRetainedVersion(root: String): Long =
+    LakeMetadataTables.retainedVersions(Paths.get(root)).minOption
+      .getOrElse(throw new IllegalStateException(
+        s"no table versions under $root/meta"))
 }
 
 final class LakeCdfTable(streamSchema: StructType, options: CaseInsensitiveStringMap)
@@ -204,9 +200,16 @@ final class LakeCdfScan(root: String, streamSchema: StructType,
 }
 
 /** version offset: `{"version":N}` means "changes up to and including table
-  * version N have been emitted" */
-final case class LakeCdfOffset(version: Long) extends Offset {
-  override def json: String = s"""{"version":$version}"""
+  * version N have been emitted". `baselineEmpty` marks a
+  * `startingVersion=earliest` anchor whose pre-image was already expired:
+  * version N is retained but its CONTENTS have not been emitted yet, so the
+  * first micro-batch diffs against an EMPTY old side (initial snapshot
+  * load); the flag is consumed by that batch and never reappears. */
+final case class LakeCdfOffset(version: Long, baselineEmpty: Boolean = false)
+    extends Offset {
+  override def json: String =
+    if (baselineEmpty) s"""{"version":$version,"baseline":"empty"}"""
+    else s"""{"version":$version}"""
 }
 
 final class LakeCdfStream(root: String, streamSchema: StructType,
@@ -274,7 +277,15 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
               "for the full retained history"))
       case None => sv.getOrElse("latest") match {
         case "latest" => LakeCdfSource.currentVersion(root)
-        case "earliest" => LakeCdfSource.earliestRetainedVersion(root)
+        case "earliest" =>
+          val e = LakeCdfSource.earliestRetainedVersion(root)
+          // v0 is the empty CREATE commit, so anchoring AT a retained v0 is
+          // already a full load. When expire() has removed v0, anchor at the
+          // earliest retained version with an EMPTY baseline: the first
+          // batch emits that state as inserts (initial snapshot load), THEN
+          // tails — otherwise every row already present at the anchor would
+          // silently never reach the consumer.
+          return LakeCdfOffset(e, baselineEmpty = e > 0L)
         case n => n.toLong
       }
     }
@@ -294,13 +305,18 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     * ends AT the rebucket version; its diff runs under the old layout
     * against the pre-rebucket snapshot, which is logically identical). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[LakeCdfOffset].version
+    val startOff = start.asInstanceOf[LakeCdfOffset]
+    val from = startOff.version
     var end = LakeCdfSource.currentVersion(root)
     availableNowTarget.foreach(t => end = math.min(end, t))
     val cap = // saturating from + maxVersionsPerBatch (unlimited default overflows)
       if (maxVersionsPerBatch > Long.MaxValue - from) Long.MaxValue
       else from + maxVersionsPerBatch
     end = math.min(end, cap)
+    // a pending empty-baseline anchor must emit ITS OWN version's contents
+    // even when no commit has landed since: returning the plain offset at
+    // the same version schedules the initial-load batch (the offsets differ
+    // in json), after which the flag is gone for good
     if (end <= from) return LakeCdfOffset(from)
     // clamp at the first layout change (rebucket counter bump) in (from, end]
     val baseRebuckets = rebucketsAt(from)
@@ -312,14 +328,67 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     LakeCdfOffset(end)
   }
 
-  private def rebucketsAt(v: Long): Long = snap(v).totals.getOrElse("rebuckets", 0L)
+  /** Counter-only probe for the admission clamp. A lagged stream's catch-up
+    * walks every version in its window; materializing (and driver-caching)
+    * the FULL snapshot of each — bucketFiles + fileStats maps — just to
+    * read one counter is the difference between a bounded scan and a
+    * driver-OOM at 10k retained versions. This parses the ledger's totals
+    * node only and caches one Long per version. The walk stays LINEAR, not
+    * a binary search: rollback() reverts totals to the restored snapshot's,
+    * so the counter is NOT monotone across a rollback commit. */
+  private val rebucketsCache = mutable.Map.empty[Long, Long]
+  private def rebucketsAt(v: Long): Long = synchronized {
+    rebucketsCache.getOrElseUpdate(v,
+      snapCache.get(v).map(_.totals.getOrElse("rebuckets", 0L)).getOrElse {
+        val node =
+          try LakeCdfSource.offsetMapper.readTree(
+            Files.readAllBytes(Paths.get(root, "meta", s"v$v.json")))
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"table version $v of $root is not readable — if the stream " +
+                "lagged past expire()'s retention window, raise keepVersions " +
+                "to cover the slowest changelog consumer", e)
+          }
+        val t = node.get("totals")
+        val c = if (t == null) null else t.get("rebuckets")
+        if (c == null) 0L else c.asLong()
+      })
+  }
 
   override def reportLatestOffset(): Offset =
     LakeCdfOffset(LakeCdfSource.currentVersion(root))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LakeCdfOffset].version
+    val startOff = start.asInstanceOf[LakeCdfOffset]
+    val from = startOff.version
     val to = end.asInstanceOf[LakeCdfOffset].version
+    if (startOff.baselineEmpty) {
+      // INITIAL SNAPSHOT LOAD (startingVersion=earliest past an expired
+      // v0): the anchor's pre-image no longer exists, so the old side is
+      // EMPTY — emit the full state at `to` as inserts (to == from when no
+      // commit landed since the anchor). No purge/rebucket guards apply:
+      // with no prior consumer state there is nothing a purge or layout
+      // change could invalidate.
+      val toSnap = snap(to)
+      val changed = toSnap.bucketFiles.collect {
+        case (b, fs) if fs.nonEmpty => b
+      }.toSeq.sorted
+      if (changed.isEmpty) return Array.empty
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val allRel = changed.flatMap(b => toSnap.bucketFiles(b)).distinct
+      val lens = LakeBucketSource.statLengths(root, allRel, conf)
+      return changed.zipWithIndex.map { case (b, idx) =>
+        val newFiles = toSnap.bucketFiles(b).map { rel =>
+          PartitionedFile(
+            partitionValues = InternalRow.empty,
+            filePath = org.apache.spark.paths.SparkPath.fromPathString(
+              LakeTable.dataPath(root, rel)),
+            start = 0L, length = lens(rel))
+        }.toArray
+        LakeCdfPartition(idx, b, Array.empty[PartitionedFile], newFiles,
+          newDirty = toSnap.morBuckets.contains(b)): InputPartition
+      }.toArray
+    }
     if (to <= from) return Array.empty
     val fromSnap = snap(from)
     // a window ending AT a rebucket diffs against the pre-rebucket version:
@@ -330,12 +399,22 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
       if (toSnap0.numBuckets == fromSnap.numBuckets) toSnap0
       else {
         val pre = snap(to - 1)
+        // the boundary commit must be a PURE rebucket before its pre-image
+        // can substitute for it: exactly one rebucket counter bump and NO
+        // fast-forward publish in the same commit (a publish carries merged
+        // rows — treating it as inert would silently drop them; fastForward
+        // refuses layout-changing publishes, and this guards the invariant
+        // from this side). A rollback ACROSS a layout change also lands
+        // here: its counters revert rather than increment.
         require(pre.numBuckets == fromSnap.numBuckets &&
           toSnap0.totals.getOrElse("rebuckets", 0L) ==
-            pre.totals.getOrElse("rebuckets", 0L) + 1L,
+            pre.totals.getOrElse("rebuckets", 0L) + 1L &&
+          toSnap0.totals.getOrElse("clones", 0L) ==
+            pre.totals.getOrElse("clones", 0L),
           s"micro-batch ($from, $to] spans a bucket-layout change that is not " +
-            "a single rebucket boundary — admission control should have " +
-            "clamped this window (is the checkpoint from an older source?)")
+            "a single pure rebucket boundary (a rollback across a rebucket, " +
+            "or a layout-changing publish) — restart the stream from a " +
+            "version at or after the layout change")
         pre
       }
     // the TYPED stream is purge-tolerant (a fully-vanished key synthesizes a
@@ -369,9 +448,15 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     }.toArray
   }
 
+  /** Table-identity fields (keys, orders, tombstone column) are immutable
+    * for the table's lifetime — resolve them ONCE per stream instead of
+    * parsing a fresh head snapshot every micro-batch. */
+  private lazy val identitySnap: TableSnapshot =
+    snap(LakeCdfSource.currentVersion(root))
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val s = snap(LakeCdfSource.currentVersion(root))
+    val s = identitySnap
     val keyOrder = (s.keyCols ++ s.orderCols).toIndexedSeq
     val tupleSchema = StructType(keyOrder.map(c => dataSchema(dataSchema.fieldIndex(c))))
     val empty = StructType(Nil)
@@ -388,13 +473,14 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    LakeCdfOffset(m.get("version").asLong())
+    val m = LakeCdfSource.offsetMapper.readTree(json)
+    LakeCdfOffset(m.get("version").asLong(), m.has("baseline"))
   }
 
   override def commit(end: Offset): Unit = synchronized {
     val v = end.asInstanceOf[LakeCdfOffset].version
     snapCache.filterInPlace((k, _) => k >= v)
+    rebucketsCache.filterInPlace((k, _) => k >= v)
   }
 
   override def stop(): Unit = ()

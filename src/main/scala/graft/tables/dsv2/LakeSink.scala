@@ -85,8 +85,10 @@ object LakeSinkProvider {
 private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
     opts: Map[String, String]) extends Sink {
 
-  private val mor = opts.get("mor").contains("true")
-  private val salted = opts.get("salted").contains("true")
+  // toBoolean: case-insensitive AND loud on garbage — .contains("true")
+  // would silently run copy-on-write for .option("mor", "True")
+  private val mor = opts.get("mor").exists(_.toBoolean)
+  private val salted = opts.get("salted").exists(_.toBoolean)
   private val compactEvery = opts.getOrElse("compactevery", "16").toInt
   private val expireKeep = opts.getOrElse("expirekeepversions", "8").toInt
   /** Watermark app id — see the provider scaladoc for the default's contract. */
@@ -126,10 +128,15 @@ private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
     // Re-wrap the incrementalized physical output as a batch DataFrame (see
     // StreamBatchDF), copying rows out of the scan's reused buffers, and PIN
     // it: merge() scans its batch twice (stats pass + write) and a stateful
-    // micro-batch plan must not execute twice.
+    // micro-batch plan must not execute twice. The pin is an RDD-level
+    // localCheckpoint so WE hold the handle that owns the blocks:
+    // Dataset.unpersist is a CacheManager call and a NO-OP for checkpoint
+    // blocks, which would otherwise stay pinned in executor memory until
+    // the driver GC'd the RDD — several batches deep on a high-rate stream.
     val rdd = data.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager: the one pass over the streaming scan happens NOW
     val pinned = org.apache.spark.sql.graftshim.StreamBatchDF(spark, rdd, data.schema)
-      .localCheckpoint(true)
     try {
       val table = openOrCreate(pinned.schema)
       table.merge(pinned, s"$txnApp-$batchId", salted = salted,
@@ -138,7 +145,7 @@ private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
         table.compact()
       if (expireKeep > 0) table.expire(expireKeep)
     } finally {
-      pinned.unpersist()
+      rdd.unpersist(blocking = false)
       ()
     }
   }

@@ -92,6 +92,21 @@ class FastForwardSpec extends SparkTestBase {
     assert(values(clone) === Set("a2-audit", "b2-audit"))
   }
 
+  test("a rebucketed clone refuses to publish (layout+data in one commit " +
+      "would read as a maintenance boundary downstream)") {
+    val src = newTable()
+    wave(src, 1L, "1")
+    val cloneRoot = Files.createTempDirectory("ff-audit").toString + "/audit"
+    val audit = src.cloneTo(cloneRoot)
+    audit.rebucket(4)
+    wave(audit, 2L, "2")
+    val e = intercept[IllegalArgumentException](src.fastForward(cloneRoot))
+    assert(e.getMessage.contains("rebucket"))
+    // the refusal moved nothing: source unchanged and still publishable
+    // after a fresh, layout-preserving audit
+    assert(values(src) === Set("a1", "b1"))
+  }
+
   test("validation: non-clones, foreign clones, self") {
     val src = newTable()
     wave(src, 1L, "1")

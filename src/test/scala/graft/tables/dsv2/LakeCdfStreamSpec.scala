@@ -346,4 +346,42 @@ class LakeCdfStreamSpec extends SparkTestBase {
     // the delete itself was purged; the override acknowledges that loss
     assert(!rows.exists(_.head == "b"))
   }
+
+  test("startingVersion=earliest past an expired v0 emits an initial " +
+      "snapshot load, then tails") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    t.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "b2")
+    t.merge(Seq(("d", 1L, "d1")).toDF("k", "wv", "v"), "b3")
+    t.expire(keepVersions = 2) // v0 (and v1) gone: earliest retained > 0
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    // the anchor's pre-image is unreadable, so without the empty-baseline
+    // load every row present at the anchor would silently never surface
+    val first = drain(t, ckpt, Map("startingVersion" -> "earliest"))
+    assert(rowSet(first.flatMap(_._2)) === rowSet(t.read().collect().toSeq))
+    assert(rowSet(first.flatMap(_._2)).map(_.head) === Set("a", "b", "c", "d"))
+    // and the checkpoint tails normally from there — no re-emission
+    t.merge(Seq(("e", 1L, "e1")).toDF("k", "wv", "v"), "b4")
+    val second = drain(t, ckpt)
+    assert(rowSet(second.flatMap(_._2)) === Set(Seq[Any]("e", 1L, "e1")))
+    assert(drain(t, ckpt).isEmpty)
+  }
+
+  test("the stream surfaces a write-audit-publish's adopted rows") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    val ckpt = Files.createTempDirectory("lakecdf-ckpt").toString
+    drain(t, ckpt, Map("startingVersion" -> "earliest")) // consume the seed
+    // WAP cycle: clone, audit-merge on the clone, publish back
+    val cloneRoot = Files.createTempDirectory("lakecdf-audit").toString + "/audit"
+    val audit = t.cloneTo(cloneRoot)
+    audit.merge(Seq(("a", 2L, "a2"), ("c", 1L, "c1")).toDF("k", "wv", "v"), "audit1")
+    t.fastForward(cloneRoot)
+    // the publish commit carries the audit's merged rows — they MUST reach
+    // the changelog consumer (a layout-inert publish is a data change, not
+    // a maintenance boundary)
+    val batch = drain(t, ckpt)
+    assert(rowSet(batch.flatMap(_._2)) ===
+      Set(Seq[Any]("a", 2L, "a2"), Seq[Any]("c", 1L, "c1")))
+  }
 }

@@ -84,6 +84,13 @@ class LakeSinkSpec extends SparkTestBase {
     // batch id 1 hit the compactEvery=2 boundary, so at most the final
     // batch's layer debt can be outstanding
     assert(LakeTable.open(spark, s"$work/mor").snapshot().morBuckets.size <= 16)
+    // boolean options parse case-insensitively ("True" must not silently
+    // fall back to copy-on-write) and reject garbage loudly
+    drain(in, s"$work/morTitle", s"$work/ckptTitle", Map("mor" -> "True"))
+    assert(state(s"$work/morTitle") === state(s"$work/cow"))
+    intercept[Exception] {
+      drain(in, s"$work/morBad", s"$work/ckptBad", Map("mor" -> "yes"))
+    }
   }
 
   test("create-on-first-batch honors the sort/targetFileRows write options " +
