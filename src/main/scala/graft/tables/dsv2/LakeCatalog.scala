@@ -502,7 +502,8 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
       val vals = row.toSeq.toArray
       // ordered just past the winner (shared slot-after rule; integrality
       // was pre-checked by canDeleteWhere, type-max still fails loudly)
-      vals(ordIdx) = OrderBump.bump(vals(ordIdx), lastOrd, s"a DELETE of $row")
+      vals(ordIdx) = OrderBump.bump(vals(ordIdx), schema(ordIdx).dataType,
+        lastOrd, s"a DELETE of $row")
       vals(tombIdx) = java.lang.Boolean.TRUE
       org.apache.spark.sql.Row(vals: _*)
     }

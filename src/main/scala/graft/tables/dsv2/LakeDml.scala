@@ -96,8 +96,12 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
     * same TTL protocol the data dirs use) protects the live statement from
     * expire's staging sweep, and crashed statements' marker-less or stale
     * orphans are reclaimed by that sweep */
+  // UUID, not nanoTime: two statements racing on the same host can share a
+  // nanoTime reading — a colliding batch id would make the second merge a
+  // silent exactly-once no-op, and a colliding staging dir would let one
+  // statement's cleanup delete the other's staged files mid-write
   private val stagingName =
-    s"dml-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}"
+    s"dml-${cmd.toString.toLowerCase}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
   private val stagingRel = s"staging/$stagingName"
   private val marker = Paths.get(root, "meta", s"inflight-$stagingName")
 
@@ -110,22 +114,32 @@ final class LakeDmlBatchWrite(root: String, snap: TableSnapshot, cmd: Command)
       snap.keyCols, snap.orderCols, snap.tombstoneCol)
   }
 
+  /** keep the inflight marker fresh THROUGH an arbitrarily long executor
+    * write phase: each task commit touches it, so a concurrent expire()'s
+    * TTL sweep can only reclaim this statement's staging if the statement
+    * has been truly dead for a full TTL — not merely writing for longer
+    * than one (a >1h UPDATE at large scale would otherwise lose its
+    * staging mid-statement). */
+  override def onDataWriterCommit(message: WriterCommitMessage): Unit = touchMarker()
+
+  private def touchMarker(): Unit =
+    try Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
-      // restart the marker's staleness clock: the (arbitrarily long)
-      // executor write phase is over, the TTL now only has to cover the
-      // driver-side merge of the staged batch
-      try Files.setLastModifiedTime(marker,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: java.io.IOException => () }
+      // restart the marker's staleness clock once more: from here the TTL
+      // only has to cover the driver-side merge of the staged batch
+      touchMarker()
       val files = messages.collect { case LakeDmlCommitMessage(fs) => fs }.flatten
         .map(f => s"$root/$stagingRel/$f")
       if (files.nonEmpty) {
         val schema = StructType.fromDDL(snap.schemaDdl)
         val batch = spark.read.schema(schema).parquet(files.toSeq: _*)
-        LakeTable.open(spark, root).merge(batch,
-          s"sql-${cmd.toString.toLowerCase}-${java.lang.Long.toHexString(System.nanoTime())}")
+        LakeTable.open(spark, root).merge(batch, // one statement, one unique id
+          s"sql-${stagingName.stripPrefix("dml-")}")
       }
     } finally cleanup()
   }
@@ -162,7 +176,9 @@ final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Lon
   private val ordIdx = orderCols.map(schema.fieldIndex)
   private val lastOrdIdx = ordIdx.last
   private val tombIdx = tombstoneCol.map(schema.fieldIndex)
-  private val ordTypes = orderCols.map(c => schema(schema.fieldIndex(c)).dataType)
+  private val ordTypes = ordIdx.map(i => schema(i).dataType)
+  // layout is fixed at construction — decide once, not per bump-needing row
+  private val bumpMovesKey = keyCols.contains(orderCols.last)
 
   private def bound(i: Int) = BoundReference(i, schema(i).dataType, nullable = true)
   // row-side projections bind into the full table row; id-side into the
@@ -217,13 +233,13 @@ final class LakeDmlDeltaWriter(stagingDir: String, partitionId: Int, taskId: Lon
     * DIFFERENT logical row, so every bump-needing path fails loudly
     * instead. */
   private def bumped(v: Any): Any = {
-    if (keyCols.contains(orderCols.last))
+    if (bumpMovesKey)
       throw new UnsupportedOperationException(
         s"cannot auto-slot past the pre-image: last order column " +
           s"'${orderCols.last}' is also a key column, so bumping it would " +
           "move the event to a different key — advance a non-key ordering " +
           "explicitly or write through the typed API")
-    OrderBump.bump(v, orderCols.last, "a rewritten row")
+    OrderBump.bump(v, ordTypes.last, orderCols.last, "a rewritten row")
   }
 
   private def toMutable(row: InternalRow): GenericInternalRow = {
@@ -326,21 +342,36 @@ object LakeDmlDeltaWriter {
   * delete/rewrite surface (row-level DML here, the metadata-delete path in
   * [[LakeSqlTable.deleteWhere]]): integral last order column, +1, loud
   * failure at the type's maximum rather than a silent wrap. Accepts boxed
-  * values (both call sites hold them boxed). */
+  * values (both call sites hold them boxed) and dispatches on the DECLARED
+  * DataType, not the runtime box: a DateType ordering is ALSO a
+  * java.lang.Integer internally, and bumping it would fabricate a date one
+  * whole day in the future instead of refusing. */
 private[dsv2] object OrderBump {
-  def bump(v: Any, col: String, what: String): Any = v match {
-    case l: java.lang.Long => guard(l != Long.MaxValue, col, what)
-      java.lang.Long.valueOf(l + 1)
-    case i: java.lang.Integer => guard(i != Int.MaxValue, col, what)
-      java.lang.Integer.valueOf(i + 1)
-    case s: java.lang.Short => guard(s != Short.MaxValue, col, what)
-      java.lang.Short.valueOf((s + 1).toShort)
-    case b: java.lang.Byte => guard(b != Byte.MaxValue, col, what)
-      java.lang.Byte.valueOf((b + 1).toByte)
-    case other => throw new UnsupportedOperationException(
+  def bump(v: Any, dt: org.apache.spark.sql.types.DataType,
+      col: String, what: String): Any = {
+    def nonIntegral(held: String): Nothing = throw new UnsupportedOperationException(
       s"ordering $what needs an integral last order column to take the slot " +
-        s"after its pre-image; '$col' holds " +
-        (if (other == null) "NULL" else other.getClass.getSimpleName))
+        s"after its pre-image; '$col' holds " + held)
+    if (v == null) nonIntegral("NULL")
+    dt match {
+      case LongType =>
+        val l = v.asInstanceOf[java.lang.Long]
+        guard(l != Long.MaxValue, col, what)
+        java.lang.Long.valueOf(l + 1)
+      case IntegerType =>
+        val i = v.asInstanceOf[java.lang.Integer]
+        guard(i != Int.MaxValue, col, what)
+        java.lang.Integer.valueOf(i + 1)
+      case ShortType =>
+        val s = v.asInstanceOf[java.lang.Short]
+        guard(s != Short.MaxValue, col, what)
+        java.lang.Short.valueOf((s + 1).toShort)
+      case ByteType =>
+        val b = v.asInstanceOf[java.lang.Byte]
+        guard(b != Byte.MaxValue, col, what)
+        java.lang.Byte.valueOf((b + 1).toByte)
+      case other => nonIntegral(other.sql)
+    }
   }
 
   private def guard(ok: Boolean, col: String, what: String): Unit =

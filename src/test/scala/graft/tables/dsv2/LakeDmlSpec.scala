@@ -288,4 +288,24 @@ class LakeDmlSpec extends SparkTestBase {
     assert(Files.exists(live), "marker-protected staging must survive")
     Files.deleteIfExists(root.resolve("meta/inflight-dml-merge-cafe"))
   }
+
+  test("a TIMESTAMP last order column refuses the auto-bump (its internal " +
+      "box is a Long — a box-typed bump would fabricate an ordering one " +
+      "microsecond ahead on the user-visible time axis)") {
+    // TIMESTAMP (unlike DATE) is stats-provable non-null, so the statement
+    // passes the row-id nullability gate and genuinely reaches the writer's
+    // bump path — the declared-type dispatch must refuse there
+    LakeTable.createOrOpen(spark, s"$warehouse/ts",
+      StructType.fromDDL("k STRING, ts TIMESTAMP, v STRING"), Seq("k"), Seq("ts"), 2)
+      .merge(Seq(("a", java.sql.Timestamp.valueOf("2026-01-15 12:00:00"), "a1"))
+        .toDF("k", "ts", "v"), "b1")
+    // SET leaves the ordering untouched → the rewrite needs the slot after
+    // its pre-image, which a TIMESTAMP ordering cannot provide
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml.ts SET v = 'a2' WHERE k = 'a'")
+    }
+    assert(messages(e).exists(_.contains("integral")), messages(e).mkString("; "))
+    // nothing landed — the statement failed loudly, not halfway
+    assert(spark.sql("SELECT v FROM dml.ts").as[String].collect().toSeq === Seq("a1"))
+  }
 }
