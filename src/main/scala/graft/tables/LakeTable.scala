@@ -766,6 +766,43 @@ final class LakeTable private (
     * buckets ≫ cores, this is always true; tiny tables keep the subsplit
     * path). `GRAFT_COW_SPJ=1/0` (env, or the `graft.cow.spj` system
     * property for in-process tests) forces either way. */
+  /** SCALE-ADAPTIVE write parallelism (guide §2.2/§6: fewer, larger
+    * partitions; sensible output file counts): the `writeFactor` sub-split
+    * exists to push a big merge's write parallelism past the touched-bucket
+    * count (waveFactor waves per core), but applying it to a SMALL merge
+    * fragments the commit into `buckets × factor` near-empty files whose
+    * per-task scheduling, writer open/close, commit renames and footer
+    * reads dominate the merge wall — and every later scan and stats pass
+    * then pays the file count again. A merge below the smallness bound
+    * keeps one write task per touched bucket (the layout floor); big
+    * merges keep the full fan-out unchanged. Both bounds are parameterised
+    * (env) and sized in DATA terms, so the policy is scale-adaptive rather
+    * than tuned to any core count: at production batch sizes every real
+    * merge clears them and nothing changes. */
+  private def adaptiveWriteFactor(base: Int, small: => Boolean): Int =
+    if (base > 1 && small) 1 else base
+
+  /** Rows bound under which a merge keeps one write task per bucket
+    * (classic path: exact, from the stats pass). */
+  private def smallMergeRows: Long =
+    sys.env.getOrElse("GRAFT_MERGE_SMALL_ROWS", "1000000").toLong
+
+  /** Smallness test for the one-job path, where no stats pass ran: the
+    * caller's row-count hint when it has one (the streaming sink counts its
+    * pinned batch anyway), else the optimizer's size estimate — accurate
+    * for file-backed and cached batches, and `defaultSizeInBytes` (huge ⇒
+    * NOT small, i.e. current behavior) for opaque ones like raw RDD scans,
+    * so an unknown size can only keep the old fan-out, never shrink a big
+    * merge's parallelism. */
+  private def smallBatch(batch: DataFrame, rowsHint: Option[Long]): Boolean =
+    rowsHint match {
+      case Some(n) => n <= smallMergeRows
+      case None =>
+        val bytes = sys.env.getOrElse("GRAFT_MERGE_SMALL_BYTES", (64L << 20).toString).toLong
+        try batch.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bytes)
+        catch { case _: Exception => false }
+    }
+
   private def spjEligible(touched: Seq[Int], oldTouchedRows: Long, rowsIn: Long): Boolean =
     // an empty batch has no buckets to scan — a zero-partition SPJ plan is a
     // degenerate shape nothing should build, force flag or not
@@ -817,7 +854,8 @@ final class LakeTable private (
   def merge(batch: DataFrame, batchId: String, salted: Boolean = false,
       txn: Option[(String, Long)] = None,
       counterCols: Map[String, Column] = Map.empty,
-      mor: Boolean = false): Long = {
+      mor: Boolean = false,
+      rowsHint: Option[Long] = None): Long = {
     lastMergeSalted = false
     val snap = snapshot()
     val replayed = txn match {
@@ -899,7 +937,9 @@ final class LakeTable private (
         // one-job path: no stats rows to feed the auto-salt estimate —
         // salting stays the caller's explicit choice here
         lastMergeSalted = salted
-        val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt)
+        val writeFactor = adaptiveWriteFactor(
+          math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt),
+          smallBatch(alignedBatch, rowsHint))
         val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
         val obsAggs = count(lit(1)).as("_nrows") +:
           counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
@@ -996,7 +1036,9 @@ final class LakeTable private (
         // path (hot keys) trades this for a two-phase agg. The SPJ path
         // (buildMergedSpj) replaces all of this with the storage-partitioned
         // join when the shape is right.
-        val writeFactor = math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt)
+        val writeFactor = adaptiveWriteFactor(
+          math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt),
+          rowsIn + oldTouchedRows <= smallMergeRows)
         val obs = org.apache.spark.sql.Observation(s"graft-upserts-$batchId-$newVersion")
         val upsertAgg = coalesce(sum(col(SrcFlagCol)), lit(0L)).cast("long").as("_upserts")
         if (spj) withSpjConfs(Some(touched.size)) {

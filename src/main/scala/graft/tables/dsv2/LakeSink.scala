@@ -135,12 +135,16 @@ private[dsv2] final class LakeStreamSink(spark: SparkSession, root: String,
     // the driver GC'd the RDD — several batches deep on a high-rate stream.
     val rdd = data.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager: the one pass over the streaming scan happens NOW
+    val batchRows = rdd.count() // eager: the one pass over the streaming scan happens NOW
     val pinned = org.apache.spark.sql.graftshim.StreamBatchDF(spark, rdd, data.schema)
     try {
       val table = openOrCreate(pinned.schema)
       table.merge(pinned, s"$txnApp-$batchId", salted = salted,
-        txn = Some((txnApp, batchId)), mor = mor)
+        txn = Some((txnApp, batchId)), mor = mor,
+        // the eager pin already counted the batch — let the merge size its
+        // write fan-out from the exact count (an RDD-backed plan otherwise
+        // reports no usable size estimate)
+        rowsHint = Some(batchRows))
       if (mor && compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         table.compact()
       if (expireKeep > 0) table.expire(expireKeep)
