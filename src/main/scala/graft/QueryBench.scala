@@ -17,7 +17,7 @@ object QueryBench {
     require(names.nonEmpty, "pass query names")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,7 +25,11 @@ object QueryBench {
       .config("spark.ui.enabled", "false")
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", "8g")
-      .getOrCreate()
+    // A/B seam: GRAFT_QB_CONF="k=v;k=v" overlays session confs (dev-only —
+    // the frozen Bench harness never reads it)
+    sys.env.get("GRAFT_QB_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     StageProfiler.maybeAttach(spark) // honors GRAFT_STAGE_PROFILE=1 as documented
     names.foreach { n =>

@@ -784,8 +784,15 @@ final class LakeTable private (
 
   /** Rows bound under which a merge keeps one write task per bucket
     * (classic path: exact, from the stats pass). */
-  private def smallMergeRows: Long =
-    sys.env.getOrElse("GRAFT_MERGE_SMALL_ROWS", "1000000").toLong
+  private def smallMergeRows: Long = LakeTable.smallOpRows
+
+  /** Run `f` (plan construction + execution of one engine operation) with
+    * adaptive query execution scoped OFF when the operation is SMALL — see
+    * [[LakeTable.smallOpRows]] for the rationale and the scale gate. No-op
+    * for big operations and outside the window. */
+  private def withSmallPlanConfs[A](small: Boolean)(f: => A): A =
+    if (small) LakeTable.withScopedConf(spark, "spark.sql.adaptive.enabled", "false")(f)
+    else f
 
   /** Smallness test for the one-job path, where no stats pass ran: the
     * caller's row-count hint when it has one (the streaming sink counts its
@@ -793,14 +800,25 @@ final class LakeTable private (
     * for file-backed and cached batches, and `defaultSizeInBytes` (huge ⇒
     * NOT small, i.e. current behavior) for opaque ones like raw RDD scans,
     * so an unknown size can only keep the old fan-out, never shrink a big
-    * merge's parallelism. */
+    * merge's parallelism.
+    *
+    * A plan containing an OBJECT-PRODUCING node (typed `mapPartitions` /
+    * `flatMap` — the snapshot decode shape: a KB-sized list of file refs
+    * expanding into millions of decoded rows) is NEVER small regardless of
+    * the estimate: the optimizer propagates the tiny input size through the
+    * opaque function, and trusting it would strip a full-snapshot load of
+    * its write parallelism. */
   private def smallBatch(batch: DataFrame, rowsHint: Option[Long]): Boolean =
     rowsHint match {
       case Some(n) => n <= smallMergeRows
       case None =>
         val bytes = sys.env.getOrElse("GRAFT_MERGE_SMALL_BYTES", (64L << 20).toString).toLong
-        try batch.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bytes)
-        catch { case _: Exception => false }
+        try {
+          val plan = batch.queryExecution.optimizedPlan
+          val opaque = plan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ObjectProducer])
+          !opaque && plan.stats.sizeInBytes <= BigInt(bytes)
+        } catch { case _: Exception => false }
     }
 
   private def spjEligible(touched: Seq[Int], oldTouchedRows: Long, rowsIn: Long): Boolean =
@@ -937,9 +955,9 @@ final class LakeTable private (
         // one-job path: no stats rows to feed the auto-salt estimate —
         // salting stays the caller's explicit choice here
         lastMergeSalted = salted
+        val small = smallBatch(alignedBatch, rowsHint)
         val writeFactor = adaptiveWriteFactor(
-          math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt),
-          smallBatch(alignedBatch, rowsHint))
+          math.max(1, math.ceil(waveFactor.toDouble * cores / snap.numBuckets).toInt), small)
         val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId-$newVersion")
         val obsAggs = count(lit(1)).as("_nrows") +:
           counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
@@ -956,12 +974,14 @@ final class LakeTable private (
         // classic plan; partition count mirrors it too (numBuckets ×
         // writeFactor ≥ waveFactor·cores — fewer, larger sort partitions
         // measurably hurt the narrow-parallelism levels)
-        bucketWriter(Dedup.latestByKey(
-            base.repartition(math.max(1, snap.numBuckets * writeFactor),
-              col(BucketCol), col(SubSplitCol)),
-            snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
-          .drop(SubSplitCol), snap)
-          .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        withSmallPlanConfs(small) {
+          bucketWriter(Dedup.latestByKey(
+              base.repartition(math.max(1, snap.numBuckets * writeFactor),
+                col(BucketCol), col(SubSplitCol)),
+              snap.keyCols ++ Seq(BucketCol, SubSplitCol), snap.orderCols)
+            .drop(SubSplitCol), snap)
+            .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        }
         phase("write(mor-1job)")
         touchInflight(commitRel)
         val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
@@ -988,10 +1008,12 @@ final class LakeTable private (
         // ===================================================================
         val aggs = count(lit(1)).as("_nrows") +:
           counterNames.map(n => counterCols(n).cast("long").as(s"_c_$n"))
-        val stats = alignedBatch
-          .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
+        val stats = withSmallPlanConfs(smallBatch(alignedBatch, rowsHint)) {
+          alignedBatch
+            .groupBy(bucketExpr(snap.keyCols, snap.numBuckets).as(BucketCol))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+        }
         phase("stats")
         val touched = stats.map(_.getInt(0)).toSeq.sorted
         val rowsIn = stats.map(_.getLong(1)).sum
@@ -1036,11 +1058,13 @@ final class LakeTable private (
         // path (hot keys) trades this for a two-phase agg. The SPJ path
         // (buildMergedSpj) replaces all of this with the storage-partitioned
         // join when the shape is right.
+        val small = rowsIn + oldTouchedRows <= smallMergeRows
         val writeFactor = adaptiveWriteFactor(
           math.max(1, math.ceil(waveFactor.toDouble * cores / math.max(1, touched.size)).toInt),
-          rowsIn + oldTouchedRows <= smallMergeRows)
+          small)
         val obs = org.apache.spark.sql.Observation(s"graft-upserts-$batchId-$newVersion")
         val upsertAgg = coalesce(sum(col(SrcFlagCol)), lit(0L)).cast("long").as("_upserts")
+        withSmallPlanConfs(small) {
         if (spj) withSpjConfs(Some(touched.size)) {
           // storage-partitioned path: existing side unshuffled (see
           // buildMergedSpj); plan + write must both run under the SPJ confs
@@ -1058,6 +1082,7 @@ final class LakeTable private (
             .observe(obs, upsertAgg)
             .drop(SubSplitCol, SrcFlagCol), snap)
             .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+        }
         }
         phase(if (spj) "write(spj)" else "write")
         touchInflight(commitRel)
@@ -1254,10 +1279,12 @@ final class LakeTable private (
     // bucket is one task that reads its layers, resolves, and writes ONE
     // defragmented file. No exchange at any scale.
     withInflightMarker(commitRel) {
+    withSmallPlanConfs(dirty.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
     withSpjConfs(Some(dirty.size)) {
       bucketWriter(Dedup.latestByKey(bucketScanDF(snap, dirty),
           snap.keyCols :+ BucketCol, snap.orderCols), snap)
         .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
     }
     touchInflight(commitRel)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
@@ -1333,10 +1360,13 @@ final class LakeTable private (
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     withInflightMarker(commitRel) {
+    withSmallPlanConfs(
+      candidates.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
     withSpjConfs(Some(candidates.size)) {
       bucketWriter(visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
           snap.keyCols :+ BucketCol, snap.orderCols)), snap)
         .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
     }
     touchInflight(commitRel)
     // a bucket whose every key was tombstoned writes NO file — its list
@@ -1443,6 +1473,7 @@ final class LakeTable private (
     if (todo.isEmpty) return 0
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     withInflightMarker(commitRel) {
+    withSmallPlanConfs(todo.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
     withSpjConfs(Some(todo.size)) {
       // resolve rides the KGP scan (one partition per bucket), the sort is
       // task-local (sortWithinPartitions never exchanges), and the write's
@@ -1479,6 +1510,7 @@ final class LakeTable private (
       val w = resolved.write
       (if (cap > 0L) w.option("maxRecordsPerFile", cap) else w)
         .partitionBy(BucketCol).mode("overwrite").parquet(s"$root/$commitRel")
+    }
     }
     touchInflight(commitRel)
     val written = listBucketFiles(Paths.get(root).resolve(commitRel), commitRel, BucketCol)
@@ -2799,6 +2831,52 @@ object LakeTable {
   private[tables] val spjConfLock = new Object
   private[tables] val spjConfState =
     new java.util.IdentityHashMap[SparkSession, Array[Any]]()
+
+  /** Rows bound under which an engine operation (merge write, maintenance
+    * rewrite, MV refresh window) counts as SMALL: it keeps one write task
+    * per bucket and runs with adaptive query execution scoped OFF — AQE's
+    * per-exchange stage jobs and replanning cost more than they can recover
+    * on a fixed-shape plan over this little data, while big operations keep
+    * AQE (skew-join splitting and partition coalescing are exactly the
+    * 100-TB tools). Parameterised (env), sized in DATA terms — never in
+    * core counts — so production-scale operations are untouched. */
+  private[tables] def smallOpRows: Long =
+    sys.env.getOrElse("GRAFT_MERGE_SMALL_ROWS", "1000000").toLong
+
+  /** Generic scoped session-conf window (same interleaving hazard and the
+    * same refcounted-baseline cure as [[LakeTable.withSpjConfs]], keyed per
+    * (session, conf key)): every exit restores the BASELINE captured when no
+    * window for that key was active, via set/unset so never-set keys stay
+    * never-set. Two overlapping windows on one key can briefly see each
+    * other's value — a bounded plan-shape blip, never a correctness issue
+    * (only plan tuning rides this). */
+  private val scopedConfLock = new Object
+  private val scopedConfState =
+    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Any]]]()
+  private[tables] def withScopedConf[A](spark: SparkSession, key: String, value: String)(
+      f: => A): A = {
+    scopedConfLock.synchronized {
+      var m = scopedConfState.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty; scopedConfState.put(spark, m) }
+      val st = m.getOrElseUpdate(key, Array[Any](0, None))
+      if (st(0).asInstanceOf[Int] == 0) st(1) = spark.conf.getOption(key)
+      st(0) = st(0).asInstanceOf[Int] + 1
+      spark.conf.set(key, value)
+    }
+    try f finally scopedConfLock.synchronized {
+      val m = scopedConfState.get(spark)
+      val st = m(key)
+      st(0) = st(0).asInstanceOf[Int] - 1
+      if (st(0).asInstanceOf[Int] == 0) {
+        st(1).asInstanceOf[Option[String]] match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        m.remove(key)
+        if (m.isEmpty) scopedConfState.remove(spark) // don't pin stopped sessions
+      }
+    }
+  }
 
   /** Age after which an `inflight-<dir>` staging marker from a crashed
     * writer stops protecting its data dir from [[LakeTable.expire]] (no

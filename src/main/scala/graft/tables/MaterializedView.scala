@@ -125,7 +125,19 @@ final class MaterializedView private (
     if (to <= from) return from
     val fromRetained = from == 0 ||
       Files.exists(Paths.get(base.root, "meta", s"v$from.json"))
-    if (fromRetained) incrementalRefresh(from, to) else fullRebuild(to)
+    // A refresh over a SMALL base (stored rows from the to-version's
+    // snapshot — driver-side metadata, no I/O) runs with adaptive query
+    // execution scoped off: the refresh is a dozen fixed-shape tiny plans
+    // (changelog join, delta agg, broadcast probes, state merge) and AQE's
+    // per-exchange stage jobs + replanning dominate their wall. Big bases
+    // keep AQE — its skew/coalescing wins are the 100-TB tools. Same gate
+    // and rationale as LakeTable's small-merge window.
+    val small = LakeTable.readSnapshot(Paths.get(base.root), to).rowCount <=
+      LakeTable.smallOpRows
+    def run(): Unit = if (fromRetained) incrementalRefresh(from, to) else fullRebuild(to)
+    if (small)
+      LakeTable.withScopedConf(spark, "spark.sql.adaptive.enabled", "false")(run())
+    else run()
     to
   }
 
