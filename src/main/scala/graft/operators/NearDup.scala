@@ -409,10 +409,14 @@ object NearDup {
     // task's working set AND the O(n²) verify loop is one task's worth of
     // WORK (the bytes bound alone admits ~131k docs = ~8.6e9 pair checks —
     // hours serialized on one core), B=1 — one intra-block group, no B-fold
-    // replication, no cross-block union
+    // replication, no cross-block union. The work bound is sized so the
+    // single task stays ~tens of ms (~50ns per pair check): past it the
+    // B-fold replication of a few thousand tiny bitmap rows is noise next
+    // to the serialized-straggler wall it removes (measured: 5k docs =
+    // 12.5M checks = a 0.6s one-task stage while 31 cores idle).
     val nDocs = enc.count()
     val singleTaskBytes = 64L << 20
-    val singleTaskDocs = 10000L // ≤ ~5e7 pair checks, sub-second per core
+    val singleTaskDocs = 2048L // ≤ ~2e6 pair checks per task
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     val minBlocksForPar = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
     val b =
