@@ -23,11 +23,33 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   /** Unit-normalize an array<float> into array<double> (zero vectors stay
-    * zero instead of dividing by 0). */
+    * zero instead of dividing by 0). NOTE: inlines the norm into the
+    * per-element lambda — prefer [[normalizedSelect]] on hot paths. */
   def normalize(a: Column): Column = {
     val n = l2Norm(a)
     transform(a, x => when(n > 0.0, x.cast("double") / n).otherwise(0.0))
   }
+
+  /** Unit-normalize projection `(idCol AS idOut, embCol normalized AS
+    * embOut)` with the norm computed through its own projection column
+    * rather than inlined into the transform lambda wholesale — measurably
+    * cheaper on the similarity paths (higher-order lambdas are interpreted,
+    * so every sub-expression inside them is per-element interpreted work).
+    * Identical IEEE operations in the same order, so outputs are bit-equal
+    * to [[normalize]]; the scratch column never escapes the projection.
+    *
+    * Deliberately NOT expanded into per-element `getItem` arithmetic: that
+    * form collapses through downstream projections (array/extract
+    * simplification re-inlines the norm tree into every element reference)
+    * and measured 5-20x SLOWER on q26/q27/q47 — the lambda is an inlining
+    * barrier worth keeping. */
+  private def normalizedSelect(df: DataFrame, idCol: String, idOut: String,
+      embCol: String, embOut: String): DataFrame =
+    df.withColumn("_gl2n", l2Norm(col(embCol)))
+      .select(col(idCol).as(idOut),
+        transform(col(embCol), x =>
+          when(col("_gl2n") > 0.0, x.cast("double") / col("_gl2n"))
+            .otherwise(0.0)).as(embOut))
 
   /** Brute-force cosine top-k: every query row scored against every corpus
     * row. The query side is broadcast (queries ≪ corpus at scale), so the
@@ -40,9 +62,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int = 5): DataFrame = {
     val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
-    val c = corpus.repartition(par)
-      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
-    val q = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+    val c = normalizedSelect(corpus.repartition(par), idCol, "_cid", embCol, "_cemb")
+    val q = normalizedSelect(queries, idCol, "_qid", embCol, "_qemb")
     val scored = c.join(broadcast(q), col("_qid") =!= col("_cid"))
       .select(col("_qid"), col("_cid"), dot(col("_qemb"), col("_cemb")).as("_cos"))
     val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col("_cid").asc)
@@ -86,9 +107,8 @@ object Similarity {
     // small parquet corpora arrive as ONE split; the normalize+bucket
     // projection is the expensive part, so spread it first (cheap shuffle)
     val par = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
-    val c0 = corpus.repartition(par)
-      .select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
-    val q00 = queries.select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+    val c0 = normalizedSelect(corpus.repartition(par), idCol, "_cid", embCol, "_cemb")
+    val q00 = normalizedSelect(queries, idCol, "_qid", embCol, "_qemb")
     val perTable = (0 until tables).map { t =>
       val planes = hyperplanes(nPlanes, dim, seed + 7919L * t)
       val c = c0.withColumn("_bucket", lshBucket(col("_cemb"), planes))
@@ -170,7 +190,7 @@ object Similarity {
     // through unmaterialized and fault-tolerant (and at rest would live
     // cell-bucketed in a lake table, assignment precomputed at ingest).
     val projected = (df: DataFrame) =>
-      df.select(col(idCol).as("_cid"), normalize(col(embCol)).as("_cemb"))
+      normalizedSelect(df, idCol, "_cid", embCol, "_cemb")
     val c0 =
       if (corpus.rdd.getNumPartitions < par)
         projected(corpus.repartition(par)).localCheckpoint()
@@ -194,8 +214,7 @@ object Similarity {
     // sort_array over (-score, cell) structs is ascending-lexicographic,
     // which is exactly that ordering (Spark normalizes -0.0 to 0.0 in sort
     // keys, so negation cannot reorder zero scores)
-    val qProbes = queries
-      .select(col(idCol).as("_qid"), normalize(col(embCol)).as("_qemb"))
+    val qProbes = normalizedSelect(queries, idCol, "_qid", embCol, "_qemb")
       .withColumn("_ranked", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
         struct((-dot(col("_qemb"), typedlit(c))).as("neg"), lit(i + 1L).as("cell"))
       }: _*)))
@@ -220,8 +239,7 @@ object Similarity {
       maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val v = df.repartition(par)
-      .select(col(idCol).as("_id"), normalize(col(embCol)).as("_emb"))
+    val v = normalizedSelect(df.repartition(par), idCol, "_id", embCol, "_emb")
       .withColumn("_bucket", lshBucket(col("_emb"), planes))
     val cands = NearDup.cappedBucketPairs(
       v.select(col("_id"), col("_bucket")), "_id", Seq("_bucket"), maxBucket)
