@@ -241,9 +241,11 @@ final class MaterializedView private (
     // every union branch) and Spark re-evaluates a shared subtree per
     // branch — without pinning, the changelog join would run 3-4× per
     // refresh. The pinned set is tiny (≤ one row per changed group), so the
-    // cache cost is nil; both pins materialize in ONE pass (incr's count
-    // below), and lineage is kept (plain persist, no checkpoint), so task
-    // retry on a real cluster recomputes instead of failing.
+    // cache cost is nil; both pins materialize LAZILY inside the single
+    // merge-on-read state write below (an eager count() here was a whole
+    // extra job per refresh — the cache locking makes lazy first-touch
+    // equivalent), and lineage is kept (plain persist, no checkpoint), so
+    // task retry on a real cluster recomputes instead of failing.
     val deltas = changes.groupBy(groupCols.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -291,14 +293,13 @@ final class MaterializedView private (
       }
     }
     // pinned for the same reason as `deltas`: dead/live/recompute all branch
-    // from it. The count() materializes BOTH pins in one pass (the broadcast
-    // build inside this plan populates the deltas cache; the probe reads it).
+    // from it. First touch (the merge's broadcast builds / union branches)
+    // populates both caches; subsequent branches read them.
     val incr = joined.select(
       groupCols.map(g => dlCol(g).as(g)) ++
         Seq(newRows.as(RowsCol), dlCol(DRetractedCol).as(DRetractedCol)) ++
         incrCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    incr.count()
 
     // groups whose live-row count reached zero vanish (tombstone delete)
     val dead = incr.filter(col(RowsCol) <= 0L)
