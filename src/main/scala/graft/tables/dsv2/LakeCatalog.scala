@@ -355,15 +355,28 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
                   s"cannot INSERT into ${ident.name()} VERSION AS OF ${snap.version} — " +
                     "writes only target the current table")
                 val table = LakeTable.open(data.sparkSession, root)
-                // PIN the source before merging: merge() evaluates its batch
-                // twice (stats pass + write) and requires determinism — a SQL
-                // source can be anything (rand() ordering, sampling), so
-                // materialize it once; both merge scans then read the same
-                // checkpointed blocks
-                val pinned = data.localCheckpoint(true)
-                try table.merge(pinned,
-                  s"sql-insert-${java.lang.Long.toHexString(System.nanoTime())}")
-                finally pinned.unpersist()
+                // merge() evaluates its batch twice (stats pass + write) and
+                // requires determinism. A PROVABLY deterministic source (no
+                // non-deterministic expression, no limit/sample/offset whose
+                // row set depends on execution order) merges directly — the
+                // same two-scan contract as the typed API, sparing the eager
+                // materialization job and its memory. Anything else (rand()
+                // ordering, TABLESAMPLE, LIMIT over unordered input) is
+                // PINNED first so both merge scans read identical rows.
+                import org.apache.spark.sql.catalyst.plans.logical.{
+                  GlobalLimit, LocalLimit, Offset, Sample}
+                val needsPin = data.queryExecution.analyzed.exists {
+                  case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => true
+                  case p => p.expressions.exists(_.exists(!_.deterministic))
+                }
+                val batchId =
+                  s"sql-insert-${java.lang.Long.toHexString(System.nanoTime())}"
+                if (!needsPin) table.merge(data, batchId)
+                else {
+                  val pinned = data.localCheckpoint(true)
+                  try table.merge(pinned, batchId)
+                  finally pinned.unpersist()
+                }
               }
             }
         }
