@@ -1123,12 +1123,15 @@ object SparkEntry {
     }),
 
     // ======================= q63: table integrity audit ====================
-    // Build a table exercising every metadata surface the auditor checks —
-    // merges (COW + MOR layers), a tag, schema evolution with a DROP (the
-    // resurrection ledger) — then CALL verify_table with the distributed
-    // data pass on. The oracle is the exact all-ok checklist: the audit's
-    // value is the FIXED contract of what it verifies, and any corruption
-    // (or any silently-skipped check) breaks the row set.
+    // Build a table exercising the metadata surfaces the auditor checks —
+    // one COW insert, a tag, schema evolution with a DROP (the resurrection
+    // ledger) — then CALL verify_table with the distributed data pass on.
+    // (No MOR layers here: the mor_buckets_have_files check passes
+    // trivially on this table; its non-trivial coverage lives in
+    // VerifyTableSpec's corruption-injection cases.) The oracle is the
+    // exact all-ok checklist: the audit's value is the FIXED contract of
+    // what it verifies, and any corruption (or any silently-skipped check)
+    // breaks the row set.
     "q63_verify_table" -> ((s, dir) => {
       freshSqlCatalogTable(s, "q63tbl")
       s.sql(

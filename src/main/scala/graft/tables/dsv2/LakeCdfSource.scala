@@ -318,6 +318,14 @@ final class LakeCdfStream(root: String, streamSchema: StructType,
     // the same version schedules the initial-load batch (the offsets differ
     // in json), after which the flag is gone for good
     if (end <= from) return LakeCdfOffset(from)
+    // a pending empty-baseline anchor never reads a diff base at `from`:
+    // the initial-load batch reads ONLY snap(end) (see planInputPartitions'
+    // baselineEmpty branch), so no rebucket boundary inside the window can
+    // matter — and probing the anchor version's ledger below would fail if
+    // a concurrent expire() retired it between initialOffset and this first
+    // batch, even though nothing in the batch needs that version. Skip the
+    // clamp walk entirely.
+    if (startOff.baselineEmpty) return LakeCdfOffset(end)
     // clamp at the first layout change (rebucket counter bump) in (from, end]
     val baseRebuckets = rebucketsAt(from)
     var v = from + 1

@@ -384,4 +384,35 @@ class LakeCdfStreamSpec extends SparkTestBase {
     assert(rowSet(batch.flatMap(_._2)) ===
       Set(Seq[Any]("a", 2L, "a2"), Seq[Any]("c", 1L, "c1")))
   }
+
+  test("an empty-baseline anchor survives its version being expired before " +
+      "the first batch (the initial load never reads the anchor's ledger)") {
+    val t = newTable()
+    t.merge(Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("k", "wv", "v"), "b1")
+    t.merge(Seq(("c", 1L, "c1")).toDF("k", "wv", "v"), "b2")
+    t.expire(keepVersions = 2) // v0 gone -> earliest anchor is baselineEmpty
+    // drive the stream internals directly so the expire can land INSIDE the
+    // initialOffset -> first-batch window (a concurrent maintenance thread
+    // in production; not reachable deterministically through a drain)
+    val stream = new LakeCdfStream(t.root, StructType.fromDDL(schema.toDDL),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", t.root, "startingVersion", "earliest")))
+    val anchor = stream.initialOffset().asInstanceOf[LakeCdfOffset]
+    assert(anchor.baselineEmpty && anchor.version > 0L)
+    // new commits land and the anchor version itself is retired
+    t.merge(Seq(("d", 1L, "d1")).toDF("k", "wv", "v"), "b3")
+    t.expire(keepVersions = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "meta", s"v${anchor.version}.json")))
+    // the first batch must still plan: full state at the window end, no
+    // probe of the (expired) anchor version
+    val end = stream.latestOffset(anchor,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[LakeCdfOffset]
+    assert(end.version === t.currentVersion() && !end.baselineEmpty)
+    val parts = stream.planInputPartitions(anchor, end)
+    assert(parts.nonEmpty)
+    val loaded = parts.collect { case p: LakeCdfPartition => p }
+    assert(loaded.forall(_.oldFiles.isEmpty)) // initial load: no diff base
+    assert(loaded.flatMap(_.newFiles).nonEmpty)
+  }
 }
