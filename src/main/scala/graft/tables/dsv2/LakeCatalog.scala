@@ -356,22 +356,17 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
                     "writes only target the current table")
                 val table = LakeTable.open(data.sparkSession, root)
                 // merge() evaluates its batch twice (stats pass + write) and
-                // requires determinism. A PROVABLY deterministic source (no
-                // non-deterministic expression, no limit/sample/offset whose
-                // row set depends on execution order) merges directly — the
-                // same two-scan contract as the typed API, sparing the eager
-                // materialization job and its memory. Anything else (rand()
-                // ordering, TABLESAMPLE, LIMIT over unordered input) is
-                // PINNED first so both merge scans read identical rows.
-                import org.apache.spark.sql.catalyst.plans.logical.{
-                  GlobalLimit, LocalLimit, Offset, Sample}
-                val needsPin = data.queryExecution.analyzed.exists {
-                  case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => true
-                  case p => p.expressions.exists(_.exists(!_.deterministic))
-                }
+                // requires determinism. A PROVABLY deterministic source
+                // merges directly — the same two-scan contract as the typed
+                // API, sparing the eager materialization job and its memory.
+                // Anything else (rand() ordering, TABLESAMPLE, LIMIT over
+                // unordered input — anywhere in the plan, subqueries
+                // included) is PINNED first so both scans read identical
+                // rows.
                 val batchId =
                   s"sql-insert-${java.lang.Long.toHexString(System.nanoTime())}"
-                if (!needsPin) table.merge(data, batchId)
+                if (!LakeCatalog.needsPin(data.queryExecution.analyzed))
+                  table.merge(data, batchId)
                 else {
                   val pinned = data.localCheckpoint(true)
                   try table.merge(pinned, batchId)
@@ -530,6 +525,23 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
 }
 
 object LakeCatalog {
+  /** True iff an INSERT source plan must be PINNED (materialized once)
+    * before the merge's two scans: it contains a non-deterministic
+    * expression, or a limit/sample/offset whose row set depends on
+    * execution order — anywhere in the plan, SUBQUERIES INCLUDED (a scalar
+    * subquery can hide a rand() the top-level expression walk never
+    * sees). A provably deterministic source re-executes identically and
+    * merges directly under the typed API's documented two-scan contract. */
+  private[dsv2] def needsPin(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Offset, Sample}
+    plan.collectWithSubqueries {
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => ()
+      case p if p.expressions.exists(_.exists(!_.deterministic)) => ()
+    }.nonEmpty
+  }
+
   /** identifier segments become path segments — reject anything that could
     * escape the warehouse (`..`) or collapse to it (empty, `.`, separators):
     * a backtick-quoted `..` identifier must not let DROP/RENAME/CALL reach

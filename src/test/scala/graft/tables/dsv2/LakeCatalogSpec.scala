@@ -309,4 +309,22 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(messages(e2).exists(m => m.contains("key column")),
       s"unexpected: ${messages(e2).mkString(" | ")}")
   }
+
+  test("INSERT sources are pinned only when not provably deterministic") {
+    Seq(("a", 1L, "x")).toDF("k", "wv", "v").createOrReplaceTempView("pin_src")
+    def plan(sql: String) = spark.sql(sql).queryExecution.analyzed
+    // deterministic shapes merge unpinned: plain projections, filters,
+    // joins, aggregates over deterministic inputs
+    assert(!LakeCatalog.needsPin(plan("SELECT k, wv, v FROM pin_src WHERE wv > 0")))
+    assert(!LakeCatalog.needsPin(plan(
+      "SELECT k, max(wv) AS wv, 'x' AS v FROM pin_src GROUP BY k")))
+    // execution-order-dependent row sets pin: LIMIT/OFFSET/TABLESAMPLE
+    assert(LakeCatalog.needsPin(plan("SELECT * FROM pin_src LIMIT 1")))
+    assert(LakeCatalog.needsPin(plan("SELECT * FROM pin_src TABLESAMPLE (50 PERCENT)")))
+    // non-deterministic expressions pin — including one hiding inside a
+    // scalar subquery, which a top-level expression walk never sees
+    assert(LakeCatalog.needsPin(plan("SELECT k, wv, v FROM pin_src WHERE rand() > 0.5")))
+    assert(LakeCatalog.needsPin(plan(
+      "SELECT k, wv + (SELECT CAST(rand() * 10 AS BIGINT)) AS wv, v FROM pin_src")))
+  }
 }
