@@ -170,6 +170,23 @@ object TextOps {
   def winnowFingerprintRowsPortable(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       k: Int = 10, window: Int = 10): org.apache.spark.sql.DataFrame = {
+    val (fpsLong, fpsShort) = winnowFpBranches(docs, idCol, textCol, k, window)
+    fpsLong.unionByName(fpsShort)
+  }
+
+  /** The two ID-DISJOINT fingerprint branches behind the portable winnow
+    * (a doc is in exactly one branch, decided by its length): long docs as
+    * DISTINCT (id, fp) rows, short docs as their single whole-text fp (one
+    * row per doc — distinct by construction). Keeping the branches apart
+    * lets per-doc work (the distinct, the fingerprint count) ride the
+    * winnow window's id-partitioned exchange with ZERO further exchanges —
+    * a union first would erase the partitioning and re-shuffle the
+    * fingerprint set once per downstream per-doc operation (guide §2.4:
+    * share the exchange). Union-of-branch-distincts ≡ distinct-of-union
+    * exactly because the branches share no doc id. */
+  private def winnowFpBranches(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int, window: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.{Window => W}
     // small sources often arrive as one split; spread before the explode
     val par = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
@@ -189,24 +206,38 @@ object TextOps {
       // global-min window at i = 1 (greatest(n-window+1, 1))
       .filter(col("_i") <= greatest(col("_n") - (window - 1), lit(1)))
       .select(col(idCol), col("_mn").as("fp"))
+      // distinct KEYED (id, fp) but DISTRIBUTED by id alone — satisfied by
+      // the window's existing hashpartitioning(id), so no exchange
+      .distinct()
     val fpsShort = d.filter(col("_len") < k && col("_len").isNotNull)
       .select(col(idCol), expr(
         "cast(conv(substring(md5(_t), 1, 15), 16, 10) as bigint)").as("fp"))
-    fpsLong.unionByName(fpsShort).distinct()
+    (fpsLong, fpsShort)
   }
 
   /** Containment scoring over (id, fp) rows — shared by the UDF and the
     * portable fingerprint paths. */
   def containmentPairsFromFps(fp: org.apache.spark.sql.DataFrame, idCol: String,
       minContainment: Double, maxDf: Int): org.apache.spark.sql.DataFrame = {
-    // per-doc fingerprint counts AND the stop-fp document frequency are
-    // WINDOW counts, not groupBy branches + joins: each aggregate branch
-    // would re-execute the (expensive) fingerprint subplan; the window form
-    // keeps one upstream execution, and the final self-join on fp reuses
-    // the fp-partitioned exchange of the second window (ReusedExchange).
+    // the per-doc fingerprint count is a WINDOW, not a groupBy branch +
+    // join: an aggregate branch would re-execute the (expensive)
+    // fingerprint subplan (callers with an id-partitioned or id-disjoint
+    // input precompute n_fps and call [[containmentPairsCounted]] to skip
+    // this exchange entirely)
+    import org.apache.spark.sql.expressions.{Window => W}
+    containmentPairsCounted(
+      fp.withColumn("n_fps", count(lit(1)).over(W.partitionBy(col(idCol)))),
+      idCol, minContainment, maxDf)
+  }
+
+  /** [[containmentPairsFromFps]] over rows that already carry `n_fps`. The
+    * stop-fp document frequency stays a WINDOW count so the self-join on
+    * fp reuses its exchange (ReusedExchange). */
+  private def containmentPairsCounted(fp: org.apache.spark.sql.DataFrame,
+      idCol: String, minContainment: Double, maxDf: Int)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val inJoin = fp
-      .withColumn("n_fps", count(lit(1)).over(W.partitionBy(col(idCol))))
       .withColumn("_df", count(lit(1)).over(W.partitionBy(col("fp"))))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
     inJoin.as("l").join(inJoin.as("r"),
@@ -220,13 +251,22 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
   }
 
-  /** Containment near-dup through the portable winnow (oracle-able). */
+  /** Containment near-dup through the portable winnow (oracle-able). The
+    * per-doc fingerprint count is computed PER BRANCH before the union:
+    * the long-doc branch rides the winnow window's id-partitioning (no
+    * exchange) and a short doc has exactly one fingerprint — so the only
+    * exchanges the fingerprint set pays are the stop-fp window's (reused
+    * by the self-join) and the pair aggregation's. */
   def winnowContainmentPairsPortable(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, k: Int = 10, window: Int = 10,
-      minContainment: Double = 0.5, maxDf: Int = 64): org.apache.spark.sql.DataFrame =
-    containmentPairsFromFps(
-      winnowFingerprintRowsPortable(docs, idCol, textCol, k, window),
-      idCol, minContainment, maxDf)
+      minContainment: Double = 0.5, maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val (fpsLong, fpsShort) = winnowFpBranches(docs, idCol, textCol, k, window)
+    val counted = fpsLong
+      .withColumn("n_fps", count(lit(1)).over(W.partitionBy(col(idCol))))
+      .unionByName(fpsShort.withColumn("n_fps", lit(1L)))
+    containmentPairsCounted(counted, idCol, minContainment, maxDf)
+  }
 
   /** Containment-style near-dup pairs over winnowing fingerprints (the MOSS
     * pipeline at corpus scale): containment = shared fingerprints / smaller
