@@ -52,7 +52,17 @@ object PlanDump {
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val rows = df.count()
-        Thread.sleep(1500) // ExecutionListenerBus delivery is async
+        // ExecutionListenerBus delivery is async with no public drain hook:
+        // poll until the capture buffer stops growing (bounded), so inner
+        // action plans cannot be silently missing on a loaded machine
+        var stable = 0
+        var last = -1
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (stable < 4 && System.nanoTime() < deadline) {
+          Thread.sleep(250)
+          val len = buf.synchronized(buf.length)
+          if (len == last) stable += 1 else { stable = 0; last = len }
+        }
         buf.synchronized {
           buf.append(s"===== final (returned) query plan — $rows rows =====\n")
             .append(df.queryExecution.explainString(

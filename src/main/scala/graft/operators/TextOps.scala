@@ -166,7 +166,13 @@ object TextOps {
     * `min(h) over (order by i rows between current and window-1 following)`
     * computes it. Gram hash = first 15 hex chars of md5 (engine-agnostic).
     * The imperative [[winnow]] UDF stays the production default (O(n),
-    * single pass, no shuffle); this twin validates the algorithm. */
+    * single pass, no shuffle); this twin validates the algorithm.
+    *
+    * CONTRACT: `idCol` must be UNIQUE per document (it always was: the
+    * position window partitions by id, so two texts sharing an id would
+    * interleave their gram streams and corrupt each other's minima; the
+    * branch-disjoint dedup/count below additionally relies on an id living
+    * in exactly one length branch). The oracle holds the same assumption. */
   def winnowFingerprintRowsPortable(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       k: Int = 10, window: Int = 10): org.apache.spark.sql.DataFrame = {

@@ -786,6 +786,21 @@ final class LakeTable private (
     * (classic path: exact, from the stats pass). */
   private def smallMergeRows: Long = LakeTable.smallOpRows
 
+  /** Stored rows of `buckets` for the maintenance small-op gates — or
+    * "NOT small" when any non-empty bucket has no `bucketRows` entry (a
+    * legacy snapshot): an UNKNOWN size must keep today's behavior, never
+    * shrink a potentially large rewrite's planning (same invariant as
+    * [[smallBatch]]). */
+  private def knownBucketRowsSmall(snap: TableSnapshot, buckets: Seq[Int]): Boolean = {
+    var sum = 0L
+    buckets.forall { b =>
+      snap.bucketRows.get(b) match {
+        case Some(n) => sum += n; sum <= smallMergeRows
+        case None => snap.bucketFiles.getOrElse(b, Nil).isEmpty // unknown ⇒ not small
+      }
+    }
+  }
+
   /** Run `f` (plan construction + execution of one engine operation) with
     * adaptive query execution scoped OFF when the operation is SMALL — see
     * [[LakeTable.smallOpRows]] for the rationale and the scale gate. No-op
@@ -1279,7 +1294,7 @@ final class LakeTable private (
     // bucket is one task that reads its layers, resolves, and writes ONE
     // defragmented file. No exchange at any scale.
     withInflightMarker(commitRel) {
-    withSmallPlanConfs(dirty.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
+    withSmallPlanConfs(knownBucketRowsSmall(snap, dirty)) {
     withSpjConfs(Some(dirty.size)) {
       bucketWriter(Dedup.latestByKey(bucketScanDF(snap, dirty),
           snap.keyCols :+ BucketCol, snap.orderCols), snap)
@@ -1360,8 +1375,7 @@ final class LakeTable private (
     val curSchema = StructType.fromDDL(snap.schemaDdl)
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     withInflightMarker(commitRel) {
-    withSmallPlanConfs(
-      candidates.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
+    withSmallPlanConfs(knownBucketRowsSmall(snap, candidates)) {
     withSpjConfs(Some(candidates.size)) {
       bucketWriter(visible(snap, Dedup.latestByKey(bucketScanDF(snap, candidates),
           snap.keyCols :+ BucketCol, snap.orderCols)), snap)
@@ -1473,7 +1487,7 @@ final class LakeTable private (
     if (todo.isEmpty) return 0
     val commitRel = s"data/maint-${snap.version + 1}-${java.lang.Long.toHexString(System.nanoTime())}"
     withInflightMarker(commitRel) {
-    withSmallPlanConfs(todo.map(b => snap.bucketRows.getOrElse(b, 0L)).sum <= smallMergeRows) {
+    withSmallPlanConfs(knownBucketRowsSmall(snap, todo)) {
     withSpjConfs(Some(todo.size)) {
       // resolve rides the KGP scan (one partition per bucket), the sort is
       // task-local (sortWithinPartitions never exchanges), and the write's
@@ -2860,8 +2874,14 @@ object LakeTable {
       if (m == null) { m = scala.collection.mutable.Map.empty; scopedConfState.put(spark, m) }
       val st = m.getOrElseUpdate(key, Array[Any](0, None))
       if (st(0).asInstanceOf[Int] == 0) st(1) = spark.conf.getOption(key)
-      st(0) = st(0).asInstanceOf[Int] + 1
+      // set BEFORE incrementing: if the set throws, the refcount is
+      // untouched and the next entry recaptures the baseline at count 0 —
+      // incrementing first would leak the count and pin the scoped value
+      // on the session forever. NOTE: nested windows on one key assume the
+      // SAME value (all current callers use a constant); an inner window
+      // with a different value would stay active for the outer remainder.
       spark.conf.set(key, value)
+      st(0) = st(0).asInstanceOf[Int] + 1
     }
     try f finally scopedConfLock.synchronized {
       val m = scopedConfState.get(spark)

@@ -526,20 +526,39 @@ final class LakeSqlTable(ident: Identifier, root: String, snap: TableSnapshot,
 
 object LakeCatalog {
   /** True iff an INSERT source plan must be PINNED (materialized once)
-    * before the merge's two scans: it contains a non-deterministic
-    * expression, or a limit/sample/offset whose row set depends on
-    * execution order — anywhere in the plan, SUBQUERIES INCLUDED (a scalar
-    * subquery can hide a rand() the top-level expression walk never
-    * sees). A provably deterministic source re-executes identically and
-    * merges directly under the typed API's documented two-scan contract. */
+    * before the merge's two scans. The unpinned fast path is a WHITELIST,
+    * not a blacklist: only plans built purely from relations, projections,
+    * filters, unions and aliases — with every expression deterministic,
+    * subqueries included — skip the pin. Everything else pins, because
+    * Spark's `deterministic` flag is about expression purity, not
+    * re-execution stability: `first()`/`collect_list()`/`row_number()`
+    * ties are flagged deterministic yet depend on shuffle fetch order,
+    * and a batch whose KEY SET differs between the merge's stats scan and
+    * write scan would replace buckets the stats pass never saw — silent
+    * row loss, the exact hazard the pin exists to prevent. A
+    * project/filter/union over deterministic relations has a
+    * row-set fully determined by the stored data, so the two scans agree. */
   private[dsv2] def needsPin(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{
-      GlobalLimit, LocalLimit, Offset, Sample}
-    plan.collectWithSubqueries {
-      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => ()
-      case p if p.expressions.exists(_.exists(!_.deterministic)) => ()
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def safeNode(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias | _: View => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      // file relations pin their file listing in the relation object; lake
+      // tables pin their snapshot at analysis. Anything else (JDBC, foreign
+      // connectors, streaming) may serve different rows per scan — pin.
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case r: DataSourceV2Relation => r.table.isInstanceOf[LakeSqlTable]
+      case _ => false
+    }
+    val unsafeShape =
+      plan.collectWithSubqueries { case p if !safeNode(p) => p }.nonEmpty
+    def nondet = plan.collectWithSubqueries {
+      case p if p.expressions.exists(_.exists(!_.deterministic)) => p
     }.nonEmpty
+    unsafeShape || nondet
   }
 
   /** identifier segments become path segments — reject anything that could

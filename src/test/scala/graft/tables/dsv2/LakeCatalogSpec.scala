@@ -313,11 +313,19 @@ class LakeCatalogSpec extends SparkTestBase {
   test("INSERT sources are pinned only when not provably deterministic") {
     Seq(("a", 1L, "x")).toDF("k", "wv", "v").createOrReplaceTempView("pin_src")
     def plan(sql: String) = spark.sql(sql).queryExecution.analyzed
-    // deterministic shapes merge unpinned: plain projections, filters,
-    // joins, aggregates over deterministic inputs
+    // whitelisted shapes merge unpinned: projections, filters, unions and
+    // VALUES/file-backed relations with deterministic expressions
     assert(!LakeCatalog.needsPin(plan("SELECT k, wv, v FROM pin_src WHERE wv > 0")))
     assert(!LakeCatalog.needsPin(plan(
+      "SELECT k, wv, v FROM pin_src WHERE wv > 0 UNION ALL SELECT k, wv, v FROM pin_src")))
+    assert(!LakeCatalog.needsPin(plan("VALUES ('a', 1L, 'x'), ('b', 2L, 'y')")))
+    // anything off the whitelist pins — aggregates included: Spark flags
+    // first()/collect_list() deterministic although they depend on shuffle
+    // fetch order, so shape-level conservatism is the only safe gate
+    assert(LakeCatalog.needsPin(plan(
       "SELECT k, max(wv) AS wv, 'x' AS v FROM pin_src GROUP BY k")))
+    assert(LakeCatalog.needsPin(plan(
+      "SELECT first(k) AS k, max(wv) AS wv FROM pin_src GROUP BY wv % 10")))
     // execution-order-dependent row sets pin: LIMIT/OFFSET/TABLESAMPLE
     assert(LakeCatalog.needsPin(plan("SELECT * FROM pin_src LIMIT 1")))
     assert(LakeCatalog.needsPin(plan("SELECT * FROM pin_src TABLESAMPLE (50 PERCENT)")))
